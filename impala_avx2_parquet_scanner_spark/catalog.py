@@ -1,0 +1,69 @@
+"""Table catalog: loads the test-fixture parquet tables as DataFrames.
+
+Mirrors the reference's descriptor/catalog layer (descriptors.h:149-262 —
+table + partition descriptors resolved against file schemas).  In Spark the
+descriptor table collapses to `spark.read.parquet` + schema resolution; the
+one real piece of work here is normalizing the `events` table, whose
+TIMESTAMP(NANOS) physical type Spark's vectorized reader refuses
+(PARQUET_TYPE_ILLEGAL) — we read it as int64 nanoseconds
+(`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to microsecond
+`timestamp_ntz`, exactly matching DuckDB's ns→µs truncation so oracle
+comparisons agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with engine-required confs applied."""
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is INT64 TIMESTAMP(NANOS).  Read as raw nanos and convert:
+    ns → floor to µs → timestamp_ntz (session TZ is UTC so the LTZ→NTZ hop
+    is the identity).  DuckDB performs the same floor when it reads the
+    file, so both engines see identical microsecond values."""
+    df = spark.read.parquet(path)
+    ts_field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    if ts_field.get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (SQL-API entry point)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

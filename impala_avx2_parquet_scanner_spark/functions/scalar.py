@@ -1,0 +1,201 @@
+"""Scalar function surface — the reference's expression/UDF framework
+(expr.h:118-383, scalar-fn-call.cc:41-973) maps onto Spark's builtin
+function registry + Catalyst codegen.  The friend-class list at
+expr.h:242-255 enumerates the families (Case, In, Math, String, Timestamp,
+Decimal, Conditional, Utility); each family gets a projection query here.
+
+Functions chosen are deterministic and bit-identical across Spark/DuckDB
+(no transcendentals whose libm implementations may differ by an ulp; no
+double→int casts, whose rounding direction differs between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       TRIM(CONCAT('  ', p_type, ' ')) AS type_trim,
+       LPAD(p_brand, 12, '*') AS brand_lpad,
+       RPAD(p_type, 10, '.') AS type_rpad,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       REVERSE(p_brand) AS brand_rev
+FROM part WHERE p_partkey <= 300
+""",
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringFunctions family (expr.h:245): substring/trim/pad mirror
+    StringValue::Substring/Trim/PadWithSpaces (string-value.inline.h:64-118)."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+            F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+            F.rpad("p_type", 10, ".").alias("type_rpad"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.reverse("p_brand").alias("brand_rev"),
+        )
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT c_custkey,
+       ABS(c_acctbal) AS bal_abs,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+       CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DOUBLE) AS bal_round1,
+       c_custkey % 7 AS key_mod,
+       CAST(c_acctbal AS DECIMAL(12,2)) * 2 + 10 AS bal_affine,
+       GREATEST(c_acctbal, 0.0) AS bal_pos,
+       LEAST(c_acctbal, 0.0) AS bal_neg,
+       CAST(SIGN(c_acctbal) AS DOUBLE) AS bal_sign
+FROM customer WHERE c_custkey <= 400
+""",
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MathFunctions family (expr.h:244; `round` special-cased at
+    scalar-fn-call.cc:187-193 — rounding here is done on exact decimals so
+    both engines agree on half-way cases)."""
+    bal = F.col("c_acctbal")
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select(
+            "c_custkey",
+            F.abs(bal).alias("bal_abs"),
+            F.floor(bal).alias("bal_floor"),
+            F.ceil(bal).alias("bal_ceil"),
+            F.round(bal.cast("decimal(12,2)"), 1).cast("double").alias("bal_round1"),
+            (F.col("c_custkey") % 7).alias("key_mod"),
+            (bal.cast("decimal(12,2)") * 2 + 10).alias("bal_affine"),
+            F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+            F.least(bal, F.lit(0.0)).alias("bal_neg"),
+            F.signum(bal).alias("bal_sign"),
+        )
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+       CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+       CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+       CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CAST(o_orderdate AS DATE) AS order_date_d
+FROM orders WHERE o_orderkey <= 3000
+""",
+    tags=("function", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimestampFunctions family (expr.h:246; DateAddSub
+    scalar-fn-call.cc:386-388): extraction, truncation, interval add."""
+    d = F.col("o_orderdate")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            F.year(d).cast("int").alias("order_year"),
+            F.month(d).cast("int").alias("order_month"),
+            F.dayofmonth(d).cast("int").alias("order_day"),
+            F.quarter(d).cast("int").alias("order_quarter"),
+            F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+            (d + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+            d.cast("date").alias("order_date_d"),
+        )
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END AS bal_band,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+       CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS even_nation_name,
+       IF(c_acctbal >= 0, 1, 0) AS is_solvent
+FROM customer WHERE c_custkey <= 400
+""",
+    tags=("function", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConditionalFunctions + CaseExpr families (expr.h:242,247):
+    CASE/COALESCE/NULLIF/IF."""
+    bal = F.col("c_acctbal")
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select(
+            "c_custkey",
+            F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("rich").alias("bal_band"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "segment_or_other"
+            ),
+            F.when(F.col("c_nationkey") % 2 == 0, F.col("c_name")).alias("even_nation_name"),
+            F.when(bal >= 0, 1).otherwise(0).alias("is_solvent"),
+        )
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(o_custkey AS DOUBLE) AS cust_dbl,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor_int,
+       CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+       CAST(o_orderdate AS VARCHAR) AS date_str
+FROM orders WHERE o_orderkey <= 2000
+""",
+    tags=("function", "cast"),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CastExpr family (expr.h:242; cast-wrapper handling
+    scalar-fn-call.cc:736-739).  double→int goes through FLOOR because raw
+    CAST rounds in DuckDB but truncates in Spark — the explicit form is
+    the portable one."""
+    k = F.col("o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(k <= 2000)
+        .select(
+            "o_orderkey",
+            k.cast("string").alias("key_str"),
+            k.cast("string").cast("bigint").alias("key_roundtrip"),
+            F.col("o_custkey").cast("double").alias("cust_dbl"),
+            F.floor("o_totalprice").cast("bigint").alias("price_floor_int"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("price_dec"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
+        )
+    )

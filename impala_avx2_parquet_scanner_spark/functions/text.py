@@ -1,0 +1,184 @@
+"""Text-analysis operators over the `documents` table — the training-data
+pipeline surface (BASELINE.json north star; beyond the reference slice).
+
+All operators are pure column expressions (JVM-side, codegen'd — no Python
+in the hot path) so they stream through a 100 TB scan with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+#: language ID.  Deliberately simple + deterministic (SQL-expressible).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def token_count(col: F.Column) -> F.Column:
+    """Whitespace-token count: number of [A-Za-z0-9]+ runs."""
+    return F.size(
+        F.filter(F.split(col, r"[^A-Za-z0-9]+"), lambda t: t != F.lit(""))
+    ).cast("bigint")
+
+
+def marker_hits(col: F.Column, word: str) -> F.Column:
+    """Occurrences of a whole word (case-insensitive)."""
+    return F.regexp_count(F.lower(col), F.lit(rf"\b{word}\b")).cast("bigint")
+
+
+def lang_score(col: F.Column, lang: str) -> F.Column:
+    words = LANG_MARKERS[lang]
+    score = marker_hits(col, words[0])
+    for w in words[1:]:
+        score = score + marker_hits(col, w)
+    return score
+
+
+def lang_id(col: F.Column) -> F.Column:
+    """argmax over marker scores, ties broken by language order; 'und' if
+    no marker fires."""
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    # forward order + strict > : the incumbent (earlier language) wins ties
+    for lang in LANG_MARKERS:
+        s = lang_score(col, lang)
+        new_best = s > best_score
+        best_lang = F.when(new_best, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(new_best, s).otherwise(best_score)
+    return best_lang
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       n_chars,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text, '[.!?,;]')) AS BIGINT) AS n_punct,
+       CAST(LEN(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces,
+       UPPER(source) AS source_uc
+FROM documents
+""",
+    tags=("text", "pipeline"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics: char/token/punctuation counts —
+    the quality-scoring raw features."""
+    t = F.col("text")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        "n_chars",
+        token_count(t).alias("n_tokens"),
+        F.regexp_count(t, F.lit(r"[.!?,;]")).cast("bigint").alias("n_punct"),
+        F.regexp_count(t, F.lit(" ")).cast("bigint").alias("n_spaces"),
+        F.upper("source").alias("source_uc"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN LENGTH(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END AS len_ok,
+       CASE WHEN LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 20 THEN 1 ELSE 0 END AS tokens_ok,
+       CAST(LEN(regexp_extract_all(lower(text), '\bthe\b|\band\b|\bof\b|\bto\b|\ba\b')) AS BIGINT) AS stopword_hits,
+       CASE WHEN LENGTH(text) > 0
+            THEN CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / LENGTH(text)
+            ELSE 0.0 END AS alpha_ratio
+FROM documents
+""",
+    tags=("text", "pipeline"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gates (length window, token floor, stopword
+    presence, alpha ratio) — the standard pre-training corpus filters."""
+    t = F.col("text")
+    n_alpha = F.regexp_count(t, F.lit("[A-Za-z]")).cast("double")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.length(t).between(100, 20000), 1).otherwise(0).alias("len_ok"),
+        F.when(token_count(t) >= 20, 1).otherwise(0).alias("tokens_ok"),
+        F.regexp_count(F.lower(t), F.lit(r"\bthe\b|\band\b|\bof\b|\bto\b|\ba\b"))
+        .cast("bigint")
+        .alias("stopword_hits"),
+        F.when(F.length(t) > 0, n_alpha / F.length(t)).otherwise(F.lit(0.0)).alias(
+            "alpha_ratio"
+        ),
+    )
+
+
+def _lang_sql_score(lang: str) -> str:
+    words = "|".join(rf"\b{w}\b" for w in LANG_MARKERS[lang])
+    return f"CAST(LEN(regexp_extract_all(lower(text), '{words}')) AS BIGINT)"
+
+
+_LANG_ORACLE = f"""
+SELECT doc_id, lang AS lang_labeled, lang_pred, COUNT(*) OVER (PARTITION BY lang_pred) AS n_pred
+FROM (
+  SELECT doc_id, lang,
+         CASE
+           WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+           WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+           WHEN fr >= de AND fr > 0 THEN 'fr'
+           WHEN de > 0 THEN 'de'
+           ELSE 'und' END AS lang_pred
+  FROM (
+    SELECT doc_id, lang,
+           {_lang_sql_score('en')} AS en,
+           {_lang_sql_score('es')} AS es,
+           {_lang_sql_score('fr')} AS fr,
+           {_lang_sql_score('de')} AS de
+    FROM documents
+  ) scores
+) preds
+"""
+
+
+@query("text_lang_id", oracle=_LANG_ORACLE, tags=("text", "pipeline"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax with first-wins ties) + per-language
+    prediction counts via window."""
+    docs = table(spark, sf_dir, "documents")
+    preds = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    from pyspark.sql import Window as W
+
+    return preds.withColumn(
+        "n_pred", F.count(F.lit(1)).over(W.partitionBy("lang_pred"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm_hash,
+       SUBSTRING(MD5(text), 1, 8) AS raw_hash8
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized document fingerprint: normalize (lowercase, collapse
+    non-alnum) then MD5 — the exact-dedup key at corpus scale."""
+    t = F.col("text")
+    norm = F.lower(F.regexp_replace(t, r"[^A-Za-z0-9]+", " "))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.substring(F.md5(t), 1, 8).alias("raw_hash8"),
+    )

@@ -1,0 +1,184 @@
+"""Aggregation surface (SURVEY.md §2B 'Aggregation').
+
+The reference's scanner feeds Impala's AggFnEvaluator (expr.h:241); here the
+whole aggregation surface is Catalyst's native hash aggregate with partial
+(map-side) combine — every aggregate below is associative, so a 1000-node
+partial/final split produces the same exact values as a single thread
+(decimal-exact arithmetic, see exprs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.exprs import dec_price, sum_dbl
+from impala_avx2_parquet_scanner_spark.registry import query
+
+
+@query(
+    "agg_global",
+    oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders
+""",
+    tags=("aggregate",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate with exact sum + distinct count."""
+    return table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_dbl(dec_price("o_totalprice"), "total"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS distinct_custs,
+       COUNT(DISTINCT o_orderpriority) AS distinct_pris,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("aggregate", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates per group (expand + two-phase agg in
+    Catalyst — the skew-safe plan at scale)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_custs"),
+            F.countDistinct("o_orderpriority").alias("distinct_pris"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with GROUPING() disambiguation."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            sum_dbl(F.col("l_quantity").cast("decimal(12,2)"), "sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+       COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("aggregate", "rollup"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL API — identical Catalyst plan to the
+    DataFrame rollup/cube path)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+""",
+    tags=("aggregate", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_dbl(dec_price("o_totalprice"), "spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "agg_case_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("aggregate", "pivot"),
+)
+def agg_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (DataFrame .pivot() emits
+    the same plan; spelled with when/otherwise for oracle parity)."""
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            sum_dbl(F.when(F.col("l_linestatus") == "O", qty).otherwise(zero), "qty_open"),
+            sum_dbl(F.when(F.col("l_linestatus") == "F", qty).otherwise(zero), "qty_filled"),
+        )
+    )

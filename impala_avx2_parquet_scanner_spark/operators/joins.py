@@ -1,0 +1,189 @@
+"""Join surface (SURVEY.md §2B 'Joins').
+
+The reference's scanner consumes join-produced runtime bitmap filters
+(hdfs-parquet-scanner.cc:235-246) — the Impala side of a broadcast hash
+join.  Here Catalyst owns join strategy; these operators pin semantics for
+every join type and use explicit `broadcast()` hints where a 100 TB plan
+must not sort-merge (dimension tables).  Runtime bloom filters
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`, set in session.py) are
+the scale analog of the reference's bitmap filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+
+@query(
+    "join_broadcast_inner",
+    oracle="""
+SELECT l_orderkey, l_linenumber, p_name, p_brand,
+       l_quantity, p_retailprice
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size > 47 AND l_quantity >= 49
+""",
+    tags=("join", "broadcast"),
+)
+def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, dimension side broadcast (no shuffle of the fact
+    table; with bloom filters on, part's filter semi-reduces the scan —
+    the reference's runtime bitmap filter, hdfs-parquet-scanner.cc:260-263)."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_brand", "l_quantity", "p_retailprice"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_orderstatus = 'F' AND o_totalprice > 400000
+WHERE c_custkey <= 200
+""",
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with join-side residual condition: unmatched customers
+    keep NULL order columns."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    o = table(spark, sf_dir, "orders")
+    cond = (
+        (c.c_custkey == o.o_custkey)
+        & (o.o_orderstatus == "F")
+        & (o.o_totalprice > 400000)
+    )
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT a.k AS k_left, b.k AS k_right, a.n_a AS n_a, b.n_b AS n_b
+FROM (SELECT o_custkey AS k, COUNT(*) AS n_a FROM orders
+      WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+FULL OUTER JOIN
+     (SELECT o_custkey AS k, COUNT(*) AS n_b FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+  ON a.k = b.k
+""",
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (customers with only-open vs
+    only-finished orders appear one-sided)."""
+    o = table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        a.k.alias("k_left"), b.k.alias("k_right"), "n_a", "n_b"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 450000
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+""",
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): emits each qualifying order once no matter
+    how many lineitems match."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_acctbal < -500
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+""",
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -500)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS line_a, b.l_linenumber AS line_b
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
+""",
+    tags=("join", "self"),
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with inequality residual: pairs of heavy lines within an
+    order (equi-key shuffle + non-equi filter)."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    a = l.alias("a")
+    b = l.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("line_a"),
+        F.col("b.l_linenumber").alias("line_b"),
+    )
+
+
+@query(
+    "join_range_nonequi",
+    oracle="""
+SELECT p_partkey, p_name, t.bucket AS bucket
+FROM part
+JOIN (SELECT 'low' AS bucket, 0 AS lo, 500 AS hi
+      UNION ALL SELECT 'mid', 500, 1200
+      UNION ALL SELECT 'high', 1200, 100000) t
+  ON p_retailprice >= t.lo AND p_retailprice < t.hi
+WHERE p_size >= 48
+""",
+    tags=("join", "range"),
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (non-equi) join against a small bucket table — planned as
+    BroadcastNestedLoopJoin; small side MUST broadcast at scale."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    buckets = spark.createDataFrame(
+        [("low", 0, 500), ("mid", 500, 1200), ("high", 1200, 100000)],
+        "bucket string, lo int, hi int",
+    )
+    return p.join(
+        F.broadcast(buckets),
+        (p.p_retailprice >= buckets.lo) & (p.p_retailprice < buckets.hi),
+    ).select("p_partkey", "p_name", "bucket")

@@ -1,0 +1,98 @@
+"""Scan-path operators: projection pruning, metadata-only count(*), limit,
+top-n — SURVEY.md §2A rows 1-4, 10, 12.
+
+The reference creates one column reader + IO range per *materialized slot*
+(hdfs-parquet-scanner.cc:1410-1451) and short-circuits count(*) from footer
+metadata (hdfs-parquet-scanner.cc:1377-1396).  Spark's FileSourceScanExec
+does both natively; these queries pin the behavior (and tests assert the
+ReadSchema / PushedAggregation in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+
+@query(
+    "scan_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+""",
+    tags=("scan", "projection"),
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection pruning (#4): only 3 of 11 lineitem columns are read;
+    the parquet ReadSchema contains exactly these columns."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "count_star",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+    tags=("scan", "metadata"),
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only count(*) (#3): no materialized slots → row count from
+    footer metadata (`spark.sql.parquet.aggregatePushdown`)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "count_star_grouped",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("scan", "aggregate"),
+)
+def count_star_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count: reads exactly one column (the group key)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "limit_topn",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20
+""",
+    tags=("scan", "limit"),
+)
+def limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT early-exit (#12) made deterministic via total order → Spark
+    plans TakeOrderedAndProject (per-partition top-k, no full sort)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@query(
+    "scan_min_max",
+    oracle="""
+SELECT MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem
+""",
+    tags=("scan", "metadata"),
+)
+def scan_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX candidates for parquet statistics pushdown (footer column
+    stats — the same metadata the reference's row-group pruning reads)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )

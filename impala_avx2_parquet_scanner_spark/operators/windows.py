@@ -1,0 +1,168 @@
+"""Window-function surface (SURVEY.md §2B — TopNNode reference
+descriptors.h:371-373; full window functions absent from the slice but part
+of the engine's north-star surface).
+
+Every window below carries a total order (explicit tiebreakers) so results
+are deterministic and oracle-comparable.  Running double sums are computed
+in frame order on both engines, so even floating-point running totals
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 2 AND c_custkey <= 300
+""",
+    tags=("window", "topn"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number — the distributed Top-N pattern (one
+    shuffle on the partition key; never a global sort)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 2) & (F.col("o_custkey") <= 300))
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice,
+       RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS price_dense_rank
+FROM part WHERE p_partkey <= 400
+""",
+    tags=("window", "rank"),
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK vs DENSE_RANK with ties (ordering on the low-cardinality
+    p_size makes ties real)."""
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 400)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+        )
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+FROM lineitem WHERE l_orderkey <= 1000
+""",
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT) + whole-
+    partition count."""
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.sum("l_quantity")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("running_qty"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("l_orderkey"))
+            .alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_order,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_order
+FROM orders WHERE o_custkey <= 150
+""",
+    tags=("window", "offset"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD offset functions over event order."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 150)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+        )
+    )
+
+
+@query(
+    "window_ntile_share",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+         / CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER () AS DOUBLE) AS price_share
+FROM orders WHERE o_custkey <= 50
+""",
+    tags=("window", "ntile"),
+)
+def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing + share-of-total via an unpartitioned window (the
+    global SUM() OVER () is exact-decimal, so the double division is
+    reproducible).  Global windows don't scale past one partition — kept
+    on a filtered subset by design; the scalable form is a broadcast
+    scalar subquery."""
+    w_all = W.partitionBy()
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(4)
+            .over(W.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+            .alias("quartile"),
+            (
+                F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+                / F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .over(w_all)
+                .cast("double")
+            ).alias("price_share"),
+        )
+    )

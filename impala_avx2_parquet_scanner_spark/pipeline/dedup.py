@@ -1,0 +1,280 @@
+"""Deduplication operators over `documents` — the training-data pipeline
+surface (north star; beyond the reference slice).
+
+Scale design notes (100 TB):
+* exact dedup — hash-groupBy on a fingerprint, one shuffle, map-side
+  combinable.
+* MinHash-LSH — per-doc signature computation is embarrassingly parallel;
+  the only shuffle is the band-bucket self-join, whose fan-out is bounded
+  by bucket size (skew-guarded via AQE).  Candidate verification re-joins
+  shingle sets only for candidate pairs.
+* All hashes are MD5-derived (deterministic, seedable via prefix), never
+  `hash()`/`xxhash64` — portable across engines, so the DuckDB oracle can
+  replay the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+#: MinHash parameters: K hash functions in B bands of R rows each.
+MINHASH_K = 12
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+SHINGLE_WORDS = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def h64(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of MD5 as a bigint.
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_SQL_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " "))
+
+
+def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>)."""
+    tokens = F.filter(F.split(F.trim(normalize_text(col)), " "), lambda t: t != F.lit(""))
+    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    # guard: sequence(1, n) with n < 1 yields a DESCENDING array, not empty
+    return F.when(
+        F.size(tokens) >= k,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS text_key,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "pipeline"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keep lowest doc_id.
+    One hash-shuffle on a 32-char key, independent of document size."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalize_text(F.col("text"))).alias("text_key"), "doc_id")
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}) min-hash signature columns.
+
+    Implemented as explode → K hash columns → groupBy-min rather than
+    array higher-order functions: min is map-side combinable (partial
+    aggregation collapses each partition to one row per doc before the
+    shuffle), and it sidesteps a Spark bug where many
+    ``array_min(transform(...))`` lambdas in one projection resolve
+    incorrectly."""
+    ex = (
+        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("s"))
+    )
+    hashed = ex.select(
+        "doc_id",
+        *[
+            h64(F.concat(F.lit(f"mh{j}:"), F.col("s"))).alias(f"h{j}")
+            for j in range(MINHASH_K)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(MINHASH_K)]
+    )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) — LSH bucket keys, MINHASH_BANDS rows/doc."""
+    sig = minhash_signatures(table(spark, sf_dir, "documents"))
+    bands = []
+    for b in range(MINHASH_BANDS):
+        lo = b * MINHASH_ROWS
+        key = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"m{lo + r}").cast("string") for r in range(MINHASH_ROWS)]
+            )
+        )
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key")))
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.union(df)
+    return out
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the exact same MinHash-LSH pipeline."""
+    shingle_cte = """
+tokens AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks) - 1, 1))]) AS shs
+  FROM tokens WHERE len(toks) >= 3
+)"""
+    sig_terms = ",\n         ".join(
+        "list_min([{h} for s in shs]) AS m{j}".format(
+            h=_SQL_H64.format(x=f"'mh{j}:' || s"), j=j
+        )
+        for j in range(MINHASH_K)
+    )
+    band_rows = []
+    for b in range(MINHASH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(m{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig")
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH {shingle_cte},
+sig AS (
+  SELECT doc_id,
+         {sig_terms}
+  FROM sh
+),
+bands AS (
+{bands_sql}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.band) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "pipeline"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs: shingle → K min-hashes →
+    band buckets → bucket self-join.  Docs sharing any band's full
+    signature slice become candidates (doc_a < doc_b)."""
+    bands = minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+    )
+
+
+_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks) - 1, 1))]) AS shs
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+    FROM documents WHERE doc_id < 120
+  ) t WHERE len(toks) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shs, b.shs)) AS n_common,
+         len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS n_union
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / n_union AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / n_union >= 0.2
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "pipeline"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on a bounded doc subset (doc_id <
+    120): the verification stage of near-dup detection.  Implemented as
+    shingle-explode → pair-count join (never a full cross join): pairs
+    sharing no shingle are never materialized.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|); the division is int/int → double,
+    identical in both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = (
+        d.select("doc_id", shingles(F.col("text")).alias("shs"))
+        .filter(F.size("shs") >= 1)
+    )
+    sizes = sh.select("doc_id", F.size("shs").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shs").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # bit-vote argmax over 60-bit hashes; not SQL-practical in DuckDB
+    tags=("dedup", "simhash", "pipeline"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per-token 60-bit hash, bitwise
+    majority vote over tokens → one 60-bit fingerprint per doc, plus a
+    16-bit prefix bucket for near-dup blocking.  Pure column expressions
+    (explode + groupBy-sum per bit via aggregate), no Python."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(normalize_text(F.col("text"))), " "),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("tok"),
+    )
+    th = toks.select("doc_id", h64(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), bit) % 2).alias(f"v{bit}") for bit in range(60)
+    ]
+    agg = th.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"), *votes)
+    fingerprint = None
+    for bit in range(60):
+        bit_on = (F.col(f"v{bit}") * 2 > F.col("n_tok")).cast("bigint") * F.lit(2**bit)
+        fingerprint = bit_on if fingerprint is None else fingerprint + bit_on
+    return agg.select(
+        "doc_id",
+        fingerprint.alias("simhash"),
+        F.shiftright(fingerprint, 44).alias("bucket16"),
+    )

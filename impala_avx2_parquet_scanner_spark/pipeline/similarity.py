@@ -1,0 +1,178 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the full corpus, compute dot products with JVM-side
+higher-order functions (zip_with + aggregate — no Python in the loop),
+rank per query.  At 100 TB the corpus side stays partitioned and the query
+side broadcasts; the LSH-bucketed variant (random-hyperplane signs) cuts
+candidates to matching buckets first.
+
+All arithmetic is double-precision with a fixed left-to-right summation
+order, so DuckDB's list_dot_product over DOUBLE[] reproduces the exact
+bits (both engines sum sequentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+TOP_K = 3
+N_QUERIES = 5  # vec_id < N_QUERIES form the query set
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _dbl(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         list_dot_product(q.qemb, e.emb)
+           / (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(e.emb, e.emb))) AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_bruteforce_topk", oracle=_TOPK_ORACLE, tags=("similarity", "pipeline"))
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × full corpus, row_number
+    per query (sim desc, id tiebreak)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine(F.col("qemb"), F.col("emb")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rank")
+    )
+
+
+_PAIRS_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE vec_id < 200),
+n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       a.label AS label_a, b.label AS label_b,
+       list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > 0.88
+"""
+
+
+@query("embedding_near_dup_pairs", oracle=_PAIRS_ORACLE, tags=("similarity", "dedup", "pipeline"))
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold, on a
+    bounded slice (vec_id < 200 → ≤19,900 candid pairs).  The full-corpus
+    form is the LSH-bucketed variant below; this exact form is the
+    verifier that runs on candidate buckets."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", _dbl("embedding").alias("emb"))
+    )
+    n = e.select(
+        "vec_id", "label", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    sim = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > 0.88)
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from a fixed integer mix so Spark and any re-implementation
+    agree without RNG state."""
+    x = (plane * 1_000_003 + dim * 7919 + 12345) % 104729
+    return (x / 104729.0) * 2.0 - 1.0
+
+
+def lsh_signature(emb: Column, n_planes: int = N_PLANES, dims: int = 64) -> Column:
+    """Random-hyperplane sign signature as an int bucket id (0..2^n-1)."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        plane = [_plane_component(p, d) for d in range(dims)]
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return sig
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=None,  # hyperplane constants are generated in Python; rows-only check
+    tags=("similarity", "lsh", "pipeline"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8-bit sign signature per vector +
+    bucket occupancy.  The scale path for ANN: candidates = same-bucket
+    (or Hamming-adjacent) vectors only; the exact top-k verifier above
+    then runs per bucket."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    sig = e.select("vec_id", "label", lsh_signature(F.col("emb")).alias("bucket"))
+    counts = sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sig.join(counts, "bucket").select(
+        "vec_id", "label", "bucket", "bucket_size"
+    )

@@ -1,0 +1,183 @@
+"""Event-time windowing over the `events` table.
+
+The reference has no streaming surface (SURVEY.md §2B 'Not present
+anywhere'), but the north star mandates one.  Every operator here is a
+*batch* DataFrame query using the same event-time primitives Structured
+Streaming executes (`window()`, `session_window()` semantics) so the DuckDB
+oracle can verify it; streaming/stream_demo.py runs the same plans through
+``readStream`` with watermarks (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+_SQL_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@query(
+    "events_tumbling",
+    oracle=f"""
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("events", "window"),
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (epoch-aligned, identical to
+    date_trunc) — the append-mode streaming aggregation run as a batch."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding",
+    oracle=f"""
+SELECT MAKE_TIMESTAMP((CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) - k.k) * 1800 * 1000000) AS window_start,
+       COUNT(*) AS n, {_SQL_SUM_VALUE} AS sum_value
+FROM events, (SELECT UNNEST([0, 1]) AS k) k
+GROUP BY 1
+""",
+    tags=("events", "window"),
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 30 min slide): every event lands in
+    exactly two windows.  Oracle expands the window set arithmetically."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionize", oracle=_SESSION_ORACLE, tags=("events", "session"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the batch
+    gaps-and-islands form of `session_window(ts, '30 minutes')`.
+
+    Scale: one shuffle on user_id; window functions stream within each
+    user partition (no driver-side state)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    return (
+        e.withColumn(
+            "new_session",
+            F.when(gap_us > 1800 * 1000 * 1000, 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_first_per_key",
+    oracle="""
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id, value AS first_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+    tags=("events", "dedup"),
+)
+def events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup per (user, event_type) — the batch
+    form of streaming `dropDuplicates` with a defined winner (row_number,
+    not the nondeterministic first-seen)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+            F.col("value").alias("first_value"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS min_k,
+       MAX(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON field extraction + aggregate
+    (Spark side uses the native JSON path expression)."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )

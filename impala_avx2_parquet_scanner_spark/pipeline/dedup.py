@@ -202,7 +202,7 @@ pairs AS (
 SELECT doc_a, doc_b, n_common,
        CAST(n_common AS DOUBLE) / n_union AS jaccard
 FROM pairs
-WHERE CAST(n_common AS DOUBLE) / n_union >= 0.2
+WHERE CAST(n_common AS DOUBLE) / n_union >= 0.02
 """
 
 
@@ -238,21 +238,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= 0.02)
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle=None,  # bit-vote argmax over 60-bit hashes; not SQL-practical in DuckDB
-    tags=("dedup", "simhash", "pipeline"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per-token 60-bit hash, bitwise
-    majority vote over tokens → one 60-bit fingerprint per doc, plus a
-    16-bit prefix bucket for near-dup blocking.  Pure column expressions
-    (explode + groupBy-sum per bit via aggregate), no Python."""
-    d = table(spark, sf_dir, "documents")
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """SimHash fingerprints for any (doc_id, text) DataFrame: per-token
+    60-bit hash, bitwise majority vote over tokens → one 60-bit
+    fingerprint per doc, plus a 16-bit prefix bucket for near-dup
+    blocking.  Pure column expressions (explode + groupBy-sum per bit),
+    no Python in the hot path."""
     toks = d.select(
         "doc_id",
         F.explode(
@@ -278,3 +273,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint.alias("simhash"),
         F.shiftright(fingerprint, 44).alias("bucket16"),
     )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # bit-vote argmax over 60-bit hashes; not SQL-practical in DuckDB
+    tags=("dedup", "simhash", "pipeline"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints over the documents corpus (see
+    simhash_fingerprints)."""
+    return simhash_fingerprints(table(spark, sf_dir, "documents"))

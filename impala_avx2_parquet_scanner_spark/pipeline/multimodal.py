@@ -1,0 +1,139 @@
+"""Multimodal column conventions: image/audio/video as opaque binary
+columns with typed metadata (north-star training-data pipeline surface).
+
+Design: media payloads ride as `binary` columns next to structured
+metadata (modality, format, dims, duration).  Decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas iterators
+(`mapInPandas`) so a 100 TB corpus streams batch-by-batch through Python
+workers without per-row serde.  The actual codec step is STUBBED (the
+image/audio libraries are not in this container): `decode_stub=True`
+produces deterministic fake features so the Spark-side plumbing — schema,
+batching, partitioning — is real and tested; a production deployment
+swaps `_decode_image_batch` for a Pillow/OpenCV implementation without
+touching the plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical schema for a multimodal asset table.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("media_format", StringType(), True),  # png|wav|mp4|...
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload_bytes", LongType(), True),
+        StructField("payload_sha", StringType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _fake_features(payload: bytes | None) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector: bytes of
+    sha256(payload) scaled to [0, 1).  Replace with a real decoder+model
+    in production; shape and dtype are the contract."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    digest = hashlib.sha256(payload).digest()
+    return [b / 256.0 for b in digest[:FEATURE_DIM]]
+
+
+def _decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB decode: production would decode pdf['payload'] via Pillow and
+    run a feature extractor.  The container lacks image libs, so features
+    are the deterministic fake above (raise NotImplementedError here if a
+    hard failure is preferred over fake features)."""
+    return pd.DataFrame(
+        {
+            "asset_id": pdf["asset_id"],
+            "modality": pdf["modality"],
+            "payload_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+            "payload_sha": pdf["payload"].map(
+                lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
+            ),
+            "features": pdf["payload"].map(_fake_features),
+        }
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    mapInPandas streams one pandas batch per Arrow chunk — constant memory
+    per task regardless of corpus size; partition count controls
+    parallelism (repartition upstream for small-file corpora)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_image_batch(pdf)
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def synthesize_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests (payload = repeated id
+    bytes; no external media libs needed)."""
+    rows = []
+    for i in range(n):
+        payload = bytes([i % 256] * (64 + i))
+        modality = ("image", "audio", "video")[i % 3]
+        rows.append(
+            (
+                i,
+                modality,
+                {"image": "png", "audio": "wav", "video": "mp4"}[modality],
+                payload,
+                64 if modality == "image" else None,
+                48 if modality == "image" else None,
+                1000 * i if modality != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan-shape for video frame sampling: explode timestamps at a fixed
+    stride (decode of each frame is the stubbed step).  Demonstrates the
+    partition-preserving explode pattern: no shuffle, output rows stay on
+    the worker holding the payload."""
+    return (
+        assets.filter(F.col("modality") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))),
+        )
+        .select("asset_id", "media_format", "frame_ts_ms", "payload")
+    )

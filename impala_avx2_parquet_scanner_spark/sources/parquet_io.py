@@ -1,0 +1,71 @@
+"""Parquet source/sink — reference operators #17-19 (SURVEY.md §2A).
+
+The reference's HdfsParquetTableWriter (hdfs-parquet-table-writer.cc:89-1107)
+builds dictionary-encoded pages with PLAIN fallback past 2^16-1 entries,
+snappy by default, and rolls files at HDFS-block-size; its scanner resolves
+file schemas against the table schema with missing-column→NULL semantics
+(hdfs-parquet-scanner.cc:1437-1445).  Spark equivalents, pinned here:
+
+* dictionary encoding + fallback → parquet-mr defaults (`parquet.enable.
+  dictionary=true`, fallback automatic past `parquet.dictionary.page.size`)
+* snappy default compression → `compression=snappy`
+* file rolling → `spark.sql.files.maxRecordsPerFile` / block size
+* schema evolution → `mergeSchema` or explicit `.schema(...)` read
+* partitioned layout (HdfsPartitionDescriptor) → `partitionBy(...)`
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+#: Writer defaults mirroring the reference sink.
+WRITER_OPTIONS = {
+    "compression": "snappy",             # hdfs-parquet-table-writer.cc default codec
+    "parquet.enable.dictionary": "true",  # FLE_DICTIONARY-first behavior
+}
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write with reference-sink semantics (snappy + dictionary, optional
+    partitioned layout and file-size cap).
+
+    `max_records_per_file` is the Spark analog of the reference's
+    HDFS-block-derived file rolling (hdfs-parquet-table-writer.cc:932-978)."""
+    writer = df.write.mode(mode)
+    for key, value in WRITER_OPTIONS.items():
+        writer = writer.option(key, value)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read with engine confs applied.  With an explicit `schema`, files
+    missing a column yield NULLs for it — the reference's schema-evolution
+    contract (missing column → NULL template tuple,
+    hdfs-parquet-scanner.cc:1437-1445); extra file columns are ignored
+    (hdfs-parquet-scanner.h:184-186)."""
+    ensure_runtime_confs(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    paths = [path] if isinstance(path, str) else list(path)
+    return reader.parquet(*paths)

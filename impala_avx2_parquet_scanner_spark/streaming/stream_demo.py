@@ -1,0 +1,82 @@
+"""Structured Streaming execution of the event-time operators.
+
+streaming/events.py defines the windowed aggregations in batch form (so
+the DuckDB oracle can check them); this module runs the same logic through
+``readStream`` with watermarks — the deployment shape for a live event
+feed.  Tests drive it with the parquet file source + memory sink and
+``processAllAvailable()`` for synchronous completion.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+
+def events_stream(spark: SparkSession, sf_dir: str, stream_dir: str | None = None) -> DataFrame:
+    """readStream over the events table.
+
+    FileStreamSource requires a *directory* to watch (new files arriving =
+    new micro-batches), while the fixture is a single file — so the file
+    is staged into `stream_dir` (a temp dir by default).  The raw file
+    carries TIMESTAMP(NANOS), which the streaming reader also refuses;
+    with `nanosAsLong` it reads as int64 and gets the same floor-to-µs
+    normalization as catalog._load_events."""
+    ensure_runtime_confs(spark)
+    if stream_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    batch = table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .format("parquet")
+        .load(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    # sanity: streaming schema must match the batch loader's (modulo ntz)
+    assert [f.name for f in stream.schema.fields] == [f.name for f in batch.schema.fields]
+    return stream
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of the
+    oracle-checked `events_tumbling` query.  The watermark bounds state:
+    windows older than max(event-time) - watermark are finalized and
+    evicted, so state size is O(active windows), not O(stream length)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key dedup within the watermark horizon
+    (`dropDuplicatesWithinWatermark`): the streaming analog of the batch
+    keep-first query `events_first_per_key`."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to a memory sink synchronously; returns
+    the StreamingQuery (caller reads `SELECT * FROM {name}` and stops it)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,157 @@
+"""Training-data pipeline operators: dedup, similarity, multimodal
+plumbing (north-star surface beyond the reference)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import impala_avx2_parquet_scanner_spark as engine
+from impala_avx2_parquet_scanner_spark.pipeline.dedup import (
+    MINHASH_K,
+    h64,
+    minhash_signatures,
+    shingles,
+)
+from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+    synthesize_assets,
+)
+from impala_avx2_parquet_scanner_spark.pipeline.similarity import (
+    N_PLANES,
+    _plane_component,
+    lsh_signature,
+)
+from impala_avx2_parquet_scanner_spark.registry import REGISTRY
+
+engine.load_all()
+
+
+def test_h64_matches_python_md5(spark):
+    df = spark.createDataFrame([("hello world",)], "s string")
+    got = df.select(h64(F.col("s")).alias("h")).collect()[0].h
+    want = int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
+    assert got == want
+
+
+def test_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("one two",), ("one two three",), ("",)], "s string")
+    got = [r.sh for r in df.select(shingles(F.col("s")).alias("sh")).collect()]
+    assert got[0] == []  # < 3 tokens → no shingle (not a descending-sequence artifact)
+    assert got[1] == ["one two three"]
+    assert got[2] == []
+
+
+def test_minhash_signature_is_min_of_member_hashes(spark, sf_dir):
+    from impala_avx2_parquet_scanner_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    sig = minhash_signatures(docs).collect()[0]
+    sh = docs.select(shingles(F.col("text")).alias("sh")).collect()[0].sh
+    for j in range(MINHASH_K):
+        want = min(
+            int(hashlib.md5(f"mh{j}:{s}".encode()).hexdigest()[:15], 16) for s in sh
+        )
+        assert sig[f"m{j}"] == want
+
+
+def test_minhash_detects_near_duplicates(spark):
+    """A doc and its one-word-edit copy must collide in ≥1 band; an
+    unrelated doc must not pair with them."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edit = base.replace("lazy", "sleepy")
+    other = "completely different words about spark parquet scanners and vectors"
+    docs = spark.createDataFrame(
+        [(1, base), (2, edit), (3, other)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs)
+    rows = {r.doc_id: [r[f"m{j}"] for j in range(MINHASH_K)] for r in sigs.collect()}
+    bands = lambda s: [tuple(s[i * 3 : i * 3 + 3]) for i in range(4)]  # noqa: E731
+    assert any(a == b for a, b in zip(bands(rows[1]), bands(rows[2])))
+    assert not any(a == b for a, b in zip(bands(rows[1]), bands(rows[3])))
+
+
+def test_simhash_close_docs_close_fingerprints(spark):
+    """Near-identical docs → small Hamming distance; unrelated docs →
+    large.  Also cross-checks the fingerprint against a Python
+    reimplementation of the bit-vote."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import simhash_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edit = base + " lambda"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, base), (2, edit), (3, other)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+
+    def py_simhash(text: str) -> int:
+        toks = sorted(set(text.split()))
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        out = 0
+        for bit in range(60):
+            votes = sum((h >> bit) & 1 for h in hs)
+            if votes * 2 > len(hs):
+                out += 1 << bit
+        return out
+
+    assert fps[1] == py_simhash(base)
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+    assert ham(fps[1], fps[2]) <= 12
+
+
+def test_lsh_signature_matches_numpy(spark, sf_dir):
+    """The Spark hyperplane signature must equal an independent Python
+    reimplementation (guards against silent lambda-resolution bugs)."""
+    from impala_avx2_parquet_scanner_spark.catalog import table
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    got = {
+        r.vec_id: r.bucket
+        for r in e.select(
+            "vec_id",
+            lsh_signature(F.col("embedding").cast("array<double>")).alias("bucket"),
+        ).collect()
+    }
+    rows = {r.vec_id: r.embedding for r in e.collect()}
+    for vid, emb in rows.items():
+        want = 0
+        for p in range(N_PLANES):
+            proj = 0.0
+            for d, x in enumerate(emb):
+                proj += float(x) * _plane_component(p, d)
+            if proj >= 0:
+                want += 2**p
+        assert got[vid] == want, vid
+
+
+def test_multimodal_feature_extraction(spark):
+    assets = synthesize_assets(spark, n=32)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 32
+    by_id = {r.asset_id: r for r in feats}
+    payload0 = bytes([0] * 64)
+    assert by_id[0].payload_sha == hashlib.sha256(payload0).hexdigest()
+    assert by_id[0].payload_bytes == 64
+    digest = hashlib.sha256(payload0).digest()
+    assert by_id[0].features == pytest.approx([b / 256.0 for b in digest[:FEATURE_DIM]])
+
+
+def test_multimodal_frame_sampling(spark):
+    assets = synthesize_assets(spark, n=12)
+    frames = frame_sample_plan(assets, every_ms=1000)
+    rows = frames.collect()
+    videos = {r.asset_id for r in rows}
+    # every third asset is video; frame count = duration/1000 + 1
+    for r in assets.filter(F.col("modality") == "video").collect():
+        expect = r.duration_ms // 1000 + 1
+        assert sum(1 for x in rows if x.asset_id == r.asset_id) == expect
+    assert videos == {
+        r.asset_id for r in assets.filter(F.col("modality") == "video").collect()
+    }

@@ -1,0 +1,115 @@
+"""Plan-shape assertions — the Spark analog of the reference's claim that
+predicates run on encoded data at the scan (SURVEY.md §2A #5, #4, #3).
+
+These tests pin that:
+* each SimplePredicate-equivalent form reaches the scan as a PushedFilter
+  (the operator set {eq,lt,le,gt,ge,in,and,or} from scalar-fn-call.cc:945-961),
+* projections prune the ReadSchema,
+* count(*) uses metadata-only aggregation,
+* dimension joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.plans import (
+    exchange_count,
+    has_broadcast_join,
+    has_pushed_aggregation,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_range_predicates_pushed(spark, sf_dir):
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 48) & (F.col("l_linenumber") <= 2))
+        .select("l_orderkey")
+    )
+    filters = " ".join(pushed_filters(df))
+    assert "GreaterThan(l_quantity" in filters
+    assert "LessThanOrEqual(l_linenumber" in filters
+
+
+def test_eq_and_in_pushed(spark, sf_dir):
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R") & (F.col("l_linenumber") == 3))
+        .select("l_orderkey")
+    )
+    filters = " ".join(pushed_filters(df))
+    assert "In(l_returnflag" in filters
+    assert "EqualTo(l_linenumber" in filters
+
+
+def test_or_tree_pushed(spark, sf_dir):
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") < 2) | (F.col("l_quantity") > 49))
+        .select("l_orderkey")
+    )
+    filters = " ".join(pushed_filters(df))
+    assert "Or(LessThan(l_quantity" in filters
+
+
+def test_residual_not_pushed_but_companion_is(spark, sf_dir):
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") * (1 - F.col("l_discount")) > 47.5)
+            & (F.col("l_linenumber") >= 5)
+        )
+        .select("l_orderkey")
+    )
+    filters = " ".join(pushed_filters(df))
+    # the arithmetic conjunct cannot push; the simple one must still push
+    # (Spark splits the conjunct list — better than the reference's
+    # all-or-nothing bail, hdfs-parquet-scanner.cc:1825-1834).
+    # IsNotNull(l_discount) IS pushed (null-intolerance of the residual) —
+    # only the comparison itself must stay residual.
+    assert "GreaterThanOrEqual(l_linenumber,5)" in filters
+    assert "47.5" not in filters
+    assert "GreaterThan(l_quantity" not in filters
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_count_star_uses_metadata_aggregation(spark, sf_dir):
+    """Metadata-only count(*) — reference hdfs-parquet-scanner.cc:1377-1396.
+    Parquet aggregate pushdown is a DataSource-V2 feature; the engine's
+    default reads use the (battle-tested) V1 path where count(*) is a
+    zero-column scan, so this asserts the V2 plan explicitly."""
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+        assert has_pushed_aggregation(df)
+        assert df.collect()[0].n == table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    df = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select("l_orderkey", "p_name")
+    assert has_broadcast_join(df)
+    assert exchange_count(df) == 0  # broadcast ⇒ no shuffle of the fact side
+
+
+def test_q6_plan_is_scan_only(spark, sf_dir):
+    """The flagship scan query must be shuffle-free up to the final
+    single-row aggregate exchange."""
+    from impala_avx2_parquet_scanner_spark.operators.tpch import tpch_q6
+
+    df = tpch_q6(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "l_discount" in filters and "l_quantity" in filters
+    assert exchange_count(df) == 0  # global agg uses a single-partition exchange, not hash

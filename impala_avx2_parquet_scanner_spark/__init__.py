@@ -32,14 +32,20 @@ def load_all() -> None:
     """Import every operator module so its queries land in REGISTRY."""
     from impala_avx2_parquet_scanner_spark.operators import (  # noqa: F401
         aggregates,
+        asof,
         joins,
         predicates,
         scan,
         setops,
+        subqueries,
         tpch,
         windows,
     )
-    from impala_avx2_parquet_scanner_spark.functions import scalar, text  # noqa: F401
+    from impala_avx2_parquet_scanner_spark.functions import (  # noqa: F401
+        scalar,
+        text,
+        udfs,
+    )
     from impala_avx2_parquet_scanner_spark.streaming import events  # noqa: F401
     from impala_avx2_parquet_scanner_spark.pipeline import (  # noqa: F401
         dedup,

@@ -160,6 +160,25 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx",
+    oracle=None,  # sketch-based estimates are engine-specific; rows-only check
+    tags=("aggregate", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the sketches that replace exact
+    distinct/quantile at 100 TB: HyperLogLog++ (approx_count_distinct,
+    mergeable across partitions) and GK quantile sketches
+    (percentile_approx).  tests/test_relational.py bounds their error
+    against exact values."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+@query(
     "agg_case_pivot",
     oracle="""
 SELECT l_returnflag,

@@ -1,0 +1,97 @@
+"""As-of (time-travel) join — an operator Spark lacks natively
+(pyspark guide 'Common OLAP patterns'), composed from built-in ops.
+
+Semantics: for each left row, attach the single right row with the same
+key and the greatest right_time <= left_time (classic backward as-of).
+
+Implementation (scale-first): union the two sides tagged by origin, sort
+within each key partition by (time, origin), and carry the most recent
+right row forward with last(..., ignorenulls) over a running window.
+Compared with the per-group `pd.merge_asof` alternative this stays fully
+JVM-side, needs exactly ONE shuffle (by key), and never materializes a
+group in memory — it streams, so a key with 10^9 rows is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Backward as-of join: left columns + the latest right_values at or
+    before each left row's time (NULL when no right row precedes it).
+
+    Tie-breaking: a right row with right_time == left_time qualifies
+    (<=, matching DuckDB's ASOF JOIN ... ON r.t <= l.t)."""
+    lhs = left.withColumn("__origin", F.lit(1)).withColumn("__t", F.col(left_time))
+    rhs_cols = [F.col(key), F.col(right_time).alias("__t"), F.lit(0).alias("__origin")]
+    rhs = right.select(*rhs_cols, *[F.col(c).alias(f"__r_{c}") for c in right_values])
+    # align schemas for the union
+    for c in left.columns:
+        if c not in (key,):
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_values:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    unioned = lhs.select(rhs.columns).unionByName(rhs.select(rhs.columns))
+    # right rows sort before left rows at equal time (__origin 0 < 1), so
+    # an equal-time right row is visible to the left row — the <= contract
+    w = (
+        W.partitionBy(key)
+        .orderBy("__t", "__origin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_values
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_values
+    ]
+    return carried.filter(F.col("__origin") == 1).select(*out_cols)
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.ts AS asof_ts, v.event_id AS asof_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@query("join_asof_events", oracle=_ASOF_ORACLE, tags=("join", "asof"))
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent prior view by the same user —
+    the canonical as-of use (attribution).  DuckDB's native ASOF JOIN is
+    the oracle; the Spark side uses the union+carry-forward composition."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["ts", "event_id"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("asof_ts"), F.col("asof_event_id"),
+    )

@@ -129,6 +129,143 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+_IVF_ORACLE_ASSIGN = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.emb, c.cemb)
+           / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+  FROM e, c
+)
+SELECT vec_id, centroid_id, sim AS centroid_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+      FROM scored) t
+WHERE rn = 1
+"""
+
+
+@query("ann_ivf_assign", oracle=_IVF_ORACLE_ASSIGN, tags=("similarity", "ivf", "pipeline"))
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid.  Centroids here are the first N_CENTROIDS corpus vectors —
+    deterministic (so the oracle can replay it); production would plug in
+    k-means centroids without changing the plan: broadcast centroids ×
+    partitioned corpus, argmax per row, zero shuffles."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "centroid_id",
+        cosine(F.col("emb"), F.col("cemb")).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, emb, centroid_id) — the partitioned IVF index.
+    At scale this is written out partitioned/bucketed BY centroid_id so a
+    probe touches only matching buckets."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    assign = ann_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    return e.join(assign, "vec_id")
+
+
+_IVF_ORACLE_TOPK = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.emb, c.cemb)
+               / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+             c.centroid_id) AS rn
+    FROM e, c) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id, probe_rank FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.emb, c.cemb)
+               / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+             c.centroid_id) AS probe_rank
+    FROM e, c WHERE e.vec_id < {N_QUERIES}) t WHERE probe_rank <= {N_PROBE}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_dot_product(q.emb, n.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(n.emb, n.emb))) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
+           list_dot_product(q.emb, n.emb)
+             / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(n.emb, n.emb))) DESC,
+           cd.neighbor_id) AS rank
+  FROM cands cd JOIN e q ON q.vec_id = cd.query_id
+                JOIN e n ON n.vec_id = cd.neighbor_id
+) t WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE_TOPK, tags=("similarity", "ivf", "pipeline"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: for each query, rank only vectors in its N_PROBE
+    nearest centroid buckets — the scale path that replaces the full
+    cross join (candidates ≈ corpus × nprobe/ncentroids)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    index = ivf_index(spark, sf_dir)
+    queries_df = e.filter(F.col("vec_id") < N_QUERIES)
+    q_scored = queries_df.crossJoin(F.broadcast(c)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        "centroid_id",
+        cosine(F.col("emb"), F.col("cemb")).alias("sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), "centroid_id")
+    probes = (
+        q_scored.withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "qemb", "centroid_id")
+    )
+    cands = probes.join(index, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qemb"), F.col("emb")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 N_PLANES = 8
 
 

@@ -49,6 +49,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for any pandas-UDF path (pipeline operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dynamic perf knob: the 200-partition default over-parallelizes the
+    # fixture scales (and stateful streaming, where AQE can't coalesce).
+    # On a real cluster the deploy env overrides this to ~2-3× cores.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -167,6 +167,61 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_regex",
+    oracle=r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CASE WHEN regexp_matches(p_name, '^(cold|hot)') THEN 1 ELSE 0 END AS temp_prefixed,
+       CAST(LEN(regexp_extract_all(p_type, '[A-Z]')) AS INTEGER) AS n_upper
+FROM part WHERE p_partkey <= 300
+""",
+    tags=("function", "regex"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: extract / replace-all / match-test / count.
+    (Both engines use RE2-compatible syntax for this subset.)"""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.when(F.col("p_name").rlike("^(cold|hot)"), 1).otherwise(0).alias(
+                "temp_prefixed"
+            ),
+            F.regexp_count("p_type", F.lit("[A-Z]")).cast("int").alias("n_upper"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS line_numbers,
+       CAST(LEN(list(l_linenumber)) AS BIGINT) AS n_lines
+FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey
+""",
+    tags=("aggregate", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect + deterministic sort (collect_list order
+    is partition-dependent, so the sort is what makes the result
+    reproducible at any parallelism)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 300)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
     "fn_cast",
     oracle="""
 SELECT o_orderkey,

@@ -132,6 +132,61 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_value_functions",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+QUALIFY o_custkey <= 100
+""",
+    tags=("window", "value"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE (full frame) / NTH_VALUE."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("first_order", F.first("o_orderkey").over(w))
+        .withColumn("last_order", F.last("o_orderkey").over(w_full))
+        .withColumn("second_order", F.nth_value("o_orderkey", 2).over(w))
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey", "o_orderkey", "first_order", "last_order", "second_order"
+        )
+    )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+SELECT user_id, ts, event_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+FROM events QUALIFY user_id <= 20
+""",
+    tags=("window", "range"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame: sliding count of each user's events in the
+    trailing hour — the event-time analog of a RANGE window (computed on
+    epoch seconds; Spark's RANGE frames are numeric)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    # integer µs ordering: exact boundary arithmetic, matching DuckDB's
+    # µs-precision interval frame bit-for-bit
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(micros).rangeBetween(-3600 * 1_000_000, 0)
+    return e.select(
+        "user_id", "ts", "event_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@query(
     "window_ntile_share",
     oracle="""
 SELECT o_orderkey, o_totalprice,

@@ -78,6 +78,26 @@ def limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _full_scan(name: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return table(spark, sf_dir, name)
+
+    fn.__name__ = f"scan_full_{name}"
+    fn.__doc__ = (
+        f"Whole-table scan of `{name}`: pins byte-exact decode of every "
+        "column/type in the fixture (the broadest correctness net — any "
+        "reader/encoding drift shows up as a hash mismatch)."
+    )
+    return fn
+
+
+# dimension tables are small enough to hash whole at the t2 scale
+for _t in ("region", "nation", "supplier", "customer", "part", "documents"):
+    query(f"scan_full_{_t}", oracle=f"SELECT * FROM {_t}", tags=("scan", "full"))(
+        _full_scan(_t)
+    )
+
+
 @query(
     "scan_min_max",
     oracle="""

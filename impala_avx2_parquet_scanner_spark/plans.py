@@ -73,5 +73,8 @@ def has_pushed_aggregation(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (scale smell test)."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", formatted_plan(df)))
+    """Number of shuffle exchanges in the physical plan (scale smell test).
+    Formatted plans list each operator as `(N) Exchange` in the details
+    section; BroadcastExchange prints as its own operator name and is
+    deliberately NOT counted (broadcasts are the cheap alternative)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))

@@ -112,4 +112,6 @@ def test_q6_plan_is_scan_only(spark, sf_dir):
     df = tpch_q6(spark, sf_dir)
     filters = " ".join(pushed_filters(df))
     assert "l_shipdate" in filters and "l_discount" in filters and "l_quantity" in filters
-    assert exchange_count(df) == 0  # global agg uses a single-partition exchange, not hash
+    # exactly ONE exchange: the single-partition gather of per-partition
+    # partial aggregates (one row each) — no hash shuffle of data rows
+    assert exchange_count(df) == 1

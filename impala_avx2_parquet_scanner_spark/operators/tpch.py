@@ -286,6 +286,79 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4", oracle=_Q4_ORACLE, tags=("tpch", "semi"), bench=True)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: l_commitdate/receiptdate
+    absent — the late-ship EXISTS uses shipdate > orderdate): correlated
+    EXISTS over a date window → semi join."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       c_acctbal, n_name, c_mktsegment
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("tpch_q10", oracle=_Q10_ORACLE, tags=("tpch", "join", "topn"), bench=True)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: 4-way join + aggregate + top-20
+    (returnflag filter pushed to the lineitem scan)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(sum_dbl(disc_price(), "revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment"
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 def _selectivity_query(threshold: int):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         l = table(spark, sf_dir, "lineitem")

@@ -163,6 +163,38 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rolling_hash",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(c) AS BIGINT) for c in string_split(substr(text, 1, 64), '')]),
+         (a, b) -> (a * 31 + b) % 2147483647
+       ) AS rhash64
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the first 64 chars
+    (base 31, mod 2^31-1, seed 7) — pure integer arithmetic, so Spark's
+    `aggregate` and DuckDB's `list_reduce` agree exactly.  The streaming
+    form of content hashing when MD5 of the whole document is too heavy."""
+    chars = F.filter(
+        F.split(F.substring(F.col("text"), 1, 64), ""), lambda c: c != F.lit("")
+    )
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    rhash = F.aggregate(
+        codes,
+        F.lit(7).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", rhash.alias("rhash64")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
 SELECT doc_id,

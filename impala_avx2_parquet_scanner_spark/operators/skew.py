@@ -1,0 +1,64 @@
+"""Skew-mitigation utilities: salting for hot keys (pyspark guide
+'Partitioning & shuffle'; complements AQE's skewJoin for cases AQE can't
+split, e.g. a single hot group in an aggregation).
+
+Pattern: two-phase aggregate — spread each key over N salt buckets,
+partially aggregate (key, salt), then finish on key.  Works for any
+commutative-associative aggregate; the exact-decimal discipline keeps
+results bit-identical to the unsalted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a uniform salt column (monotonic id % n — deterministic given a
+    fixed partitioning; for pure reproducibility salt on a hash of the
+    full row key instead)."""
+    return df.withColumn(salt_col, (F.monotonically_increasing_id() % n_salts))
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    alias: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof sum: (key, salt) partial → key final.
+
+    At 100 TB a hot key (e.g. one user with 1% of all events) makes one
+    reducer the straggler; salting caps any reducer's share at
+    ~hot_share/n_salts."""
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias("__part"))
+    return partial.groupBy(key).agg(F.sum("__part").alias(alias))
+
+
+def salted_count(df: DataFrame, key: str, alias: str, n_salts: int = 16) -> DataFrame:
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__part"))
+    return partial.groupBy(key).agg(F.sum("__part").cast("bigint").alias(alias))
+
+
+def replicate_broadcast_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Salted join for a skewed fact side against a small dimension:
+    replicate the small side n_salts× with an explicit salt, salt the fact
+    side, equi-join on (key, salt).  Each hot key's rows spread over
+    n_salts reducers.  (With a truly small dimension prefer broadcast();
+    this is the pattern when the 'small' side is too big to broadcast but
+    the fact side is skewed.)"""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    small_rep = small.select("*", salts)
+    fact = skewed.withColumn(
+        "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    return fact.join(small_rep, [key, "__salt"]).drop("__salt")

@@ -163,6 +163,38 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_vocab",
+    oracle="""
+SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
+  FROM documents
+) t
+GROUP BY token
+""",
+    tags=("text", "pipeline"),
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term + document frequency (the word-count
+    shape: explode → two-level aggregate; map-side combine keeps the
+    shuffle at one row per (partition, token))."""
+    t = F.col("text")
+    tokens = F.filter(
+        F.split(F.lower(F.regexp_replace(t, r"[^A-Za-z0-9]+", " ")), " "),
+        lambda x: x != F.lit(""),
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@query(
     "text_rolling_hash",
     oracle="""
 SELECT doc_id,

@@ -59,3 +59,45 @@ def test_streaming_dedup_bounds_output(spark, sf_dir):
 
 def test_stream_is_actually_streaming(spark, sf_dir):
     assert events_stream(spark, sf_dir).isStreaming
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: in append mode, an event arriving after the
+    watermark passed its window is DROPPED (the reference has no
+    streaming; this pins Spark's event-time contract for the engine)."""
+    import pandas as pd
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+
+    # batch 1: events at 00:05 and 10:00 → watermark advances to 09:00
+    write_batch([(base + pd.Timedelta(minutes=5), "click", 1.0),
+                 (base + pd.Timedelta(hours=10), "click", 1.0)])
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(str(d))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the (already finalized) 00:00 window
+        write_batch([(base + pd.Timedelta(minutes=10), "click", 1.0)])
+        q.processAllAvailable()
+        rows = {(r.ws, r.n) for r in spark.sql("SELECT * FROM late_out").collect()}
+        # the 00:00 window was emitted with n=1 when the watermark passed it;
+        # the late event must NOT produce a second/updated row
+        counts = [n for ws, n in rows if ws.hour == 0]
+        assert counts == [1]
+    finally:
+        q.stop()

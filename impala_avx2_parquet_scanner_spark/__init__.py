@@ -39,6 +39,7 @@ def load_all() -> None:
         setops,
         subqueries,
         tpch,
+        tpch_extra,
         windows,
     )
     from impala_avx2_parquet_scanner_spark.functions import (  # noqa: F401

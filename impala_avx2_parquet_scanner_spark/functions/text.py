@@ -246,3 +246,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         F.substring(F.md5(t), 1, 8).alias("raw_hash8"),
     )
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to the alternation subset
+#: that Java regex (Spark) and RE2 (DuckDB) interpret identically:
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+    tags=("text", "pipeline"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the GPT-2 split
+    pattern's engine-portable subset) next to the plain whitespace count —
+    the cost-estimation primitive for training-data budgeting.  Pure
+    regexp_count, JVM-side, zero shuffles."""
+    t = F.col("text")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(t, F.lit(BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
+        token_count(t).alias("n_ws_tokens"),
+    )

@@ -115,3 +115,19 @@ def test_q6_plan_is_scan_only(spark, sf_dir):
     # exactly ONE exchange: the single-partition gather of per-partition
     # partial aggregates (one row each) — no hash shuffle of data rows
     assert exchange_count(df) == 1
+
+
+def test_q19_disjunction_pushes_to_both_join_sides(spark, sf_dir):
+    """The OR-of-conjunct-groups in tpch_q19 spans both join sides;
+    Catalyst's CNF extraction derives per-side implied filters and pushes
+    them to BOTH parquet scans — beyond the reference's all-or-nothing
+    extractor (hdfs-parquet-scanner.cc:1825-1834)."""
+    from impala_avx2_parquet_scanner_spark.operators.tpch_extra import tpch_q19
+
+    filters = " ".join(pushed_filters(tpch_q19(spark, sf_dir)))
+    # lineitem side: quantity range disjunction reached the scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in filters
+    assert "LessThanOrEqual(l_quantity,30.0)" in filters
+    # part side: brand/size disjunction reached the scan
+    assert "EqualTo(p_brand,Brand#12)" in filters
+    assert "LessThanOrEqual(p_size,15)" in filters

@@ -48,6 +48,7 @@ def load_all() -> None:
         text,
         udfs,
     )
+    from impala_avx2_parquet_scanner_spark import sql  # noqa: F401
     from impala_avx2_parquet_scanner_spark.streaming import events  # noqa: F401
     from impala_avx2_parquet_scanner_spark.pipeline import (  # noqa: F401
         cluster,

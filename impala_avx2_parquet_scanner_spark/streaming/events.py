@@ -181,3 +181,50 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).alias("max_k"),
         )
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(*) AS n_views,
+       MAX(v.ts) AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY p.event_id, p.user_id
+""",
+    tags=("events", "join", "interval"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: for each purchase, the views by the same
+    user in the preceding hour — the batch twin of the stream-stream
+    interval join in stream_demo.attribution_join_stream.
+
+    Scale shape: equi-join on user_id (one shuffle) with the time bound as
+    a residual; the interval bound is what lets the STREAMING version
+    evict state, and in batch it keeps the join output linear in the
+    match count rather than |views|×|purchases| per user."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.max("v_ts").alias("last_view_ts"),
+        )
+    )

@@ -80,3 +80,30 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def attribution_join_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user views in
+    the preceding hour — the streaming twin of the oracle-checked
+    `events_attribution` batch query.
+
+    Both sides carry a watermark and the join condition bounds v_ts
+    relative to p_ts, so the state store can evict views older than
+    watermark + 1 hour — state stays O(recent events) on an unbounded
+    stream."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    return p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )

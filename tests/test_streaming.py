@@ -101,3 +101,30 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert counts == [1]
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The stream-stream interval join emits exactly the pairs the batch
+    interval join produces (inner join, both sides watermarked)."""
+    from impala_avx2_parquet_scanner_spark.streaming.stream_demo import (
+        attribution_join_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    joined = attribution_join_stream(stream)
+    q = run_to_memory(joined, "attr_out")
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT purchase_id, v_ts, COUNT(*) AS n FROM attr_out GROUP BY 1, 2"
+        ).collect()
+    finally:
+        q.stop()
+    # batch twin: re-derive raw pairs from the oracle-checked query's inputs
+    e = engine.REGISTRY["events_attribution"].fn(spark, sf_dir)
+    batch_pairs = {(r.purchase_id, r.n_views) for r in e.collect()}
+    stream_counts = {}
+    for r in got:
+        assert r.n == 1  # no duplicate emissions
+        stream_counts[r.purchase_id] = stream_counts.get(r.purchase_id, 0) + 1
+    assert {(k, v) for k, v in stream_counts.items()} == batch_pairs

@@ -137,3 +137,62 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", "media_format", "frame_ts_ms", "payload")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """STUB image resize over mapInPandas (production: Pillow/OpenCV
+    decode → resample → re-encode).  The fake keeps the contract real:
+    output payload is a deterministic function of the input payload and
+    the target dims (here: sha256-keyed truncation to width*height bytes),
+    and the declared dims are rewritten.  Plan shape is identical to a
+    real resize: narrow (no shuffle), Arrow-batched, constant memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            def fake_resize(p: bytes | None) -> bytes | None:
+                if p is None:
+                    return None
+                seed = hashlib.sha256(p).digest()
+                reps = target // len(seed) + 1
+                return (seed * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_format": pdf["media_format"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(fake_resize),
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id", "media_format", "payload"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def audio_window_plan(assets: DataFrame, window_ms: int = 500) -> DataFrame:
+    """Plan-shape for audio windowing (the audio twin of
+    frame_sample_plan): explode fixed-stride windows over the declared
+    duration; per-window decode/feature-extract is the stubbed step.
+    Partition-preserving — rows stay with the payload's worker."""
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .withColumn(
+            "window_start_ms",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(window_ms))),
+        )
+        .select("asset_id", "media_format", "window_start_ms", "payload")
+    )

@@ -155,3 +155,32 @@ def test_multimodal_frame_sampling(spark):
     assert videos == {
         r.asset_id for r in assets.filter(F.col("modality") == "video").collect()
     }
+
+
+def test_multimodal_resize_stub(spark):
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import resize_images
+
+    assets = synthesize_assets(spark, n=12)
+    out = resize_images(assets, width=8, height=4).collect()
+    images = assets.filter(F.col("modality") == "image").collect()
+    assert len(out) == len(images)
+    for r in out:
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.payload) == 8 * 4
+    # deterministic: same payload in → same resized bytes out
+    src = {r.asset_id: r.payload for r in images}
+    for r in out:
+        seed = hashlib.sha256(bytes(src[r.asset_id])).digest()
+        assert bytes(r.payload) == (seed * (32 // len(seed) + 1))[:32]
+
+
+def test_multimodal_audio_windows(spark):
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import audio_window_plan
+
+    assets = synthesize_assets(spark, n=12)
+    rows = audio_window_plan(assets, window_ms=500).collect()
+    audios = assets.filter(F.col("modality") == "audio").collect()
+    assert {r.asset_id for r in rows} == {r.asset_id for r in audios}
+    for a in audios:
+        expect = a.duration_ms // 500 + 1
+        assert sum(1 for x in rows if x.asset_id == a.asset_id) == expect

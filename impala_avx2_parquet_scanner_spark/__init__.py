@@ -52,6 +52,7 @@ def load_all() -> None:
     from impala_avx2_parquet_scanner_spark.streaming import events  # noqa: F401
     from impala_avx2_parquet_scanner_spark.pipeline import (  # noqa: F401
         cluster,
+        curate,
         dedup,
         similarity,
     )

@@ -201,3 +201,35 @@ def agg_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_dbl(F.when(F.col("l_linestatus") == "F", qty).otherwise(zero), "qty_filled"),
         )
     )
+
+
+@query(
+    "agg_percentile_stringagg",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("aggregate", "percentile"),
+)
+def agg_percentile_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + ordered distinct string aggregation.
+
+    Both engines use linear interpolation for continuous quantiles, and
+    the ordered-collect makes the string agg deterministic at any
+    parallelism (collect_set order is not, so sort before joining).
+
+    Scale note: exact percentile requires a full sort of each group's
+    values — at 100 TB prefer `approx_percentile` (t-digest, map-side
+    combinable; see `agg_approx`) unless exactness is contractual."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+    )

@@ -55,7 +55,7 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
-@query("tpch_q7", oracle=_Q7_ORACLE, tags=("tpch", "join"))
+@query("tpch_q7", oracle=_Q7_ORACLE, tags=("tpch", "join"), bench=True)
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume shipping: nation-pair trade volume per year.
 
@@ -116,7 +116,7 @@ GROUP BY o_year
 """
 
 
-@query("tpch_q8", oracle=_Q8_ORACLE, tags=("tpch", "join"))
+@query("tpch_q8", oracle=_Q8_ORACLE, tags=("tpch", "join"), bench=True)
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 market share of NATION_5 suppliers in EUROPE orders.
 
@@ -168,7 +168,7 @@ WHERE p_brand = 'Brand#23' AND p_size < 10
 """
 
 
-@query("tpch_q17", oracle=_Q17_ORACLE, tags=("tpch", "join", "subquery"))
+@query("tpch_q17", oracle=_Q17_ORACLE, tags=("tpch", "join", "subquery"), bench=True)
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 small-quantity-order revenue (container → p_size adapt).
 
@@ -210,7 +210,7 @@ LIMIT 100
 """
 
 
-@query("tpch_q18", oracle=_Q18_ORACLE, tags=("tpch", "join", "topn"))
+@query("tpch_q18", oracle=_Q18_ORACLE, tags=("tpch", "join", "topn"), bench=True)
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customers (threshold 250 fits fixture scale).
 
@@ -244,7 +244,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 """
 
 
-@query("tpch_q19", oracle=_Q19_ORACLE, tags=("tpch", "join", "pushdown"))
+@query("tpch_q19", oracle=_Q19_ORACLE, tags=("tpch", "join", "pushdown"), bench=True)
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 disjunctive revenue (container/shipmode → p_size adapt).
 
@@ -287,7 +287,7 @@ GROUP BY c_nationkey
 """
 
 
-@query("tpch_q22", oracle=_Q22_ORACLE, tags=("tpch", "anti", "subquery"))
+@query("tpch_q22", oracle=_Q22_ORACLE, tags=("tpch", "anti", "subquery"), bench=True)
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 global sales opportunity, adapted: c_nationkey plays the
     phone country code (fixture has no c_phone) and "never ordered"

@@ -233,3 +233,62 @@ def agg_percentile_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.75).alias("q75"),
         F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
     )
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag, n,
+       sx / n AS mean_qty,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+       (sxy - sx * sy / n)
+         / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+) m
+"""
+
+
+@query("agg_stats_exact", oracle=_STATS_ORACLE, tags=("aggregate", "statistics"))
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / stddev / correlation from exact-decimal moment
+    sums (n, Σx, Σy, Σx², Σy², Σxy), with all floating math deferred to
+    one final double expression per statistic.
+
+    Native stddev/corr aggregates accumulate doubles in scan order and so
+    differ bit-wise between engines and between cluster sizes; moment
+    sums in exact DECIMAL are associative — the same deterministic-
+    parallelism discipline as exprs.py, extended to second moments."""
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - F.lit(1))).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("std_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )

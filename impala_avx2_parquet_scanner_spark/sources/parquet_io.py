@@ -69,3 +69,34 @@ def read_parquet(
         reader = reader.option("mergeSchema", "true")
     paths = [path] if isinstance(path, str) else list(path)
     return reader.parquet(*paths)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Write with rows sorted (range-partitioned + sorted within files) on
+    `sort_cols` — the Spark-native analog of the reference's
+    order-preserving dictionary (dict-encoding.h:393-406): the reference
+    sorts dictionary codes so RANGE predicates evaluate on encoded data;
+    here the global sort tightens parquet row-group/page min-max
+    statistics so the same range predicates skip whole row groups at scan
+    time.  At 100 TB this is the difference between a range scan reading
+    every file and reading only the matching key range."""
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        # without an explicit count AQE may coalesce small shuffles to one
+        # file; at real scale that's the right default
+        else df.repartitionByRange(*sort_cols)
+    )
+    writer = parted.sortWithinPartitions(*sort_cols).write.mode(mode)
+    for key, value in WRITER_OPTIONS.items():
+        writer = writer.option(key, value)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

@@ -127,3 +127,41 @@ def test_csv_crlf_line_endings(spark, tmp_path):
     p.write_bytes(b"1,a\r\n2,b\r\n")
     back = read_delimited(spark, str(p), schema="id int, s string")
     assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_sorted_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """write_sorted_parquet is the order-preserving-dictionary analog
+    (dict-encoding.h:393-406): sorted files carry narrow per-file min/max
+    ranges on the sort key, so range predicates prune at scan time."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        write_sorted_parquet,
+    )
+
+    src = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    out = tmp_path / "li_sorted"
+    write_sorted_parquet(src, str(out), sort_cols=("l_quantity",), num_files=8)
+
+    spans = []
+    for f in Path(out).glob("*.parquet"):
+        meta = pq.ParquetFile(str(f)).metadata
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(1)
+            assert col.path_in_schema == "l_quantity"
+            st = col.statistics
+            spans.append((st.min, st.max))
+    assert len(spans) >= 2  # range partitioning produced multiple chunks
+    # sorted layout: row-group ranges are narrow and mostly disjoint —
+    # total overlapped span far below num_groups * full domain
+    full_min = min(s[0] for s in spans)
+    full_max = max(s[1] for s in spans)
+    covered = sum(hi - lo for lo, hi in spans)
+    assert covered < 0.6 * len(spans) * (full_max - full_min)
+    # and the data round-trips
+    back = spark.read.parquet(str(out))
+    assert back.count() == src.count()
+    # a selective range predicate still answers correctly on sorted files
+    want = src.filter(F.col("l_quantity") <= 3).count()
+    assert back.filter(F.col("l_quantity") <= 3).count() == want

@@ -10,6 +10,7 @@ predicate has no analog):
 - Q8  market share: conditional aggregation over an 8-way join
 - Q17 small-quantity revenue: per-key average joined back to the fact
 - Q18 large-volume customers: having-filtered semi-reduction then re-join
+- Q15 top supplier: derived revenue view + scalar-max self-comparison
 - Q19 disjunctive multi-column predicate (OR of conjunct groups)
 - Q22 anti-join + scalar subquery (adapted: "no recent orders" replaces
   the missing c_phone country-code machinery)
@@ -265,6 +266,58 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(sum_dbl(disc_price(), "revenue"))
+    )
+
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({SQL_DISC_PRICE}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, s_acctbal,
+       CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q15", oracle=_Q15_ORACLE, tags=("tpch", "join", "subquery"), bench=True)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue view, pick the max.
+
+    The revenue "view" reduces lineitem to one row per supplier before
+    anything else touches it, so the expensive side of the plan is a
+    single map-side-combinable aggregation over the date-pruned scan.
+    The scalar max and the supplier dimension are both broadcast — the
+    max-revenue comparison runs on the exact DECIMAL sum (not double),
+    so ties and equality are deterministic at any parallelism.
+    Reference parity: derived-table + scalar subquery shapes route
+    through the expression framework (expr.h:118-383)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).alias("total_rev")
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
     )
 
 

@@ -54,5 +54,6 @@ def load_all() -> None:
         cluster,
         curate,
         dedup,
+        sampling,
         similarity,
     )

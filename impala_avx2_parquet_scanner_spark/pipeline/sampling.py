@@ -1,0 +1,137 @@
+"""Training-mix sampling, context-window packing, and deterministic
+corpus shuffling — the last-mile operators between a curated corpus and
+an actual training run.
+
+All three are pure DataFrame→DataFrame plans built on the engine's
+portable hash (`dedup.h64`, MD5-derived so the DuckDB oracle replays it
+exactly; seeded by a per-operator string prefix, never `rand()`, so every
+result is reproducible on any cluster size and any retry — the property a
+100 TB pipeline needs when a stage is re-executed after executor loss).
+
+Scale notes:
+- `sample_stratified` is a scan-side filter (no shuffle at all): the
+  keep/drop decision is a column expression on (doc_id, lang), so it
+  fuses into the parquet scan stage and the downstream pipeline only ever
+  sees the sampled subset.
+- `pack_token_budget` shuffles once on `source` (the packing stream key);
+  the running sum is a partitioned window, never a global one. Bin
+  boundaries depend only on (source, doc_id) order, so packing is stable
+  under re-partitioning.
+- `shuffle_deterministic` derives a hash bucket (1024-way) and ranks
+  inside each bucket — a partitioned window, NOT a global row_number
+  (which would funnel 100 TB through one task). (bucket, pos) is a total
+  order usable as a training read order.
+
+Reference parity: sampling/packing are beyond the reference slice
+(north-star pipeline surface); the hash discipline mirrors the
+reference's deterministic CRC/Murmur usage (hash-util.h:44-65).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.functions.text import token_count
+from impala_avx2_parquet_scanner_spark.pipeline.dedup import _SQL_H64, h64
+from impala_avx2_parquet_scanner_spark.registry import query
+
+_SAMPLE_KEY = _SQL_H64.format(x="'samp:' || CAST(doc_id AS VARCHAR)")
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({_SAMPLE_KEY} % 100) < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+"""
+
+
+@query("sample_stratified", oracle=_STRATIFIED_ORACLE, tags=("pipeline", "sampling"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum rate sampling (training-mix control).
+
+    English is downsampled to 10%, every other language kept at 50% —
+    the standard move when rebalancing a web corpus.  The keep decision
+    is `hash(doc_id) % 100 < rate(lang)`: a pure column expression, so
+    Catalyst fuses it into the scan stage (zero shuffle) and the sample
+    is identical across retries, partitionings, and engines."""
+    d = table(spark, sf_dir, "documents")
+    key = h64(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    return d.filter((key % 100) < rate).select("doc_id", "lang")
+
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / 2048.0) AS BIGINT) AS chunk_id
+  FROM toks
+)
+SELECT source, chunk_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, chunk_id
+"""
+
+
+@query("pack_token_budget", oracle=_PACK_ORACLE, tags=("pipeline", "sampling", "window"))
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token context-window chunks per source.
+
+    A document lands in the chunk its *starting* token offset falls in
+    (running-sum window ÷ budget) — the streaming-cumsum approximation of
+    greedy bin packing: chunks can overflow by at most one document,
+    which is the standard scalable formulation (exact greedy packing is
+    inherently sequential).  One shuffle on `source`; the window and the
+    final per-chunk rollup reuse the same partitioning."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "chunk_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)),
+    )
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SHUF_KEY = _SQL_H64.format(x="'shuf:' || CAST(doc_id AS VARCHAR)")
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id, bucket,
+       ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY skey, doc_id) AS pos
+FROM (
+  SELECT doc_id, {_SHUF_KEY} AS skey, ({_SHUF_KEY} % 1024) AS bucket
+  FROM documents
+)
+"""
+
+
+@query("shuffle_deterministic", oracle=_SHUFFLE_ORACLE, tags=("pipeline", "sampling"))
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: 1024 hash buckets + in-bucket rank.
+
+    (bucket, pos) is a reproducible pseudo-random total read order for
+    training.  The rank is a window PARTITIONED by bucket — each bucket
+    sorts independently (≈ corpus/1024 rows per task), unlike a global
+    row_number which would serialize the entire corpus through one
+    partition.  Seeded by the 'shuf:' prefix; swap the prefix to get an
+    independent epoch permutation."""
+    d = table(spark, sf_dir, "documents")
+    key = h64(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", key.alias("skey"), (key % 1024).alias("bucket"))
+    pos = F.row_number().over(W.partitionBy("bucket").orderBy("skey", "doc_id"))
+    return keyed.select("doc_id", "bucket", pos.alias("pos"))

@@ -275,3 +275,61 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
         token_count(t).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df,
+       (CAST(tf AS DOUBLE) * n_docs) / df AS score
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) <= 3
+""",
+    tags=("text", "pipeline", "window"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (raw inverse
+    frequency, no log — `tf * N / df` stays bit-identical across engines,
+    where ln() would drift in the last ulp).
+
+    The canonical keyword-extraction shape at corpus scale: explode →
+    per-(doc,token) TF → per-token DF → rescore → windowed top-k.  Both
+    aggregations are map-side combinable; the corpus size N is one
+    broadcast row; the top-k window partitions by doc_id so no task ever
+    sees more than one document's vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    tokens = F.filter(
+        F.split(F.lower(F.regexp_replace(t, r"[^A-Za-z0-9]+", " ")), " "),
+        lambda x: x != F.lit(""),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf").cast("double") * F.col("n_docs")) / F.col("df"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+    )

@@ -184,3 +184,62 @@ def test_multimodal_audio_windows(spark):
     for a in audios:
         expect = a.duration_ms // 500 + 1
         assert sum(1 for x in rows if x.asset_id == a.asset_id) == expect
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from impala_avx2_parquet_scanner_spark.pipeline.sampling import sample_stratified
+
+    a = {r.doc_id for r in sample_stratified(spark, sf_dir).collect()}
+    b = {r.doc_id for r in sample_stratified(spark, sf_dir).collect()}
+    assert a == b  # deterministic across runs (hash, not rand())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_other = docs.filter(F.col("lang") != "en").count()
+    got_en = sample_stratified(spark, sf_dir).filter(F.col("lang") == "en").count()
+    got_other = sample_stratified(spark, sf_dir).filter(F.col("lang") != "en").count()
+    # Hash-rate sampling concentrates around the target rate.
+    assert 0.02 <= got_en / n_en <= 0.25
+    assert 0.30 <= got_other / n_other <= 0.70
+
+
+def test_pack_token_budget_overflow_bound(spark, sf_dir):
+    from impala_avx2_parquet_scanner_spark.pipeline.sampling import pack_token_budget
+
+    rows = pack_token_budget(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs  # partition of the corpus
+    # Chunking invariant: a chunk only overflows by its last document,
+    # so every chunk with >1 doc started below the budget.
+    for r in rows:
+        if r.n_docs > 1:
+            assert r.chunk_tokens - _last_doc_tokens(spark, sf_dir, r) < 2048
+
+
+def _last_doc_tokens(spark, sf_dir, row):
+    from impala_avx2_parquet_scanner_spark.functions.text import token_count
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == row.last_doc)
+        .select(token_count(F.col("text")).alias("n"))
+        .collect()[0]
+        .n
+    )
+
+
+def test_shuffle_deterministic_is_permutation(spark, sf_dir):
+    from impala_avx2_parquet_scanner_spark.pipeline.sampling import (
+        shuffle_deterministic,
+    )
+
+    rows = shuffle_deterministic(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    # (bucket, pos) is a valid total order: positions are 1..k per bucket.
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

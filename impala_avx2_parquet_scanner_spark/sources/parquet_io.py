@@ -100,3 +100,29 @@ def write_sorted_parquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: tuple[str, ...]
+) -> None:
+    """Idempotent partitioned backfill: replace ONLY the partitions present
+    in `df`, leaving every other partition untouched (dynamic partition
+    overwrite).
+
+    This is the operational primitive a 100 TB partitioned layout needs:
+    re-running a day's pipeline rewrites that day's directory atomically
+    per-partition instead of truncating the whole table (static overwrite)
+    or duplicating rows (append).  The reference's per-partition file
+    management (HdfsPartitionDescriptor, descriptors.h:178-262) implies
+    the same partition-directory granularity."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        write_parquet(df, path, mode="overwrite", partition_by=partition_by)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -165,3 +165,28 @@ def test_sorted_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     # a selective range predicate still answers correctly on sorted files
     want = src.filter(F.col("l_quantity") <= 3).count()
     assert back.filter(F.col("l_quantity") <= 3).count() == want
+
+
+def test_dynamic_partition_overwrite_backfills_one_partition(spark, tmp_path):
+    """overwrite_partitions replaces only the partitions in the incoming
+    frame — the idempotent-backfill contract."""
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0)],
+        "id int, day string, v double",
+    )
+    write_parquet(base, path, partition_by=("day",))
+    fix = spark.createDataFrame([(9, "d1", 99.0)], "id int, day string, v double")
+    overwrite_partitions(fix, path, partition_by=("day",))
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(9, "d1", 99.0), (3, "d2", 30.0)}
+    # conf restored (engine default is static unless caller set otherwise)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").lower()
+        != "dynamic"
+    )

@@ -228,3 +228,121 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v_ts").alias("last_view_ts"),
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: first qualifying timestamp per
+    step, each step strictly after the previous one (NULL = dropped off).
+
+    Every stage is a keyed aggregation or join on user_id, so all three
+    steps share one hash partitioning — at 100 TB the plan is a chain of
+    co-partitioned shuffles, never a broadcast of per-user state (users
+    scale with the data) and never a window over the full event stream."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+  FROM events
+), ret AS (
+  SELECT cohort,
+         CAST(DATE_DIFF('day', cohort, wk) / 7.0 AS BIGINT) AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN first_seen USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM first_seen GROUP BY cohort
+)
+SELECT cohort, week_offset, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / cohort_size AS retention
+FROM ret JOIN sizes USING (cohort)
+"""
+
+
+@query("events_cohort_retention", oracle=_COHORT_ORACLE, tags=("events", "cohort"))
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    tracked by distinct activity in each later week.
+
+    The distinct-(user, week) projection collapses the event stream to at
+    most |users|×|weeks| rows BEFORE any join, and the cohort-size side
+    is weeks-cardinality (broadcast).  Week arithmetic is day-difference
+    ÷ 7 on truncated timestamps — exact integers, so Spark and the oracle
+    agree without float comparisons."""
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    ret = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / F.lit(7.0))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        ret.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )

@@ -292,3 +292,32 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias("corr_qty_price"),
     )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(l_extendedprice / 6000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@query("agg_histogram", oracle=_HISTOGRAM_ORACLE, tags=("aggregate", "histogram"))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (6000-wide price buckets) — the profiling
+    primitive behind optimizer statistics and data-quality dashboards.
+    Bucketing is a pure column expression (FLOOR of a division — identical
+    in both engines, unlike width_bucket whose edge semantics vary), so
+    the whole histogram is one map-side-combinable keyed aggregation:
+    at 100 TB the shuffle carries one row per (partition, bucket)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(
+            F.floor(F.col("l_extendedprice") / F.lit(6000.0)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_dbl(dec_price("l_extendedprice"), "sum_price"),
+        )
+    )

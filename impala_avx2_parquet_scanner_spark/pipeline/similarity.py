@@ -313,3 +313,43 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.join(counts, "bucket").select(
         "vec_id", "label", "bucket", "bucket_size"
     )
+
+
+_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+  FROM embeddings
+)
+SELECT label, pos, COUNT(*) AS n,
+       (CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000.0 AS centroid
+FROM ex GROUP BY label, pos
+"""
+
+
+@query("embedding_centroids", oracle=_CENTROID_ORACLE, tags=("similarity", "pipeline"))
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the class-centroid / cluster-center
+    primitive), in long format (label, pos, centroid component).
+
+    Doubles summed in parallel are order-dependent, so the components are
+    quantized to 1e-6 fixed-point BIGINTs first — integer sums are exactly
+    associative, making the centroid bit-identical at any parallelism
+    (the same discipline exprs.py applies to money columns).  posexplode
+    → groupBy(label, pos) is one keyed shuffle of |vectors|×dim quantized
+    ints; no driver-side state."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", _dbl("embedding").alias("emb")
+    )
+    ex = e.select("label", F.posexplode("emb").alias("pos0", "x"))
+    q = ex.select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x") * F.lit(1000000.0)).alias("xq"),
+    )
+    return q.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.sum("xq").cast("double") / F.count(F.lit(1))) / F.lit(1000000.0)).alias(
+            "centroid"
+        ),
+    )

@@ -17,6 +17,7 @@ file schemas against the table schema with missing-column→NULL semantics
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
@@ -126,3 +127,76 @@ def overwrite_partitions(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def _quantize(c, mn, mx, bits: int):
+    """Min-max normalize a column into [0, 2^bits) as BIGINT."""
+    span = F.greatest(mx.cast("double") - mn.cast("double"), F.lit(1e-300))
+    norm = (c.cast("double") - mn.cast("double")) / span
+    top = (1 << bits) - 1
+    return F.least(F.floor(norm * F.lit(float(top))).cast("bigint"), F.lit(top))
+
+
+def zorder_value(
+    col_a, col_b, min_a, max_a, min_b, max_b, bits: int = 16
+):
+    """Morton (Z-order) key: bit-interleave two quantized columns.
+
+    Sorting by this key gives BOTH columns spatial locality (~sqrt of the
+    per-file span a single-column sort would give each), so parquet
+    min/max row-group statistics prune range predicates on either
+    dimension — the two-dimensional generalization of the reference's
+    order-preserving dictionary trick (dict-encoding.h:393-406)."""
+    qa = _quantize(col_a, min_a, max_a, bits)
+    qb = _quantize(col_b, min_b, max_b, bits)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftright(qa, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(qb, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Write range-partitioned + sorted on the Z-order key of two columns.
+
+    Column min/max come from one cheap aggregate (broadcast as a single
+    row — no driver round-trip in the plan), the Z key is pure JVM-side
+    bit arithmetic, and the layout shuffle is `repartitionByRange` on the
+    key — exactly one extra exchange over a plain write, independent of
+    data size."""
+    stats = df.agg(
+        F.min(col_a).alias("_mna"),
+        F.max(col_a).alias("_mxa"),
+        F.min(col_b).alias("_mnb"),
+        F.max(col_b).alias("_mxb"),
+    )
+    z = zorder_value(
+        F.col(col_a), F.col(col_b),
+        F.col("_mna"), F.col("_mxa"), F.col("_mnb"), F.col("_mxb"),
+        bits=bits,
+    )
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn("_z", z)
+    parted = (
+        keyed.repartitionByRange(num_files, "_z")
+        if num_files
+        else keyed.repartitionByRange("_z")
+    )
+    writer = (
+        parted.sortWithinPartitions("_z")
+        .drop("_z", "_mna", "_mxa", "_mnb", "_mxb")
+        .write.mode(mode)
+    )
+    for key, value in WRITER_OPTIONS.items():
+        writer = writer.option(key, value)
+    writer.parquet(path)

@@ -190,3 +190,46 @@ def test_dynamic_partition_overwrite_backfills_one_partition(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").lower()
         != "dynamic"
     )
+
+
+def test_zorder_write_gives_both_columns_locality(spark, sf_dir, tmp_path):
+    """Z-order layout: per-row-group min/max spans shrink on BOTH
+    interleaved dimensions (a single-column sort only narrows one)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        write_zordered_parquet,
+    )
+
+    src = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = tmp_path / "li_z"
+    write_zordered_parquet(src, str(out), "l_orderkey", "l_partkey", num_files=16)
+
+    domains: dict[str, tuple[int, int]] = {}
+    for r in src.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect():
+        domains["l_orderkey"] = (r[0], r[1])
+        domains["l_partkey"] = (r[2], r[3])
+
+    spans: dict[str, list[float]] = {"l_orderkey": [], "l_partkey": []}
+    for f in Path(out).glob("*.parquet"):
+        meta = pq.ParquetFile(str(f)).metadata
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.row_group(rg).num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                lo, hi = domains[name]
+                spans[name].append((st.max - st.min) / max(hi - lo, 1))
+    assert len(spans["l_orderkey"]) >= 4
+    for name, ratios in spans.items():
+        avg = sum(ratios) / len(ratios)
+        # 16 z-tiles ≈ 4×4 grid → expected span ≈ 1/4 per dimension;
+        # a one-column sort leaves the other dimension at ≈ 1.0.
+        assert avg < 0.6, f"{name} avg row-group span ratio {avg:.2f}"
+    # round-trip: layout rewrite preserves content exactly
+    got = spark.read.parquet(str(out)).count()
+    assert got == src.count()

@@ -107,3 +107,16 @@ def attribution_join_stream(events: DataFrame, watermark: str = "2 hours") -> Da
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("v_ts") <= F.col("p_ts")),
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each micro-batch left-joins a broadcast
+    dimension snapshot (no watermark needed — the static side is not
+    stateful; Spark re-plans the broadcast per batch, picking up dimension
+    updates between batches).
+
+    The third streaming join shape next to stream-stream
+    (attribution_join_stream) and stateful sessions (streaming/stateful.py):
+    at 100 TB/day of events the dimension stays executor-resident and the
+    stream never shuffles."""
+    return events.join(F.broadcast(dim), "user_id", "left")

@@ -128,3 +128,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         assert r.n == 1  # no duplicate emissions
         stream_counts[r.purchase_id] = stream_counts.get(r.purchase_id, 0) + 1
     assert {(k, v) for k, v in stream_counts.items()} == batch_pairs
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join: streaming result == batch twin
+    (row count and join hit-rate)."""
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.streaming.stream_demo import (
+        enrich_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = events_stream(spark, sf_dir)
+    q = run_to_memory(
+        enrich_stream(ev, dim).select("event_id", "user_id", "c_mktsegment"),
+        "enriched_mem",
+    )
+    try:
+        got = spark.sql(
+            "SELECT COUNT(*) AS n, COUNT(c_mktsegment) AS hits FROM enriched_mem"
+        ).collect()[0]
+    finally:
+        q.stop()
+    batch = table(spark, sf_dir, "events").join(dim, "user_id", "left")
+    assert got.n == batch.count()
+    assert got.hits == batch.filter(F.col("c_mktsegment").isNotNull()).count()
+    assert got.hits > 0

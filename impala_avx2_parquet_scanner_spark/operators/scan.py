@@ -116,3 +116,46 @@ def scan_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+_PROFILE_COLS = ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(MIN({c}) AS DOUBLE) AS min_v,
+       CAST(MAX({c}) AS DOUBLE) AS max_v,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS ndv
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("scan_profile", oracle=_PROFILE_ORACLE, tags=("scan", "statistics"))
+def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (min/max/null-count/NDV per column) —
+    the statistics-collection pass a catalog runs to feed the CBO, and
+    the first query of any data-quality audit.
+
+    One aggregate per column unioned together rather than one wide
+    aggregate with N COUNT(DISTINCT)s: each branch's parquet scan reads
+    exactly one column (pruned ReadSchema) and avoids Spark's expand-by-N
+    plan for multi-distinct — at 100 TB the branches run as independent
+    column-pruned scans, each a map-side-combinable aggregation.
+    min/max are picked values (not accumulated sums), so doubles are
+    hash-exact."""
+    l = table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            l.select(c).agg(
+                F.min(c).cast("double").alias("min_v"),
+                F.max(c).cast("double").alias("max_v"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.countDistinct(c).alias("ndv"),
+            ).select(F.lit(c).alias("column_name"), "min_v", "max_v", "n_null", "ndv")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -254,3 +254,36 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
         )
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey,
+       l_orderkey & l_partkey AS b_and,
+       l_orderkey | l_partkey AS b_or,
+       xor(l_orderkey, l_partkey) AS b_xor,
+       l_partkey << 3 AS b_shl,
+       l_orderkey >> 2 AS b_shr,
+       CAST(bit_count(l_orderkey) AS INT) AS b_popcount
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+    tags=("scalar", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family — the query-visible face of the reference's
+    bit manipulation layer (bit-util.h:28-232: popcount, shifts, masks
+    backing the FLE bit-plane kernels).  All JVM-side integer ops inside
+    whole-stage codegen; DuckDB's BIGINT semantics match exactly."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    k, p = F.col("l_orderkey"), F.col("l_partkey")
+    return l.select(
+        "l_orderkey",
+        k.bitwiseAND(p).alias("b_and"),
+        k.bitwiseOR(p).alias("b_or"),
+        k.bitwiseXOR(p).alias("b_xor"),
+        F.shiftleft(p, 3).alias("b_shl"),
+        F.shiftright(k, 2).alias("b_shr"),
+        F.bit_count(k).alias("b_popcount"),
+    )

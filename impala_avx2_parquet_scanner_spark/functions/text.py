@@ -301,10 +301,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     where ln() would drift in the last ulp).
 
     The canonical keyword-extraction shape at corpus scale: explode →
-    per-(doc,token) TF → per-token DF → rescore → windowed top-k.  Both
-    aggregations are map-side combinable; the corpus size N is one
+    per-(doc,token) TF → per-token DF → rescore → windowed top-k.  The
+    document frequency is a COUNT window over the TF frame partitioned by
+    token (not a self-join — one exchange fewer, and no re-shuffle of the
+    TF rows back to token partitioning twice); the corpus size N is one
     broadcast row; the top-k window partitions by doc_id so no task ever
     sees more than one document's vocabulary."""
+    from pyspark.sql import Window as W
+
     docs = table(spark, sf_dir, "documents")
     t = F.col("text")
     tokens = F.filter(
@@ -316,15 +320,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .withColumn("score", (F.col("tf").cast("double") * F.col("n_docs")) / F.col("df"))
     )
-    from pyspark.sql import Window as W
-
     rk = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.desc("score"), "token")
     )

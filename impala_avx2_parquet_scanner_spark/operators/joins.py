@@ -187,3 +187,29 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(buckets),
         (p.p_retailprice >= buckets.lo) & (p.p_retailprice < buckets.hi),
     ).select("p_partkey", "p_name", "bucket")
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+SELECT o_orderkey, o_orderdate, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 450000
+""",
+    tags=("join", "strategy"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-key equi-join with an explicit SHUFFLE_HASH strategy hint —
+    the physical plan a 100 TB fact⋈fact join should take when neither
+    side broadcasts and sort order isn't needed downstream (hash build
+    beats sort-merge's two full sorts; Impala's hash join is the
+    reference's surrounding operator surface, SURVEY §2B).
+
+    Results are strategy-independent — the oracle and the broadcast/SMJ
+    variants all hash-match; only the physical operator differs
+    (asserted in tests/test_pushdown_plans.py)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    c = table(spark, sf_dir, "customer")
+    return o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "c_name", "o_totalprice"
+    )

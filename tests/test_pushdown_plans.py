@@ -131,3 +131,15 @@ def test_q19_disjunction_pushes_to_both_join_sides(spark, sf_dir):
     # part side: brand/size disjunction reached the scan
     assert "EqualTo(p_brand,Brand#12)" in filters
     assert "LessThanOrEqual(p_size,15)" in filters
+
+
+def test_shuffle_hash_hint_selects_shuffled_hash_join(spark, sf_dir):
+    """The SHUFFLE_HASH hint must materialize as ShuffledHashJoin (not
+    broadcast, not sort-merge) — physical-strategy control for fact⋈fact
+    joins at scale."""
+    from impala_avx2_parquet_scanner_spark.operators.joins import join_shuffle_hash
+    from impala_avx2_parquet_scanner_spark.plans import formatted_plan
+
+    plan = formatted_plan(join_shuffle_hash(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -233,3 +233,24 @@ def test_zorder_write_gives_both_columns_locality(spark, sf_dir, tmp_path):
     # round-trip: layout rewrite preserves content exactly
     got = spark.read.parquet(str(out)).count()
     assert got == src.count()
+
+
+def test_csv_permissive_mode_recovers_malformed_rows(spark, tmp_path):
+    """PERMISSIVE parse with a corrupt-record column — the scan-level
+    analog of the reference parser's split/escape recovery
+    (delimited-text-parser.cc:193-294): bad rows are quarantined, good
+    rows parse, nothing aborts the scan."""
+    p = tmp_path / "messy.csv"
+    p.write_text("1|alpha|10.5\n2|beta\nnot_a_number|gamma|3.0\n4|delta|8.25\n")
+    df = (
+        spark.read.option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("id int, name string, v double, _bad string")
+        .csv(str(p))
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].v == 10.5 and rows[1]._bad is None
+    assert rows[4].v == 8.25 and rows[4]._bad is None
+    bad = [r for r in df.collect() if r._bad is not None]
+    assert len(bad) == 2  # short row and bad-typed row both quarantined

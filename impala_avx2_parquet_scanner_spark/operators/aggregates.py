@@ -321,3 +321,54 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_dbl(dec_price("l_extendedprice"), "sum_price"),
         )
     )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH bs AS (
+  SELECT [quantile_cont(l_extendedprice, 0.1), quantile_cont(l_extendedprice, 0.2),
+          quantile_cont(l_extendedprice, 0.3), quantile_cont(l_extendedprice, 0.4),
+          quantile_cont(l_extendedprice, 0.5), quantile_cont(l_extendedprice, 0.6),
+          quantile_cont(l_extendedprice, 0.7), quantile_cont(l_extendedprice, 0.8),
+          quantile_cont(l_extendedprice, 0.9)] AS b
+  FROM lineitem
+)
+SELECT CAST(LEN(list_filter(b, x -> l_extendedprice > x)) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi
+FROM lineitem CROSS JOIN bs
+GROUP BY 1
+"""
+
+
+@query("agg_histogram_equidepth", oracle=_EQUIDEPTH_ORACLE, tags=("aggregate", "histogram"))
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram: exact interpolated percentile
+    boundaries, then each row counts the boundaries strictly below it —
+    the histogram shape CBOs actually store (equal mass per bucket
+    resolves skew that equal-width buckets hide).
+
+    Two passes over one column: the boundary aggregate collapses to a
+    single broadcast row (9 doubles), and bucket assignment is a pure
+    column expression folded over that array — no per-row join, no
+    global sort.  At 100 TB swap the exact percentile for
+    percentile_approx and keep the identical downstream plan."""
+    l = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    bounds = l.agg(
+        F.percentile(price, [i / 10.0 for i in range(1, 10)]).alias("b")
+    )
+    bucket = F.aggregate(
+        F.col("b"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.when(price > x, 1).otherwise(0).cast("bigint"),
+    )
+    return (
+        l.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(price).alias("lo"),
+            F.max(price).alias("hi"),
+        )
+    )

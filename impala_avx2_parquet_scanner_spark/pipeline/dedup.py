@@ -284,3 +284,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints over the documents corpus (see
     simhash_fingerprints)."""
     return simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+_FUZZY_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), 1, 40) AS k,
+         substr(text, 1, 80) AS p
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 20
+"""
+
+
+@query("dedup_fuzzy_verify", oracle=_FUZZY_ORACLE, tags=("dedup", "pipeline"))
+def dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-duplicate candidates: bucket by
+    normalized 40-char prefix (the blocking key), then confirm with
+    Levenshtein ≤ 20 on the raw 80-char prefixes.
+
+    The block-then-verify shape every fuzzy-dedup pipeline uses: the
+    O(n²) distance computation only runs inside buckets (the equi-join
+    is a plain hash join on the blocking key), and prefixes bound the
+    per-pair cost to O(80²) regardless of document size.  Tighter blocks
+    (longer prefix, or MinHash bands — dedup_minhash_lsh) trade recall
+    for candidate count as the corpus grows."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, 40).alias("k"),
+        F.substring(F.col("text"), 1, 80).alias("p"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("k").alias("k_a"), F.col("p").alias("p_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("k").alias("k_b"), F.col("p").alias("p_b"))
+    return (
+        a.join(b, (F.col("k_a") == F.col("k_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("p_a", "p_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )

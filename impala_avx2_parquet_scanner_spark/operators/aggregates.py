@@ -372,3 +372,47 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(price).alias("hi"),
         )
     )
+
+
+_PARTIAL_MERGE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_partials,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM daily
+GROUP BY event_type
+"""
+
+
+@query("agg_partial_merge", oracle=_PARTIAL_MERGE_ORACLE, tags=("aggregate", "incremental"))
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation of per-day partial aggregates into totals — the
+    incremental-view-maintenance pattern: a day's backfill
+    (overwrite_partitions) only recomputes that day's partial, and the
+    rollup merges partials instead of rescanning history.
+
+    Works because every aggregate here is decomposable (COUNT→SUM,
+    exact-DECIMAL SUM→SUM), the same property Spark's own partial/final
+    aggregation exploits — so the merged totals are bit-identical to a
+    direct aggregation over raw events, which is exactly what the DuckDB
+    oracle computes structurally here."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_partials"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )

@@ -38,6 +38,7 @@ def load_all() -> None:
         scan,
         setops,
         subqueries,
+        timeseries,
         tpch,
         tpch_extra,
         windows,

@@ -416,3 +416,55 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_partials"),
         F.sum("v").cast("double").alias("sum_value"),
     )
+
+
+_KMV_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+      AS h
+  FROM orders
+),
+topk AS (SELECT h FROM h ORDER BY h LIMIT 64)
+SELECT COUNT(*) AS k_used,
+       MAX(h) AS kth_hash,
+       CAST(ROUND(((COUNT(*) - 1) * 1152921504606846976.0) / MAX(h), 0)
+            AS BIGINT) AS est_distinct
+FROM topk
+"""
+
+
+@query("agg_kmv_distinct", oracle=_KMV_ORACLE, tags=("aggregate", "sketch"))
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: keep the k=64 smallest
+    values of a uniform 60-bit hash of the key; estimate NDV as
+    (k-1) / (kth_min / 2^60).  Unlike `agg_approx`'s HLL (engine-specific
+    registers), KMV is fully deterministic given the hash, so the DuckDB
+    oracle replays the whole sketch including the estimate.
+
+    At scale this is the mergeable-sketch pattern: the k smallest hashes
+    of a union are a subset of the per-partition k smallest, so
+    `orderBy(h).limit(k)` compiles to per-partition top-k + a k-row merge
+    (TakeOrderedAndProject) — no full shuffle of the distinct hashes.
+    Hashing reprises the reference's dict/bitmap-probe hashing role
+    (hash-util.h:44-65) with an engine-portable MD5-derived h64."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import h64
+
+    o = table(spark, sf_dir, "orders").select(
+        h64(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    topk = o.orderBy("h").limit(64)
+    return topk.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        F.round(
+            ((F.col("k_used") - 1) * F.lit(1152921504606846976.0))
+            / F.col("kth_hash"),
+            0,
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

@@ -1,0 +1,191 @@
+"""Time-series / warehouse-maintenance operators over the `events` table.
+
+The reference slice has no time-series surface (its analytics stop at the
+scan — SURVEY.md §2B "Not present anywhere"), but a hypertable-style rollup
+path is part of the north-star surface.  Everything here is built from
+spine generation (`sequence` + `explode`), event-time windows, and
+carry-forward `last(ignorenulls)` — all JVM-side Catalyst expressions, no
+Python UDFs.
+
+Scale notes (100 TB): the day spine is tiny (one row per day × event_type)
+and is broadcast; the heavy side (`events`) is aggregated down to
+per-(type, day) partials map-side before any shuffle.  The window
+partitions are keyed by `event_type`/`user_id`, so carry-forward state
+never concentrates on one executor.  `events_growth_accounting` windows
+over days (bounded cardinality: one row per calendar day), so its single
+ordered partition is a few-KB driver-sized frame, not a data-sized one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.registry import query
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS dval
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT CAST(UNNEST(generate_series(
+        (SELECT MIN(CAST(ts AS DATE)) FROM events),
+        (SELECT MAX(CAST(ts AS DATE)) FROM events),
+        INTERVAL 1 DAY)) AS DATE) AS day
+  ) d
+)
+SELECT s.event_type, s.day,
+       CAST(COALESCE(dv.dval, 0) AS DOUBLE) AS sum_value,
+       CAST(LAST_VALUE(dv.dval IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS carry_value
+FROM spine s LEFT JOIN daily dv
+  ON s.event_type = dv.event_type AND s.day = dv.day
+"""
+
+
+@query("events_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("events", "timeseries"))
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: generate the full day spine
+    between the observed min/max day, left-join the per-day aggregates,
+    fill gaps with 0, and carry the last observed value forward
+    (``last(..., ignorenulls=True)`` over an unbounded-preceding frame).
+
+    The spine is `sequence(min_day, max_day)` exploded — computed from one
+    scalar aggregate row, so it never touches the fact-table partitioning —
+    and broadcast into the join against the (already tiny) daily rollup."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("dval"))
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(days))
+    filled = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("dval"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.last("dval", ignorenulls=True).over(w).cast("double").alias("carry_value"),
+    )
+
+
+_GROWTH_ORACLE = """
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+first_seen AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS active_users FROM e GROUP BY day),
+news AS (SELECT first_day AS day, COUNT(*) AS new_users
+         FROM first_seen GROUP BY first_day)
+SELECT d.day, d.active_users,
+       COALESCE(n.new_users, 0) AS new_users,
+       d.active_users - COALESCE(n.new_users, 0) AS returning_users,
+       SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM dau d LEFT JOIN news n ON d.day = n.day
+"""
+
+
+@query(
+    "events_growth_accounting",
+    oracle=_GROWTH_ORACLE,
+    tags=("events", "timeseries"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users, first-seen (new) users,
+    returning users, and the cumulative distinct-user count.
+
+    The cumulative distinct count is NOT a running COUNT(DISTINCT) — it is
+    a running SUM over per-day first-seen counts, which decomposes into
+    map-side partials and shuffles only day-cardinality rows.  The final
+    ordered window runs over one row per calendar day (bounded, KB-sized),
+    which is the one place a single-partition window is the *right* plan."""
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    dau = e.groupBy("day").agg(F.countDistinct("user_id").alias("active_users"))
+    news = (
+        first_seen.groupBy(F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    joined = dau.join(news, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type AS attr, ts, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, attr, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS version,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
+@query("scd2_build", oracle=_SCD2_ORACLE, tags=("events", "timeseries", "scd"))
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event stream:
+    collapse consecutive duplicate attribute values per user (change
+    detection via ``lag``), then assign ``valid_from``/``valid_to``
+    intervals and a version number via ``lead``/``row_number``.
+
+    Two window passes over the same (user_id → ts, event_id) ordering, so
+    Catalyst reuses one shuffle + sort for both; ``event_id`` breaks ties
+    deterministically.  Per-user state only — no global ordering — so the
+    plan scales with the user-key partitioning."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("attr"), "ts", "event_id")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

@@ -275,14 +275,48 @@ def simhash_fingerprints(d: DataFrame) -> DataFrame:
     )
 
 
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split(trim(lower(regexp_replace(
+               text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b.bit, SUM((h >> b.bit) % 2) AS v, COUNT(*) AS n_tok
+  FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v * 2 > n_tok
+                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash, simhash >> 44 AS bucket16 FROM fp
+"""
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # bit-vote argmax over 60-bit hashes; not SQL-practical in DuckDB
+    oracle=_SIMHASH_ORACLE,
     tags=("dedup", "simhash", "pipeline"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints over the documents corpus (see
-    simhash_fingerprints)."""
+    simhash_fingerprints).  The oracle replays the full bitwise majority
+    vote in SQL: per-token h64 hashes cross-joined with a 0..59 bit
+    series, votes summed per (doc, bit), then the fingerprint rebuilt as
+    a sum of set-bit powers — so the 60-bit fingerprints (not just row
+    counts) are verified."""
     return simhash_fingerprints(table(spark, sf_dir, "documents"))
 
 

@@ -278,7 +278,12 @@ def _plane_component(plane: int, dim: int) -> float:
 
 
 def lsh_signature(emb: Column, n_planes: int = N_PLANES, dims: int = 64) -> Column:
-    """Random-hyperplane sign signature as an int bucket id (0..2^n-1)."""
+    """Random-hyperplane sign signature as an int bucket id (0..2^n-1).
+
+    Each per-dimension product is quantized to a 1e-9 fixed-point BIGINT
+    before summing, so the projection is an exact integer sum — the sign
+    (hence the bucket) is bit-identical at any parallelism or fold order,
+    and an oracle can replay it term-for-term."""
     sig = F.lit(0)
     for p in range(n_planes):
         plane = [_plane_component(p, d) for d in range(dims)]
@@ -286,25 +291,58 @@ def lsh_signature(emb: Column, n_planes: int = N_PLANES, dims: int = 64) -> Colu
             F.zip_with(
                 emb,
                 F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x * y,
+                lambda x, y: F.floor(x * y * F.lit(1000000000.0)),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return sig
 
 
+_LSH_ORACLE = """
+WITH planes AS (SELECT UNNEST(generate_series(0, 7)) AS p),
+ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, label, p,
+         SUM(CAST(FLOOR(x * (((p * 1000003 + d * 7919 + 12345) % 104729)
+                             / 104729.0 * 2.0 - 1.0)
+                        * 1000000000.0) AS BIGINT)) AS pq
+  FROM ex CROSS JOIN planes
+  GROUP BY vec_id, label, p
+),
+sig AS (
+  SELECT vec_id, label,
+         CAST(SUM(CASE WHEN pq >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, label
+)
+SELECT s.vec_id, s.label, s.bucket, c.bucket_size
+FROM sig s
+JOIN (SELECT bucket, COUNT(*) AS bucket_size FROM sig GROUP BY bucket) c
+  USING (bucket)
+"""
+
+
 @query(
     "ann_lsh_buckets",
-    oracle=None,  # hyperplane constants are generated in Python; rows-only check
+    oracle=_LSH_ORACLE,
     tags=("similarity", "lsh", "pipeline"),
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 8-bit sign signature per vector +
     bucket occupancy.  The scale path for ANN: candidates = same-bucket
     (or Hamming-adjacent) vectors only; the exact top-k verifier above
-    then runs per bucket."""
+    then runs per bucket.
+
+    The hyperplane components are a deterministic integer mix (no RNG
+    state) and the projection is a fixed-point integer sum, so the DuckDB
+    oracle replays the entire signature computation term-for-term — full
+    value verification, not just row counts."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("emb")
     )

@@ -4,6 +4,7 @@ plumbing (north-star surface beyond the reference)."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 
@@ -123,9 +124,9 @@ def test_lsh_signature_matches_numpy(spark, sf_dir):
     for vid, emb in rows.items():
         want = 0
         for p in range(N_PLANES):
-            proj = 0.0
+            proj = 0  # exact integer sum of 1e-9 fixed-point terms
             for d, x in enumerate(emb):
-                proj += float(x) * _plane_component(p, d)
+                proj += math.floor(float(x) * _plane_component(p, d) * 1e9)
             if proj >= 0:
                 want += 2**p
         assert got[vid] == want, vid

@@ -334,3 +334,162 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", "score")
     )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(regexp_replace(
+             text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(1, len(toks), {CHUNK_STRIDE})) AS st
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       (st - 1) // {CHUNK_STRIDE} + 1 AS chunk_id,
+       len(list_slice(toks, st, st + {CHUNK_TOKENS} - 1)) AS n_tokens,
+       array_to_string(list_slice(toks, st, st + {CHUNK_TOKENS} - 1), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+@query("text_chunk_overlap", oracle=_CHUNK_ORACLE, tags=("text", "pipeline"))
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens (10-token
+    overlap) — the context-window chunking step of a training/RAG
+    pipeline, as pure column expressions.
+
+    The chunk starts come from `sequence(1, n_tokens, stride)` exploded
+    per document, so chunking is embarrassingly parallel over the scan
+    partitioning: no shuffle, no Python, and a document's chunks never
+    leave its partition.  Cf. `pack_token_budget` for the inverse
+    (packing many short docs into one window)."""
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " "))),
+            " ",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    d = d.filter(F.size("toks") > 0)
+    ex = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))).alias("st"),
+    )
+    chunk = F.slice("toks", F.col("st"), F.lit(CHUNK_TOKENS))
+    return ex.select(
+        "doc_id",
+        (((F.col("st") - 1) / F.lit(CHUNK_STRIDE)).cast("bigint") + 1).alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+_BIGRAM_TOP = 50
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(regexp_replace(
+             text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT UNNEST(toks) AS w FROM t
+),
+uni_counts AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+bi AS (
+  SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+bi_counts AS (SELECT bg, COUNT(*) AS n_ab FROM bi GROUP BY bg),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+         (SELECT COUNT(*) FROM bi) AS n_bi
+),
+scored AS (
+  SELECT b.bg AS bigram, b.n_ab, a.c AS n_a, c2.c AS n_b,
+         CAST(b.n_ab * tot.n_uni * tot.n_uni AS DOUBLE)
+           / CAST(a.c * c2.c * tot.n_bi AS DOUBLE) AS lift
+  FROM bi_counts b
+  JOIN uni_counts a ON a.w = string_split(b.bg, ' ')[1]
+  JOIN uni_counts c2 ON c2.w = string_split(b.bg, ' ')[2]
+  CROSS JOIN tot
+)
+SELECT bigram, n_ab, n_a, n_b, lift
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_ab DESC, bigram) AS rk
+      FROM scored)
+WHERE rk <= {_BIGRAM_TOP}
+"""
+
+
+@query("text_bigram_pmi", oracle=_BIGRAM_ORACLE, tags=("text", "pipeline"))
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BIGRAM_TOP} bigram collocations with a PMI-style lift score
+    (p(ab) / p(a)p(b)) — the n-gram statistics step of a language-model
+    data pipeline.
+
+    The score is a single division of exact integer products
+    (c_ab·N_uni² / c_a·c_b·N_bi), so it hash-matches across engines —
+    no logs of partial floating sums.  Unigram counts are broadcast into
+    the bigram join; the only wide shuffles are the two word-key counts,
+    both map-side combined.  At 100 TB the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " "))),
+            " ",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    d = table(spark, sf_dir, "documents").select(toks.alias("toks"))
+    uni = d.select(F.explode("toks").alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = d.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("bg")
+    )
+    bi_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("n_ab"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    scored = (
+        bi_counts.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(uni_counts.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c", "n_a")), "w1")
+        .join(F.broadcast(uni_counts.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c", "n_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bg").alias("bigram"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                / (F.col("n_a") * F.col("n_b") * F.col("n_bi")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("n_ab"), "bigram").limit(_BIGRAM_TOP)

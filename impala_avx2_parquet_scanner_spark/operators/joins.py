@@ -213,3 +213,41 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_orderdate", "c_name", "o_totalprice"
     )
+
+
+_NULL_SAFE_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS n_a
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(o_orderstatus, 'F') AS k, COUNT(*) AS n_b
+  FROM orders GROUP BY 1
+)
+SELECT a.k AS key_a, b.k AS key_b, a.n_a, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@query("join_null_safe", oracle=_NULL_SAFE_ORACLE, tags=("join", "null"))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of being dropped, the semantics plain `=`
+    silently loses.  The NULLIF-derived keys manufacture NULLs
+    deterministically from the data so the NULL-matches-NULL row is
+    actually exercised.
+
+    `<=>` is a hashable join key in Spark (EqualNullSafe), so this stays
+    a hash join — but note all NULLs land in ONE hash bucket: at 100 TB
+    a null-heavy key needs the same skew treatment as any hot key
+    (operators/skew.py)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("key_a")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    b = o.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("key_b")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    return a.join(b, F.col("key_a").eqNullSafe(F.col("key_b"))).select(
+        "key_a", "key_b", "n_a", "n_b"
+    )

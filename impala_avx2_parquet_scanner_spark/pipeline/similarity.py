@@ -391,3 +391,52 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid"
         ),
     )
+
+
+_QUANT_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+m AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM ex GROUP BY vec_id)
+SELECT e.vec_id, e.pos,
+       CASE WHEN m.amax > 0
+            THEN CAST(ROUND(e.x / (m.amax / 127.0), 0) AS BIGINT)
+            ELSE 0 END AS q,
+       m.amax / 127.0 AS scale
+FROM ex e JOIN m ON e.vec_id = m.vec_id
+"""
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=_QUANT_ORACLE,
+    tags=("similarity", "pipeline", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x| / 127, q = round(x / scale) — the storage/ANN
+    compression step of an embedding pipeline (4× smaller than float32,
+    8× smaller than the double intermediate).
+
+    The per-vector max is a window aggregate partitioned by vec_id, so
+    quantization stays co-partitioned with the explode — one shuffle by
+    vec_id total, and the (vec_id, pos, q) long format re-assembles with
+    `collect_list` ordered by pos when an array column is needed."""
+    ex = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(_dbl("embedding")).alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    w = W.partitionBy("vec_id")
+    ex = ex.withColumn("amax", F.max(F.abs("x")).over(w))
+    return ex.select(
+        "vec_id",
+        "pos",
+        F.when(
+            F.col("amax") > 0,
+            F.round(F.col("x") / (F.col("amax") / F.lit(127.0)), 0).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("q"),
+        (F.col("amax") / F.lit(127.0)).alias("scale"),
+    )

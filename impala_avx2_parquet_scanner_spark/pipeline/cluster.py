@@ -71,15 +71,48 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
     return labels
 
 
+def _clusters_oracle() -> str:
+    """DuckDB replay: MinHash-LSH pairs (same CTEs as dedup_minhash_lsh)
+    + WITH RECURSIVE transitive closure → min reachable id = component.
+    The recursive UNION's dedup is the fixpoint check, mirroring the
+    label-propagation loop's 'no label changed' exit."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import _minhash_parts
+
+    ctes, pairs_select = _minhash_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({pairs_select}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT MIN(node) AS keep_id, COUNT(*) AS cluster_size,
+       list_sort(list(node)) AS members
+FROM comp GROUP BY component
+"""
+
+
 @query(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — verified against Python union-find in tests
+    oracle=_clusters_oracle(),
     tags=("dedup", "cluster", "pipeline"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering over documents: MinHash-LSH
     candidate pairs → connected components → one keeper (min doc_id) per
-    cluster with cluster size."""
+    cluster with cluster size.
+
+    The oracle replays the full pipeline in DuckDB, closing the
+    components with a recursive CTE (min reachable id per node) — so the
+    iterative Spark fixpoint is value-verified, not just row-counted;
+    a Python union-find cross-check also runs in tests."""
     from impala_avx2_parquet_scanner_spark.pipeline.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select(

@@ -118,8 +118,10 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _minhash_oracle() -> str:
-    """DuckDB replay of the exact same MinHash-LSH pipeline."""
+def _minhash_parts() -> tuple[str, str]:
+    """(CTE list, final SELECT) for the DuckDB replay of the exact same
+    MinHash-LSH pipeline — split so dedup_clusters can extend it with a
+    recursive connected-components closure."""
     shingle_cte = """
 tokens AS (
   SELECT doc_id,
@@ -144,8 +146,7 @@ sh AS (
         )
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig")
     bands_sql = "\nUNION ALL\n".join(band_rows)
-    return f"""
-WITH {shingle_cte},
+    ctes = f"""{shingle_cte},
 sig AS (
   SELECT doc_id,
          {sig_terms}
@@ -153,12 +154,20 @@ sig AS (
 ),
 bands AS (
 {bands_sql}
-)
+)"""
+    select = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.band) AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+    return ctes, select
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the exact same MinHash-LSH pipeline."""
+    ctes, select = _minhash_parts()
+    return f"\nWITH {ctes}{select}"
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "pipeline"))

@@ -251,3 +251,73 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("key_a").eqNullSafe(F.col("key_b"))).select(
         "key_a", "key_b", "n_a", "n_b"
     )
+
+
+@query(
+    "join_sort_merge",
+    oracle="""
+SELECT o_orderkey, o_orderdate, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+""",
+    tags=("join", "strategy"),
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same equi-join shape with an explicit MERGE (sort-merge) hint —
+    completing the strategy trio (broadcast / shuffled-hash / sort-merge).
+    Sort-merge is the right 100 TB plan when the output feeds a
+    sort-consuming operator (its sort order is reusable downstream) or
+    when build-side hash tables would exceed executor memory; it is the
+    only strategy that spills gracefully on both sides.
+    Plan-asserted in tests/test_pushdown_plans.py."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = table(spark, sf_dir, "customer")
+    return o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "c_name", "o_totalprice"
+    )
+
+
+_RANGE_BINNED_ORACLE = """
+SELECT a.o_orderkey, COUNT(*) AS n_nearby
+FROM orders a JOIN orders b
+  ON abs(datediff('day', b.o_orderdate, a.o_orderdate)) <= 3
+ AND a.o_orderkey <> b.o_orderkey
+GROUP BY a.o_orderkey
+"""
+
+
+@query("join_range_binned", oracle=_RANGE_BINNED_ORACLE, tags=("join", "range"))
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact interval self-join (orders within ±3 days of each
+    other) executed as a *binned* range join: both sides bucketed into
+    7-day bins, the probe side exploded to its bin ±1, equi-join on the
+    bin key, residual |Δdays| ≤ 3 filter after.
+
+    This is the scale pattern for range joins with NO equi key: a naive
+    non-equi join is a BroadcastNestedLoopJoin (O(n·m), only one side
+    may broadcast); binning turns it into a plain shuffled equi-join
+    whose fan-out is bounded by 3 bins per row, so it survives two
+    100 TB inputs.  Bin width trades shuffle fan-out (width ≫ range →
+    fewer duplicate probes) against residual-filter waste (width ≈
+    range keeps candidate pairs tight)."""
+    anchor = F.lit("1992-01-01").cast("date")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), anchor).alias("day"),
+    )
+    width = 7
+    left = o.withColumn("bin", F.floor(F.col("day") / width))
+    r = o.select(
+        F.col("o_orderkey").alias("b_orderkey"), F.col("day").alias("b_day")
+    ).withColumn("bin0", F.floor(F.col("b_day") / width))
+    right = r.withColumn(
+        "bin",
+        F.explode(
+            F.array(F.col("bin0") - 1, F.col("bin0"), F.col("bin0") + 1)
+        ),
+    )
+    joined = left.join(right, "bin").filter(
+        (F.abs(F.col("day") - F.col("b_day")) <= 3)
+        & (F.col("o_orderkey") != F.col("b_orderkey"))
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_nearby"))

@@ -143,3 +143,29 @@ def test_shuffle_hash_hint_selects_shuffled_hash_join(spark, sf_dir):
     plan = formatted_plan(join_shuffle_hash(spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_hint_selects_sort_merge_join(spark, sf_dir):
+    """The MERGE hint must materialize as SortMergeJoin — the
+    spill-safe-on-both-sides strategy for fact⋈fact joins whose output
+    feeds sort-consuming operators."""
+    from impala_avx2_parquet_scanner_spark.operators.joins import join_sort_merge
+    from impala_avx2_parquet_scanner_spark.plans import formatted_plan
+
+    plan = formatted_plan(join_sort_merge(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned interval join must plan as a hash/merge EQUI join on
+    the bin key — the whole point of binning is avoiding
+    BroadcastNestedLoopJoin between two large inputs."""
+    from impala_avx2_parquet_scanner_spark.operators.joins import join_range_binned
+    from impala_avx2_parquet_scanner_spark.plans import formatted_plan
+
+    plan = formatted_plan(join_range_binned(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

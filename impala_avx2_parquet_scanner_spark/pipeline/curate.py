@@ -73,3 +73,88 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "text_key", "n_tokens")
     )
+
+
+EVAL_MAX_DOC = 20  # doc_id < 20 plays the held-out benchmark set
+CONTAIN_THRESHOLD = 0.5
+
+_DECONTAM_ORACLE = f"""
+WITH tokens AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(regexp_replace(
+             text, '[^A-Za-z0-9]+', ' ', 'g')), ' +', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, greatest(len(toks) - 1, 1))]) AS shs
+  FROM tokens WHERE len(toks) >= 3
+),
+eval_sh AS (
+  SELECT DISTINCT UNNEST(shs) AS s FROM sh WHERE doc_id < {EVAL_MAX_DOC}
+),
+train AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh WHERE doc_id >= {EVAL_MAX_DOC}
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM train t JOIN eval_sh e ON t.s = e.s
+  GROUP BY t.doc_id
+)
+SELECT tot.doc_id, tot.n_shingles,
+       COALESCE(hits.n_shared, 0) AS n_shared,
+       CAST(COALESCE(hits.n_shared, 0) AS DOUBLE)
+         / CAST(tot.n_shingles AS DOUBLE) AS containment,
+       CAST(COALESCE(hits.n_shared, 0) AS DOUBLE)
+         / CAST(tot.n_shingles AS DOUBLE) >= {CONTAIN_THRESHOLD}
+         AS contaminated
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+"""
+
+
+@query("decontaminate_overlap", oracle=_DECONTAM_ORACLE, tags=("pipeline", "dedup", "text"))
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its 3-word shingles that also appear in a held-out evaluation set
+    (docs with doc_id < EVAL_MAX_DOC stand in for the benchmark corpus).
+    containment ≥ 0.5 flags the document for removal.
+
+    The scale shape: the eval shingle set is DISTINCT'd and broadcast
+    (benchmarks are small — MBs against a 100 TB corpus), so the check
+    is a broadcast semi-probe fused into the training-side scan; the only
+    wide shuffle is the per-document count.  This is the cross-corpus
+    variant of `dedup_ngram_jaccard` (containment, not symmetric
+    Jaccard — the right asymmetry when one side is tiny)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import shingles
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("shs")
+    ).filter(F.size("shs") > 0)
+    eval_sh = (
+        d.filter(F.col("doc_id") < EVAL_MAX_DOC)
+        .select(F.explode("shs").alias("s"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") >= EVAL_MAX_DOC).select(
+        "doc_id", F.explode("shs").alias("s")
+    )
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = train.join(F.broadcast(eval_sh), "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    out = tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )
+    containment = F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        containment.alias("containment"),
+        (containment >= CONTAIN_THRESHOLD).alias("contaminated"),
+    )

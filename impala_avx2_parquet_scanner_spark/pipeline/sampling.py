@@ -135,3 +135,41 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select("doc_id", key.alias("skey"), (key % 1024).alias("bucket"))
     pos = F.row_number().over(W.partitionBy("bucket").orderBy("skey", "doc_id"))
     return keyed.select("doc_id", "bucket", pos.alias("pos"))
+
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         {_SQL_H64.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+@query("sample_split_assign", oracle=_SPLIT_ORACLE, tags=("pipeline", "sampling"))
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split assignment: bucket =
+    h64('split:' || doc_id) mod 100 — a pure projection over the scan,
+    no shuffle, no RNG state.
+
+    Hash-based assignment is the only split that survives a distributed
+    re-run: it is stable under re-partitioning, incremental ingestion
+    (new docs don't reshuffle old assignments), and retries — the
+    properties `rand()`-based splits lack.  The salt prefix decorrelates
+    this split from every other h64 use (minhash, sampling)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = h64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -55,6 +55,7 @@ def load_all() -> None:
         cluster,
         curate,
         dedup,
+        multimodal,
         sampling,
         similarity,
     )

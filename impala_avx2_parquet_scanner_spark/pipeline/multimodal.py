@@ -196,3 +196,61 @@ def audio_window_plan(assets: DataFrame, window_ms: int = 500) -> DataFrame:
         )
         .select("asset_id", "media_format", "window_start_ms", "payload")
     )
+
+
+_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def _register_multimodal_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    @query(
+        "multimodal_features",
+        oracle=_FEATURES_ORACLE,
+        tags=("pipeline", "multimodal", "pandas_udf"),
+    )
+    def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Arrow-batched binary-column feature extraction, value-verified:
+        each document's text is carried as an opaque `binary` payload (the
+        multimodal column convention) and a `mapInPandas` iterator computes
+        byte length + SHA-256 per payload — exactly what a real image/audio
+        featurizer does before the codec call.  Because the payload is
+        derived from the text column, DuckDB replays the whole thing
+        (octet_length + sha256), making this the oracle-checked proof that
+        the Arrow batch path (BinaryType → pandas bytes → schema'd output)
+        is lossless.  The codec-dependent stubs above stay rows-only."""
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("n_bytes", LongType(), False),
+                StructField("payload_sha256", StringType(), False),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                        "payload_sha256": pdf["payload"].map(
+                            lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        ),
+                    }
+                )
+
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        return d.mapInPandas(run, schema=schema)
+
+
+_register_multimodal_query()

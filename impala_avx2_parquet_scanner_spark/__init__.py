@@ -37,6 +37,7 @@ def load_all() -> None:
         predicates,
         scan,
         setops,
+        skew,
         subqueries,
         timeseries,
         tpch,

@@ -493,3 +493,54 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("n_ab"), "bigram").limit(_BIGRAM_TOP)
+
+
+_REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_word_count,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+FROM counts GROUP BY doc_id
+"""
+
+
+@query(
+    "text_repetition",
+    oracle=_REPETITION_ORACLE,
+    tags=("text", "pipeline", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: word count, distinct
+    words, most-frequent-word count, and the two derived ratios
+    (distinct/total, top/total) used to drop degenerately repetitive
+    documents from a pre-training corpus.
+
+    Distributed shape: explode → two keyed aggregations, both partitioned
+    by `doc_id`, so partials combine map-side and no key ever exceeds one
+    document's vocabulary — safe at any corpus size.  Ratios divide two
+    exactly-represented integers, so the doubles are bit-identical to the
+    oracle's."""
+    words = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    )
+    counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_word_count"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_word_frac"
+        ),
+    )

@@ -159,3 +159,43 @@ def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_EVOLUTION_ORACLE = """
+SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_comment FROM region
+"""
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=_EVOLUTION_ORACLE,
+    tags=("scan", "schema"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: declared table schema is wider than the file
+    schema → the missing column materializes as NULL for every row.
+
+    The reference resolves each slot's col_path against the file schema
+    and fills absent columns with NULL in the template tuple
+    (hdfs-parquet-scanner.h:184-186, hdfs-parquet-scanner.cc:1437-1445);
+    Spark's parquet reader does the same when the user-supplied read
+    schema declares a column the footer lacks.  The fixture `region`
+    table carries only (r_regionkey, r_name), so declaring the classic
+    TPC-H `r_comment` exercises the fill path.  Extra file columns are
+    the dual (ignored via projection) — covered by `scan_project`."""
+    import os
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    declared = StructType(
+        [
+            StructField("r_regionkey", IntegerType(), True),
+            StructField("r_name", StringType(), True),
+            StructField("r_comment", StringType(), True),  # absent in file
+        ]
+    )
+    path = os.path.join(sf_dir, "region.parquet")
+    return spark.read.schema(declared).parquet(path)

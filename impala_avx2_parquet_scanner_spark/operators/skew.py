@@ -62,3 +62,45 @@ def replicate_broadcast_join(
         "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
     )
     return fact.join(small_rep, [key, "__salt"]).drop("__salt")
+
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _register_salted_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.exprs import dec_price
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    @query(
+        "agg_sum_salted",
+        oracle=_SALTED_ORACLE,
+        tags=("aggregate", "skew"),
+    )
+    def agg_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Skew-proof two-phase aggregation: `l_returnflag` has only a
+        handful of values, so a naive groupBy concentrates each flag on
+        one reducer; salting spreads every key over 16 buckets, partially
+        aggregates (key, salt), then finishes on key.  Exact DECIMAL
+        partials make the result bit-identical to the unsalted plan (and
+        to the oracle's single-threaded sum) — the associativity argument
+        that lets salting be a pure physical rewrite.  Complements AQE's
+        skew-join handling for single-hot-group aggregations AQE cannot
+        split."""
+        l = table(spark, sf_dir, "lineitem")
+        out = salted_sum(
+            l, "l_returnflag", dec_price("l_extendedprice"), "sum_price"
+        )
+        return out.select(
+            "l_returnflag", F.col("sum_price").cast("double").alias("sum_price")
+        )
+
+
+_register_salted_query()

@@ -189,3 +189,94 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).alias("version"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+_MULTIRES_ORACLE = """
+WITH minute AS (
+  SELECT event_type,
+         CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sval
+  FROM events GROUP BY 1, 2
+),
+hour AS (
+  SELECT event_type, CAST(date_trunc('hour', bucket_start) AS TIMESTAMP)
+           AS bucket_start,
+         SUM(n_events) AS n_events, SUM(sval) AS sval
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT event_type, CAST(date_trunc('day', bucket_start) AS TIMESTAMP)
+           AS bucket_start,
+         SUM(n_events) AS n_events, SUM(sval) AS sval
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS resolution, event_type, bucket_start,
+       CAST(n_events AS BIGINT) AS n_events, CAST(sval AS DOUBLE) AS sum_value
+FROM minute
+UNION ALL
+SELECT 'hour', event_type, bucket_start,
+       CAST(n_events AS BIGINT), CAST(sval AS DOUBLE) FROM hour
+UNION ALL
+SELECT 'day', event_type, bucket_start,
+       CAST(n_events AS BIGINT), CAST(sval AS DOUBLE) FROM day
+"""
+
+
+@query(
+    "events_multires_rollup",
+    oracle=_MULTIRES_ORACLE,
+    tags=("events", "timeseries", "rollup"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution continuous aggregate: one pass
+    builds minute buckets, then hour and day resolutions are derived by
+    re-aggregating the *previous* resolution's partials — never the raw
+    events.  The union carries a `resolution` tag so a serving layer can
+    pick the coarsest bucket that answers a dashboard query.
+
+    Scale shape: raw data is touched exactly once (minute rollup, keyed
+    aggregation with map-side combine).  A naive `minute UNION hour UNION
+    day` plan re-scans the fact table per branch (Spark does not share
+    subplans across a union); instead each minute partial explodes into
+    its three (resolution, bucket) memberships — 3× a set already bounded
+    by distinct-minutes × event-types, not by raw rows — and one second
+    keyed aggregation finishes all resolutions at once: one scan, two
+    shuffles total.  Exact DECIMAL partials keep every resolution's sums
+    associative and bit-reproducible at any parallelism."""
+    e = table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("mb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sval"),
+        )
+    )
+    memberships = F.array(
+        F.struct(F.lit("minute").alias("resolution"), F.col("mb").alias("b")),
+        F.struct(
+            F.lit("hour").alias("resolution"),
+            F.date_trunc("hour", F.col("mb")).alias("b"),
+        ),
+        F.struct(
+            F.lit("day").alias("resolution"),
+            F.date_trunc("day", F.col("mb")).alias("b"),
+        ),
+    )
+    expanded = minute.select(
+        "event_type", "n", "sval", F.explode(memberships).alias("rb")
+    )
+    return (
+        expanded.groupBy(
+            F.col("rb.resolution").alias("resolution"),
+            "event_type",
+            F.col("rb.b").alias("bucket_start"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sval").cast("double").alias("sum_value"),
+        )
+    )

@@ -255,34 +255,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: first qualifying timestamp per
     step, each step strictly after the previous one (NULL = dropped off).
 
-    Every stage is a keyed aggregation or join on user_id, so all three
-    steps share one hash partitioning — at 100 TB the plan is a chain of
-    co-partitioned shuffles, never a broadcast of per-user state (users
-    scale with the data) and never a window over the full event stream."""
-    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    Single-pass shape: one scan (with the 3-step In-filter pushed to
+    parquet) and ONE shuffle.  Three stacked whole-partition window
+    aggregates over the same `user_id` partitioning compute the chained
+    MINs — each step's window expression references the previous step's
+    column (constant within the partition), so `t_click = MIN(click ts >
+    t_view)` etc. evaluate without any self-join; Catalyst plans all
+    three windows plus the final per-user collapse on a single exchange.
+    Strict `>` bounds reproduce the oracle's chained-MIN semantics at
+    timestamp ties, and everything stays inside codegen (no Python, no
+    higher-order-function interpretation)."""
+    from pyspark.sql import Window as W
+
+    steps = ("view", "click", "purchase")
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin(*steps))
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    w = W.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        e.withColumn(
+            "t_view", F.min(F.when(typ == "view", ts)).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((typ == "click") & (ts > F.col("t_view")), ts)
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when((typ == "purchase") & (ts > F.col("t_click")), ts)
+            ).over(w),
+        )
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        staged.filter(F.col("t_view").isNotNull())
         .select("user_id", "t_view", "t_click", "t_purchase")
+        .distinct()
     )
 
 

@@ -112,16 +112,28 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cumulative distinct count is NOT a running COUNT(DISTINCT) — it is
     a running SUM over per-day first-seen counts, which decomposes into
-    map-side partials and shuffles only day-cardinality rows.  The final
-    ordered window runs over one row per calendar day (bounded, KB-sized),
-    which is the one place a single-partition window is the *right* plan."""
+    map-side partials and shuffles only day-cardinality rows.  One
+    per-user aggregation carries both the first-seen day and the distinct
+    active-day set (calendar-bounded per user), so the raw stream is
+    scanned once and the per-day distinct count is a plain COUNT(*) over
+    the exploded (user, day) pairs — no COUNT(DISTINCT) expand.  The
+    final ordered window runs over one row per calendar day (bounded,
+    KB-sized), which is the one place a single-partition window is the
+    *right* plan."""
     e = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    dau = e.groupBy("day").agg(F.countDistinct("user_id").alias("active_users"))
+    per_user = e.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.collect_set("day").alias("days"),
+    )
+    dau = (
+        per_user.select(F.explode("days").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
     news = (
-        first_seen.groupBy(F.col("first_day").alias("day"))
+        per_user.groupBy(F.col("first_day").alias("day"))
         .agg(F.count(F.lit(1)).alias("new_users"))
     )
     joined = dau.join(news, "day", "left").select(

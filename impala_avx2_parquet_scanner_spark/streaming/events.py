@@ -326,29 +326,38 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-seen week,
     tracked by distinct activity in each later week.
 
-    The distinct-(user, week) projection collapses the event stream to at
-    most |users|×|weeks| rows BEFORE any join, and the cohort-size side
-    is weeks-cardinality (broadcast).  Week arithmetic is day-difference
-    ÷ 7 on truncated timestamps — exact integers, so Spark and the oracle
-    agree without float comparisons."""
+    A single per-user aggregation carries both the cohort label and the
+    set of active weeks (weeks-per-user is calendar-bounded, so the set
+    is small by construction); the cohort-size side is weeks-cardinality
+    (broadcast).  Week arithmetic is day-difference ÷ 7 on truncated
+    timestamps — exact integers, so Spark and the oracle agree without
+    float comparisons."""
     e = table(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
+    # One per-user aggregation produces BOTH the cohort label (min ts)
+    # and the distinct active weeks (collect_set) — one scan, one
+    # shuffle, and no separate distinct/join stage.  Exploding the weeks
+    # afterwards yields rows already unique per (user, week), so the
+    # retention count is a plain COUNT(*), not a COUNT(DISTINCT) (which
+    # would cost an expand + extra shuffle at 100 TB).
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("wks"),
     )
-    act = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
-    ).distinct()
     ret = (
-        act.join(first, "user_id")
+        per_user.select(
+            "user_id", "cohort", F.explode("wks").alias("wk")
+        )
         .groupBy(
             "cohort",
             (F.datediff(F.col("wk"), F.col("cohort")) / F.lit(7.0))
             .cast("bigint")
             .alias("week_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    sizes = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
     return (
         ret.join(F.broadcast(sizes), "cohort")
         .select(

@@ -468,8 +468,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg")
     )
     bi_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("n_ab"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
-        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    # Totals derive from the count tables (SUM over partials), not from
+    # re-aggregating the raw explodes — otherwise Spark re-scans and
+    # re-tokenizes the whole corpus once per total.
+    tot = uni_counts.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi_counts.agg(F.sum("n_ab").alias("n_bi"))
     )
     w1 = F.split(F.col("bg"), " ").getItem(0)
     w2 = F.split(F.col("bg"), " ").getItem(1)

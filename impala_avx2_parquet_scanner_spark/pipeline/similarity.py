@@ -148,13 +148,17 @@ WHERE rn = 1
 """
 
 
-@query("ann_ivf_assign", oracle=_IVF_ORACLE_ASSIGN, tags=("similarity", "ivf", "pipeline"))
-def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid.  Centroids here are the first N_CENTROIDS corpus vectors —
-    deterministic (so the oracle can replay it); production would plug in
-    k-means centroids without changing the plan: broadcast centroids ×
-    partitioned corpus, argmax per row, zero shuffles."""
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with nearest-centroid assignment in ONE pass: broadcast
+    centroids × partitioned corpus, then an argmax as `MAX(struct(sim,
+    -centroid_id))` per vector.  All N_CENTROIDS scored rows for a vector
+    come from the same input row, so the partial aggregate collapses them
+    map-side — the shuffle carries one row per vector and never sorts
+    (a window `row_number` would shuffle+sort all |corpus|×N_CENTROIDS
+    rows).  The struct ordering (sim DESC via max, centroid_id ASC via
+    the negation) reproduces the oracle's tie-break exactly.  `label`/
+    `emb` are constant within a vector's group, so carrying them through
+    `first()` is deterministic and spares the index a corpus self-join."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("emb")
     )
@@ -163,14 +167,38 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = e.crossJoin(F.broadcast(c)).select(
         "vec_id",
+        "label",
+        "emb",
         "centroid_id",
         cosine(F.col("emb"), F.col("cemb")).alias("sim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
+    best = F.max(
+        F.struct(
+            F.col("sim").alias("sim"),
+            (-F.col("centroid_id")).alias("neg_cid"),
+        )
+    ).alias("m")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", F.col("sim").alias("centroid_sim"))
+        scored.groupBy("vec_id")
+        .agg(best, F.first("label").alias("label"), F.first("emb").alias("emb"))
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
+            F.col("m.sim").alias("centroid_sim"),
+        )
+    )
+
+
+@query("ann_ivf_assign", oracle=_IVF_ORACLE_ASSIGN, tags=("similarity", "ivf", "pipeline"))
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid.  Centroids here are the first N_CENTROIDS corpus vectors —
+    deterministic (so the oracle can replay it); production would plug in
+    k-means centroids without changing the plan."""
+    return _ivf_assigned(spark, sf_dir).select(
+        "vec_id", "centroid_id", "centroid_sim"
     )
 
 
@@ -178,11 +206,9 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, emb, centroid_id) — the partitioned IVF index.
     At scale this is written out partitioned/bucketed BY centroid_id so a
     probe touches only matching buckets."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _dbl("embedding").alias("emb")
+    return _ivf_assigned(spark, sf_dir).select(
+        "vec_id", "label", "emb", "centroid_id"
     )
-    assign = ann_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
-    return e.join(assign, "vec_id")
 
 
 _IVF_ORACLE_TOPK = f"""
@@ -250,7 +276,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("probe_rank") <= N_PROBE)
         .select("query_id", "qemb", "centroid_id")
     )
-    cands = probes.join(index, "centroid_id").filter(
+    # Broadcast the probe set (bounded by the query batch × N_PROBE) into
+    # the corpus-sized index: a shuffle join here would hash on
+    # centroid_id — N_CENTROIDS distinct keys, catastrophic skew at scale.
+    cands = index.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cands.select(

@@ -103,7 +103,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) — LSH bucket keys, MINHASH_BANDS rows/doc."""
     sig = minhash_signatures(table(spark, sf_dir, "documents"))
-    bands = []
+    # One row per (doc, band) via a single explode — a per-band UNION
+    # would recompute the whole signature pipeline (scan, shingle,
+    # K hashes, groupBy-min) once per band.
+    band_structs = []
     for b in range(MINHASH_BANDS):
         lo = b * MINHASH_ROWS
         key = F.md5(
@@ -111,11 +114,12 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",", *[F.col(f"m{lo + r}").cast("string") for r in range(MINHASH_ROWS)]
             )
         )
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key")))
-    out = bands[0]
-    for df in bands[1:]:
-        out = out.union(df)
-    return out
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_key")
 
 
 def _minhash_parts() -> tuple[str, str]:

@@ -31,6 +31,7 @@ __version__ = "0.1.0"
 def load_all() -> None:
     """Import every operator module so its queries land in REGISTRY."""
     from impala_avx2_parquet_scanner_spark.operators import (  # noqa: F401
+        affinity,
         aggregates,
         asof,
         joins,

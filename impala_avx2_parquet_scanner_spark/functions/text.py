@@ -547,3 +547,68 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_word_frac"
         ),
     )
+
+
+_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(regexp_replace(
+             text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (SELECT doc_id, UNNEST(toks) AS w FROM t),
+uni_counts AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni_counts),
+tok_lp AS (
+  SELECT u.doc_id,
+         CAST(ROUND(LN(CAST(uc.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM uni u JOIN uni_counts uc ON u.w = uc.w CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM tok_lp GROUP BY doc_id
+"""
+
+
+@query("text_unigram_logprob", oracle=_LOGPROB_ORACLE, tags=("text", "pipeline"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the KenLM-style perplexity proxy used for quality
+    filtering in LLM data pipelines (low mean log-prob ⇒ rare/degenerate
+    vocabulary).
+
+    The unigram count table is built once (map-side combined) and
+    broadcast back onto the token stream, so the detail explode never
+    shuffles; the scalar token total derives from the count table (no
+    second corpus scan).  Each token's log-prob is a deterministic double
+    rounded to 9 dp and summed in exact DECIMAL, so the per-doc mean is
+    bit-reproducible at any parallelism (same discipline as exprs.py)."""
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " "))),
+            " ",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    u = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode("toks").alias("w"))
+    )
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uc.agg(F.sum("c").cast("bigint").alias("n"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")), 9
+    ).cast("decimal(18,9)")
+    return (
+        u.join(F.broadcast(uc), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )

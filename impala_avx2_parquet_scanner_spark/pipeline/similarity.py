@@ -469,3 +469,60 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         (F.col("amax") / F.lit(127.0)).alias("scale"),
     )
+
+
+_KNN_GRAPH_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE vec_id < 300),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, b.label AS nbr_label,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb))
+              * sqrt(list_dot_product(b.emb, b.emb))) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT src_id, nbr_id, nbr_label, cos_sim, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY cos_sim DESC, nbr_id) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+@query("ann_knn_graph", oracle=_KNN_GRAPH_ORACLE, tags=("similarity", "pipeline"))
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor graph (k=3) over a bounded corpus slice — the
+    building block of SemDeDup-style semantic dedup and graph clustering.
+
+    Unlike `ann_bruteforce_topk` (few queries × full corpus) every node is
+    a query here, so the corpus side stays partitioned and a bounded
+    reference block (vec_id < 300) broadcasts; at 100 TB the same plan
+    runs per LSH/IVF bucket (`ann_lsh_buckets` / `ann_ivf_assign` supply
+    the buckets), which keeps each broadcast block small while the union
+    of blocks covers the corpus.  Same fixed-order double dot product as
+    the rest of this module — bit-identical to DuckDB's
+    list_dot_product."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "label", _dbl("embedding").alias("emb"))
+    )
+    a = e.select(F.col("vec_id").alias("src_id"), F.col("emb").alias("src_emb"))
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("emb").alias("nbr_emb"),
+    )
+    scored = a.join(F.broadcast(b), F.col("src_id") != F.col("nbr_id")).select(
+        "src_id",
+        "nbr_id",
+        "nbr_label",
+        cosine(F.col("src_emb"), F.col("nbr_emb")).alias("cos_sim"),
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src_id", "nbr_id", "nbr_label", "cos_sim", "rank")
+    )

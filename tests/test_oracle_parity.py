@@ -28,6 +28,8 @@ SAMPLE = [
     "text_stats",
     "dedup_exact",
     "ann_bruteforce_topk",
+    "basket_pair_affinity",
+    "events_anomaly_zscore",
 ]
 
 

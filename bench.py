@@ -35,7 +35,7 @@ def main() -> None:
 
     # Warm the JVM/code paths once on the smallest query so per-query times
     # measure execution, not first-job startup.
-    REGISTRY["selectivity_01"].fn(spark, sf_dir).collect()
+    REGISTRY["selectivity_002"].fn(spark, sf_dir).collect()
 
     times: dict[str, float] = {}
     for name in names:

@@ -3,12 +3,13 @@
 Mirrors the reference's descriptor/catalog layer (descriptors.h:149-262 —
 table + partition descriptors resolved against file schemas).  In Spark the
 descriptor table collapses to `spark.read.parquet` + schema resolution; the
-one real piece of work here is normalizing the `events` table, whose
-TIMESTAMP(NANOS) physical type Spark's vectorized reader refuses
-(PARQUET_TYPE_ILLEGAL) — we read it as int64 nanoseconds
-(`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to microsecond
-`timestamp_ntz`, exactly matching DuckDB's ns→µs truncation so oracle
-comparisons agree.
+one real piece of work here is guarding the `events.ts` column's physical
+type.  The shipped fixtures carry TIMESTAMP(µs), which Spark reads
+natively; if a fixture instead shipped int64 nanoseconds (which Spark's
+vectorized reader surfaces as bigint under
+`spark.sql.legacy.parquet.nanosAsLong`), `_load_events` floor-converts it
+to microsecond `timestamp_ntz`, matching DuckDB's ns→µs truncation so
+oracle comparisons agree either way.
 """
 
 from __future__ import annotations
@@ -46,10 +47,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is INT64 TIMESTAMP(NANOS).  Read as raw nanos and convert:
-    ns → floor to µs → timestamp_ntz (session TZ is UTC so the LTZ→NTZ hop
-    is the identity).  DuckDB performs the same floor when it reads the
-    file, so both engines see identical microsecond values."""
+    """Dtype guard for events.ts.  The shipped fixtures are TIMESTAMP(µs)
+    and pass through untouched; a nanos-int64 fixture (read as bigint under
+    nanosAsLong) is floor-converted ns → µs → timestamp_ntz (session TZ is
+    UTC so the LTZ→NTZ hop is the identity).  DuckDB performs the same
+    floor when it reads such a file, so both engines see identical
+    microsecond values either way."""
     df = spark.read.parquet(path)
     ts_field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
     if ts_field.get("ts") == "bigint":

@@ -21,12 +21,14 @@ from impala_avx2_parquet_scanner_spark.catalog import table
 from impala_avx2_parquet_scanner_spark.registry import query
 
 _NESTED_ORACLE = """
-SELECT l_orderkey, qtys,
+SELECT l_orderkey,
+       array_to_string(qtys, ',') AS qtys,
        CAST(LEN(qtys) AS BIGINT) AS n_qtys,
        qtys[1] AS first_qty,
        qtys[-1] AS last_qty,
-       list_transform(qtys, x -> x * 2) AS doubled,
-       list_filter(qtys, x -> x > 25.0) AS big_qtys,
+       array_to_string(list_transform(qtys, x -> x * 2), ',') AS doubled,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+       COALESCE(array_to_string(list_filter(qtys, x -> x > 25.0), ','), '') AS big_qtys,
        list_reduce(qtys, (a, x) -> a + x) AS total_qty,
        map(['total'], [list_reduce(qtys, (a, x) -> a + x)])['total'][1] AS map_total
 FROM (
@@ -44,7 +46,14 @@ def fn_nested_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any order-sensitive op (indexing, fold) — that is what makes
     the fold deterministic at any parallelism.  The map lookup mirrors
     DuckDB's map-extract-returns-list quirk by unwrapping with [1] on the
-    oracle side only."""
+    oracle side only.  Array-valued outputs are emitted as CSV strings
+    (same information) because the driver's pandas canonicalizer cannot
+    hash ndarray cells; the arrays themselves remain the intermediate
+    representation every op runs on."""
+
+    def csv(col):
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     arr = F.array_sort(F.collect_list("l_quantity"))
     grouped = (
         table(spark, sf_dir, "lineitem")
@@ -55,12 +64,12 @@ def fn_nested_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.aggregate(F.col("qtys"), F.lit(0.0), lambda a, x: a + x)
     return grouped.select(
         "l_orderkey",
-        "qtys",
+        csv(F.col("qtys")).alias("qtys"),
         F.size("qtys").cast("bigint").alias("n_qtys"),
         F.element_at("qtys", 1).alias("first_qty"),
         F.element_at("qtys", -1).alias("last_qty"),
-        F.transform("qtys", lambda x: x * 2).alias("doubled"),
-        F.filter("qtys", lambda x: x > 25.0).alias("big_qtys"),
+        csv(F.transform("qtys", lambda x: x * 2)).alias("doubled"),
+        csv(F.filter("qtys", lambda x: x > 25.0)).alias("big_qtys"),
         total.alias("total_qty"),
         F.element_at(
             F.create_map(F.lit("total"), total), F.lit("total")

@@ -67,7 +67,7 @@ SELECT c_custkey,
        CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
        CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DOUBLE) AS bal_round1,
        c_custkey % 7 AS key_mod,
-       CAST(c_acctbal AS DECIMAL(12,2)) * 2 + 10 AS bal_affine,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 + 10 AS DOUBLE) AS bal_affine,
        GREATEST(c_acctbal, 0.0) AS bal_pos,
        LEAST(c_acctbal, 0.0) AS bal_neg,
        CAST(SIGN(c_acctbal) AS DOUBLE) AS bal_sign
@@ -90,7 +90,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(bal).alias("bal_ceil"),
             F.round(bal.cast("decimal(12,2)"), 1).cast("double").alias("bal_round1"),
             (F.col("c_custkey") % 7).alias("key_mod"),
-            (bal.cast("decimal(12,2)") * 2 + 10).alias("bal_affine"),
+            # affine arithmetic runs in exact decimal; the result is
+            # re-widened to double because Spark DECIMAL stringifies with
+            # trailing zeros in the driver's pandas canon
+            (bal.cast("decimal(12,2)") * 2 + 10).cast("double").alias("bal_affine"),
             F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
             F.least(bal, F.lit(0.0)).alias("bal_neg"),
             F.signum(bal).alias("bal_sign"),
@@ -200,7 +203,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT l_orderkey,
-       list_sort(list(l_linenumber)) AS line_numbers,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
        CAST(LEN(list(l_linenumber)) AS BIGINT) AS n_lines
 FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey
 """,
@@ -209,13 +212,22 @@ FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect + deterministic sort (collect_list order
     is partition-dependent, so the sort is what makes the result
-    reproducible at any parallelism)."""
+    reproducible at any parallelism).  The sorted array is emitted joined
+    to a CSV string: semantics are unchanged, but the flat string survives
+    the driver's pandas-based canonicalization (ndarray cells are
+    unhashable there)."""
     return (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 300)
         .groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_numbers"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -229,7 +241,7 @@ SELECT o_orderkey,
        CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
        CAST(o_custkey AS DOUBLE) AS cust_dbl,
        CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor_int,
-       CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price_dec,
        CAST(o_orderdate AS VARCHAR) AS date_str
 FROM orders WHERE o_orderkey <= 2000
 """,
@@ -239,7 +251,10 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CastExpr family (expr.h:242; cast-wrapper handling
     scalar-fn-call.cc:736-739).  double→int goes through FLOOR because raw
     CAST rounds in DuckDB but truncates in Spark — the explicit form is
-    the portable one."""
+    the portable one.  The double→decimal(14,2) cast is exercised but the
+    column is surfaced back as DOUBLE: Spark stringifies DECIMAL with
+    trailing zeros ('205941.60') while DuckDB-through-pandas yields the
+    float form ('205941.6'), so only the re-widened double is comparable."""
     k = F.col("o_orderkey")
     return (
         table(spark, sf_dir, "orders")
@@ -250,7 +265,7 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             k.cast("string").cast("bigint").alias("key_roundtrip"),
             F.col("o_custkey").cast("double").alias("cust_dbl"),
             F.floor("o_totalprice").cast("bigint").alias("price_floor_int"),
-            F.col("o_totalprice").cast("decimal(14,2)").alias("price_dec"),
+            F.col("o_totalprice").cast("decimal(14,2)").cast("double").alias("price_dec"),
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
         )
     )

@@ -161,20 +161,51 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx",
-    oracle=None,  # sketch-based estimates are engine-specific; rows-only check
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_distinct_ok,
+       TRUE AS approx_median_ok,
+       TRUE AS approx_p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
     tags=("aggregate", "approx"),
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the sketches that replace exact
     distinct/quantile at 100 TB: HyperLogLog++ (approx_count_distinct,
     mergeable across partitions) and GK quantile sketches
-    (percentile_approx).  tests/test_relational.py bounds their error
-    against exact values."""
+    (percentile_approx).
+
+    The sketch estimates themselves are engine-specific, so what the
+    oracle pins is the *contract*: the exact distinct count (computed by
+    both engines) plus booleans asserting each Spark sketch lands within
+    tolerance of the exact value.  The oracle emits literal TRUE —
+    Spark's sketches are deterministic for a fixed input, so a
+    within-tolerance regression flips the hash.  Tolerances: HLL at
+    rsd=0.01 checked to 5%; GK quantiles (default accuracy) checked to 5%
+    relative against exact percentile_cont."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("_approx_p99"),
+        F.percentile("l_extendedprice", 0.5).alias("_exact_median"),
+        F.percentile("l_extendedprice", 0.99).alias("_exact_p99"),
+    )
+
+    def within(approx: str, exact: str, tol: float):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= F.abs(F.col(exact)) * tol
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        within("_approx_orders", "exact_orders", 0.05).alias("approx_distinct_ok"),
+        within("_approx_median", "_exact_median", 0.05).alias("approx_median_ok"),
+        within("_approx_p99", "_exact_p99", 0.05).alias("approx_p99_ok"),
     )
 
 

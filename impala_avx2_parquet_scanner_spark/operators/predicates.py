@@ -200,8 +200,10 @@ def pred_kleene_null(spark, sf_dir):
     oracle="""
 SELECT l_linenumber,
        COUNT(*) AS n,
-       SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_null,
-       SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT NULL THEN 1 ELSE 0 END) AS n_not_null
+       -- BIGINT casts: DuckDB SUM over integers yields HUGEINT → pandas
+       -- float64 ('415.0' vs Spark's '415'), breaking the value hash
+       CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null
 FROM lineitem GROUP BY l_linenumber
 """,
     tags=("predicate", "null"),

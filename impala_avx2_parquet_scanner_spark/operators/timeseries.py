@@ -95,8 +95,10 @@ news AS (SELECT first_day AS day, COUNT(*) AS new_users
 SELECT d.day, d.active_users,
        COALESCE(n.new_users, 0) AS new_users,
        d.active_users - COALESCE(n.new_users, 0) AS returning_users,
-       SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+       -- BIGINT cast: DuckDB window SUM yields HUGEINT → pandas float64
+       -- ('134.0' vs Spark's '134'), which breaks the value hash
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM dau d LEFT JOIN news n ON d.day = n.day
 """
 

@@ -2,16 +2,20 @@
 pairs — the step between candidate-pair generation (MinHash-LSH) and
 "keep one representative per cluster" in a corpus dedup pipeline.
 
-Algorithm: iterative label propagation (each node adopts the minimum
-label among itself and its neighbors until fixpoint).  Converges in
-O(cluster diameter) rounds; near-dup clusters are shallow (diameter ≤ ~6
-even at web scale), so the loop is short.  Each round is one join + one
-aggregate — all DataFrame ops, executor-side only; `localCheckpoint`
-truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+Algorithm: iterative label propagation with pointer jumping.  Each round
+every node adopts the minimum label among (a) itself, (b) its neighbors,
+and (c) its current label's own label — step (c) is the pointer-jumping
+hop (component ids ARE node ids, so one extra join chases the chain one
+level), which turns O(cluster diameter) convergence into O(log diameter):
+a 50-node path graph converges in ~7 rounds instead of 49.  Each round is
+two joins + one aggregate — all DataFrame ops, executor-side only;
+`localCheckpoint` truncates the growing lineage so round N doesn't replay
+rounds 1..N-1.  If the fixpoint is not reached within ``max_iter`` rounds
+the function raises rather than returning silently-wrong labels.
 
-This is genuinely iterative (not SQL-expressible as one query), so the
-registry entry has no DuckDB oracle; tests verify against a Python
-union-find on the same pair set.
+The registry entry carries a full DuckDB oracle (recursive-CTE transitive
+closure); tests additionally verify against a Python union-find on the
+same pair set.
 """
 
 from __future__ import annotations
@@ -24,9 +28,18 @@ from impala_avx2_parquet_scanner_spark.registry import query
 MAX_ITERATIONS = 10
 
 
-def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = MAX_ITERATIONS, strict: bool = True
+) -> DataFrame:
     """(node, component) for the undirected graph given by edges
-    (src, dst).  component = min node id reachable."""
+    (src, dst).  component = min node id reachable.
+
+    With pointer jumping, ``max_iter`` rounds resolve components of
+    diameter up to ~2^max_iter — the default 10 covers diameter ~1000,
+    far past any near-dup cluster.  ``strict=True`` raises RuntimeError
+    if labels still changed in the final round (non-convergence), so a
+    pathological graph surfaces loudly instead of returning partial
+    labels."""
     # materialize the (possibly expensive) edge pipeline ONCE — without
     # this, every derived frame and every iteration replays the full
     # upstream plan (e.g. the MinHash-LSH candidate generation)
@@ -42,18 +55,33 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
     )
     sym = sym.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("n_min"))
         )
-        new_labels = (
+        cand = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jump: a component id is itself a node id — chase one
+        # extra level (label-of-label) so long chains halve every round
+        lookup = cand.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        new_labels = (
+            cand.join(lookup, cand.component == lookup.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
             )
         )
@@ -67,7 +95,13 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "raise max_iter (each extra round doubles the resolvable diameter)"
+        )
     return labels
 
 
@@ -94,7 +128,7 @@ reach AS (
 ),
 comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT MIN(node) AS keep_id, COUNT(*) AS cluster_size,
-       list_sort(list(node)) AS members
+       array_to_string(list_sort(list(node)), ',') AS members
 FROM comp GROUP BY component
 """
 
@@ -124,7 +158,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("node").alias("keep_id"),
             F.count(F.lit(1)).alias("cluster_size"),
-            F.array_sort(F.collect_list("node")).alias("members"),
+            # CSV string, not array: same information, but flat scalars
+            # survive the driver's pandas canonicalization (ndarray cells
+            # are unhashable in pandas sort_values)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
         .select("keep_id", "cluster_size", "members")
     )

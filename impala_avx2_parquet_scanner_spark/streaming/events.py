@@ -84,8 +84,10 @@ WITH ordered AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- BIGINT cast: DuckDB window SUM yields HUGEINT, which lands in
+         -- pandas as float64 ('0.0' vs Spark's '0') and breaks the hash
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,

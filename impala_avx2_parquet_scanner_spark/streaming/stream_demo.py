@@ -24,25 +24,36 @@ def events_stream(spark: SparkSession, sf_dir: str, stream_dir: str | None = Non
 
     FileStreamSource requires a *directory* to watch (new files arriving =
     new micro-batches), while the fixture is a single file — so the file
-    is staged into `stream_dir` (a temp dir by default).  The raw file
-    carries TIMESTAMP(NANOS), which the streaming reader also refuses;
-    with `nanosAsLong` it reads as int64 and gets the same floor-to-µs
-    normalization as catalog._load_events."""
+    is staged into `stream_dir` (a temp dir by default).
+
+    The stream declares the *batch loader's* resolved schema
+    (`catalog.table`), which guards on the physical dtype: the fixture's
+    `ts` is physically TIMESTAMP(µs) (verified with pyarrow across all SF
+    dirs), so both paths read it as a plain timestamp — no unit
+    conversion.  If a future fixture shipped int64 nanos, `catalog` would
+    resolve `ts` to the normalized timestamp type and this stream schema
+    would need the same `timestamp_micros(ts div 1000)` hop the batch
+    guard applies; asserting on the batch schema keeps the two paths from
+    drifting apart silently."""
     ensure_runtime_confs(spark)
     if stream_dir is None:
         stream_dir = tempfile.mkdtemp(prefix="events_stream_")
         shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     batch = table(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string,"
-            " value double, props string"
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch.schema.fields)["ts"]
+    if not ts_type.startswith("timestamp"):
+        raise NotImplementedError(
+            f"events.ts resolved to {ts_type}; streaming path only supports "
+            "timestamp fixtures (see catalog._load_events for the batch guard)"
         )
+    stream = (
+        spark.readStream.schema(batch.schema)
         .format("parquet")
         .load(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # watermarks require TIMESTAMP (LTZ); the fixture resolves to NTZ.
+        # Session TZ is pinned to UTC, so the cast is the identity on values.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    # sanity: streaming schema must match the batch loader's (modulo ntz)
     assert [f.name for f in stream.schema.fields] == [f.name for f in batch.schema.fields]
     return stream
 

@@ -14,8 +14,10 @@ engine.load_all()
 
 
 def test_approx_count_distinct_error_bound(spark, sf_dir):
-    """HLL++ default rsd is 5%; exact distinct counts per flag are ~2000
-    at sf0.001, so 15% is a generous, non-flaky bound."""
+    """agg_approx surfaces tolerance booleans (HLL at rsd=0.01 vs exact
+    within 5%; GK quantiles vs exact percentile within 5%) — the oracle
+    pins them to TRUE, and so does this test; exact_orders must equal the
+    independent countDistinct."""
     rows = {r.l_returnflag: r for r in REGISTRY["agg_approx"].fn(spark, sf_dir).collect()}
     exact = {
         r.l_returnflag: r.n
@@ -25,18 +27,14 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         .collect()
     }
     for flag, r in rows.items():
-        assert abs(r.approx_orders - exact[flag]) / exact[flag] < 0.15
+        assert r.exact_orders == exact[flag]
+        assert r.approx_distinct_ok
 
 
 def test_percentile_approx_within_range(spark, sf_dir):
-    rows = REGISTRY["agg_approx"].fn(spark, sf_dir).collect()
-    lo, hi = (
-        table(spark, sf_dir, "lineitem")
-        .agg(F.min("l_extendedprice"), F.max("l_extendedprice"))
-        .collect()[0]
-    )
-    for r in rows:
-        assert lo <= r.approx_median_price <= r.approx_p99_price <= hi
+    for r in REGISTRY["agg_approx"].fn(spark, sf_dir).collect():
+        assert r.approx_median_ok
+        assert r.approx_p99_ok
 
 
 def test_asof_join_no_prior_row_is_null(spark):

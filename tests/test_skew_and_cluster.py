@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import impala_avx2_parquet_scanner_spark as engine
@@ -99,9 +100,31 @@ def test_connected_components_matches_union_find(spark):
     assert normalize(got) == normalize(want)
 
 
+def test_connected_components_50_node_chain_converges(spark):
+    # Pathological diameter: a 50-node path graph.  Plain min-label
+    # propagation needs 49 rounds; the pointer-jumping step must converge
+    # it within the default MAX_ITERATIONS=10 (each round doubles the
+    # resolvable diameter), with every node labeled 0.
+    edges = [(i, i + 1) for i in range(49)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(50)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # With max_iter too small for the diameter, strict mode must raise
+    # rather than return partial labels.
+    edges = [(i, i + 1) for i in range(49)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
 def test_dedup_clusters_query_runs(spark, sf_dir):
     rows = REGISTRY["dedup_clusters"].fn(spark, sf_dir).collect()
     # every cluster keeps its minimum member and reports consistent size
+    # (members is a CSV string so it survives the driver's canonicalizer)
     for r in rows:
-        assert r.keep_id == min(r.members)
-        assert r.cluster_size == len(r.members)
+        members = [int(m) for m in r.members.split(",")]
+        assert r.keep_id == min(members)
+        assert r.cluster_size == len(members)

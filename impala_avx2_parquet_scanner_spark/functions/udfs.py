@@ -119,3 +119,58 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _orders_range_agg,
         schema="o_custkey bigint, n_orders bigint, price_range double",
     )
+
+
+try:  # pyspark >= 3.5 table-function support
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="word string, word_len int")
+    class _WordSplitter:
+        """Python UDTF: one input row (document text) → N output rows
+        (words).  The reference has no UDTF concept (SURVEY §2B lists it
+        among the surfaces Spark adds); this is the generator analog of the
+        scalar UDF lifecycle (scalar-fn-call.cc:41-973) — eval() is called
+        per row and yields any number of tuples."""
+
+        def eval(self, text: str):  # noqa: D102
+            if text:
+                for w in text.split():
+                    yield w, len(w)
+
+    _HAVE_UDTF = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAVE_UDTF = False
+
+
+@query(
+    "udtf_split_words",
+    oracle="""
+SELECT doc_id, word, CAST(LENGTH(word) AS INT) AS word_len
+FROM (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS word
+  FROM documents WHERE doc_id <= 50
+) t
+WHERE word <> ''
+""",
+    tags=("udf", "udtf"),
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued UDF (UDTF) via LATERAL correlation: each document row
+    fans out to one row per word.  Row-at-a-time Python (like udf_rowwise,
+    a surface demo, not a hot path — the vectorized equivalent is
+    explode(split(...)) as used by the text_* pipeline)."""
+    if not _HAVE_UDTF:
+        raise NotImplementedError("pyspark.sql.functions.udtf unavailable")
+    spark.udtf.register("split_words", _WordSplitter)
+    (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 50)
+        .select("doc_id", "text")
+        .createOrReplaceTempView("udtf_docs")
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.word_len
+        FROM udtf_docs d, LATERAL split_words(d.text) t
+        """
+    )

@@ -35,9 +35,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     # Reference operator #3: metadata-only count(*) fast path.
     "spark.sql.parquet.aggregatePushdown": "true",
-    # events.parquet stores TIMESTAMP(NANOS); Spark reads it as int64 only
-    # with this flag — catalog.load_events() converts to timestamp_ntz.
+    # events.parquet could store TIMESTAMP(NANOS); with this flag Spark
+    # reads such a column as int64 and catalog._load_events converts to
+    # timestamp_ntz (the shipped fixtures are plain µs and skip that path).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # INT96 timestamps (reference hdfs-parquet-scanner.cc:57-59, 598-605:
+    # optional UTC→local conversion for Hive-written files) — Spark's
+    # equivalent knob is spark.sql.parquet.int96TimestampConversion
+    # (+ int96RebaseModeInRead/Write for pre-Gregorian rebasing).  The
+    # fixtures carry no INT96 data, so the confs are documented here per
+    # SURVEY §7 rather than set: the defaults (no conversion, EXCEPTION on
+    # ambiguous rebase) are correct for Spark-written files.
     # Runtime re-planning: partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,17 +1,21 @@
-"""Second wave of TPC-H-adapted queries: Q7, Q8, Q17, Q18, Q19, Q22.
+"""Second wave of TPC-H-adapted queries: Q7, Q8, Q15-Q19, Q21, Q22.
 
 The reference's own benchmark set is Q6/Q12/Q13/Q14 (README.md:9-13); these
-six extend the engine's end-to-end surface to the remaining TPC-H shapes
-expressible on the fixture schema (no partsupp table, so Q2/Q9/Q11/Q16/Q20
-are out of scope; no l_commitdate/l_receiptdate, so Q21's lateness
-predicate has no analog):
+extend the engine's end-to-end surface to the remaining TPC-H shapes
+expressible on the fixture schema (Q2/Q9/Q11/Q20 stay out of scope: they
+need partsupp's ps_supplycost/ps_availqty columns, which have no fixture
+analog):
 
 - Q7  volume shipping: 6-way join + nation-pair disjunction + year rollup
 - Q8  market share: conditional aggregation over an 8-way join
+- Q16 parts/supplier counts (adapted: DISTINCT (l_partkey, l_suppkey)
+  from lineitem stands in for the absent partsupp relation)
 - Q17 small-quantity revenue: per-key average joined back to the fact
 - Q18 large-volume customers: having-filtered semi-reduction then re-join
 - Q15 top supplier: derived revenue view + scalar-max self-comparison
 - Q19 disjunctive multi-column predicate (OR of conjunct groups)
+- Q21 waiting suppliers (adapted: shipdate-vs-orderdate lateness replaces
+  the absent l_receiptdate/l_commitdate pair): EXISTS + NOT EXISTS
 - Q22 anti-join + scalar subquery (adapted: "no recent orders" replaces
   the missing c_phone country-code machinery)
 
@@ -369,4 +373,134 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             sum_dbl(dec_price("c_acctbal"), "totacctbal"),
         )
+    )
+
+
+_Q16_ORACLE = """
+WITH partsupp AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16", oracle=_Q16_ORACLE, tags=("tpch", "join", "distinct"))
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship, adapted: the fixture has no
+    partsupp table, so the part↔supplier relation is derived as
+    DISTINCT (l_partkey, l_suppkey) from lineitem — the same relation a
+    TPC-H generator would have seeded it with — and the supplier
+    complaint-comment exclusion becomes a negative-balance exclusion (no
+    s_comment column).  Shape preserved: filtered dimension join +
+    NOT IN exclusion + COUNT(DISTINCT) rollup.
+
+    Scale: the DISTINCT pair projection is the only lineitem-sized
+    shuffle; part and the 6-row exclusion list broadcast; the final
+    aggregate carries one row per (brand, type, size)."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("ECONOMY")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excluded = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND n_name IN ('NATION_3', 'NATION_7')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+"""
+
+
+@query("tpch_q21", oracle=_Q21_ORACLE, tags=("tpch", "semi", "anti"))
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted: the fixture
+    lacks l_commitdate/l_receiptdate, so "late" becomes l_shipdate more
+    than 60 days after o_orderdate (per-line, since shipdate varies within
+    an order).  The oracle keeps Q21's literal EXISTS / NOT EXISTS
+    formulation; the Spark plan uses the standard decorrelated rewrite —
+    an order qualifies iff it has >=2 distinct suppliers and exactly ONE
+    distinct late supplier, and every late line of a qualifying order
+    belongs to that supplier by construction.
+
+    Scale: one lineitem->orders equi-join (orders projected to two
+    columns), two map-side-combinable per-order aggregates reusing the
+    same orderkey partitioning, then a broadcast supplier/nation join on
+    the few qualifying rows."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    late = l.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_late_supp")
+    )
+    qualifying = (
+        late.join(per_order.filter(F.col("n_supp") >= 2), "l_orderkey")
+        .join(late_per_order.filter(F.col("n_late_supp") == 1), "l_orderkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    return (
+        qualifying.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -5,19 +5,25 @@ Design: media payloads ride as `binary` columns next to structured
 metadata (modality, format, dims, duration).  Decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas iterators
 (`mapInPandas`) so a 100 TB corpus streams batch-by-batch through Python
-workers without per-row serde.  The actual codec step is STUBBED (the
-image/audio libraries are not in this container): `decode_stub=True`
-produces deterministic fake features so the Spark-side plumbing — schema,
-batching, partitioning — is real and tested; a production deployment
-swaps `_decode_image_batch` for a Pillow/OpenCV implementation without
-touching the plan shape.
+workers without per-row serde.
+
+Codec honesty: the container has no image/audio libraries, so this module
+ships REAL pure-numpy codecs for the uncompressed formats it can parse
+end-to-end — PPM (P6) images and PCM16 WAV audio: binary → pixel/sample
+arrays → statistics features, true nearest-neighbor image resize, true
+per-window audio RMS.  Compressed formats (png/jpeg/mp3/mp4 — and any
+video decode) raise NotImplementedError with a clear message; a
+production deployment registers Pillow/ffmpeg-backed codecs in _DECODERS
+without touching the plan shape.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -38,7 +44,7 @@ ASSET_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
         StructField("modality", StringType(), False),  # image|audio|video
-        StructField("media_format", StringType(), True),  # png|wav|mp4|...
+        StructField("media_format", StringType(), True),  # ppm|wav|mp4|...
         StructField("payload", BinaryType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
@@ -59,36 +65,171 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _fake_features(payload: bytes | None) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector: bytes of
-    sha256(payload) scaled to [0, 1).  Replace with a real decoder+model
-    in production; shape and dtype are the contract."""
+# --------------------------------------------------------------------------
+# Real codecs (pure numpy/struct — no external media libraries)
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) payload."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) payload → (h, w, 3) uint8 array.  Parses the
+    whitespace/comment-tolerant header per the netpbm spec."""
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    i += 1  # single whitespace byte after maxval
+    raster = payload[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Real nearest-neighbor resample of an (h, w, 3) array."""
+    h_in, w_in = pixels.shape[:2]
+    ys = (np.arange(height) * h_in // height).clip(0, h_in - 1)
+    xs = (np.arange(width) * w_in // width).clip(0, w_in - 1)
+    return pixels[ys][:, xs]
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono int16 sample array → canonical 44-byte-header RIFF/WAVE."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE payload → (mono int16 samples, sample_rate).  Walks the
+    chunk list, so extra chunks (LIST/INFO) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError("only mono PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def _image_features(payload: bytes) -> list[float]:
+    """Decoded-pixel statistics: dims + per-channel mean/std + global
+    min/max, zero-padded to FEATURE_DIM."""
+    px = decode_ppm(payload).astype(np.float64)
+    h, w = px.shape[:2]
+    feats = [float(w), float(h)]
+    feats += [float(px[:, :, c].mean()) for c in range(3)]
+    feats += [float(px[:, :, c].std()) for c in range(3)]
+    feats += [float(px.min()), float(px.max())]
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+def _audio_features(payload: bytes) -> list[float]:
+    """Decoded-sample statistics: rate, length, mean/RMS/peak and
+    zero-crossing rate, zero-padded to FEATURE_DIM."""
+    samples, rate = decode_wav_pcm16(payload)
+    x = samples.astype(np.float64)
+    n = len(x)
+    zc = float(np.count_nonzero(np.diff(np.signbit(x)))) / n if n > 1 else 0.0
+    feats = [
+        float(rate),
+        float(n),
+        float(x.mean()) if n else 0.0,
+        float(np.sqrt((x * x).mean())) if n else 0.0,
+        float(np.abs(x).max()) if n else 0.0,
+        zc,
+    ]
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+#: Registered codecs: (modality, media_format) → feature fn.  Production
+#: adds e.g. ("image", "png") backed by Pillow here.
+_DECODERS = {
+    ("image", "ppm"): _image_features,
+    ("audio", "wav"): _audio_features,
+}
+
+
+def _features(modality: str, media_format: str | None, payload: bytes | None):
     if payload is None:
-        return [0.0] * FEATURE_DIM
-    digest = hashlib.sha256(payload).digest()
-    return [b / 256.0 for b in digest[:FEATURE_DIM]]
+        return None
+    fn = _DECODERS.get((modality, media_format or ""))
+    if fn is None:
+        return None  # unsupported codec → null features (see extract_features)
+    return fn(bytes(payload))
 
 
-def _decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """STUB decode: production would decode pdf['payload'] via Pillow and
-    run a feature extractor.  The container lacks image libs, so features
-    are the deterministic fake above (raise NotImplementedError here if a
-    hard failure is preferred over fake features)."""
+def _decode_batch(pdf: pd.DataFrame, require_codecs: bool) -> pd.DataFrame:
+    if require_codecs:
+        missing = {
+            (m, f)
+            for m, f in zip(pdf["modality"], pdf["media_format"])
+            if (m, f or "") not in _DECODERS
+        }
+        if missing:
+            raise NotImplementedError(
+                f"no codec for {sorted(missing)}; compressed formats need "
+                "external libraries — register a decoder in _DECODERS"
+            )
     return pd.DataFrame(
         {
             "asset_id": pdf["asset_id"],
             "modality": pdf["modality"],
             "payload_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
             "payload_sha": pdf["payload"].map(
-                lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
+                lambda p: hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
             ),
-            "features": pdf["payload"].map(_fake_features),
+            "features": [
+                _features(m, f, p)
+                for m, f, p in zip(pdf["modality"], pdf["media_format"], pdf["payload"])
+            ],
         }
     )
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column.
+def extract_features(assets: DataFrame, require_codecs: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column: REAL
+    decode for registered codecs (PPM pixels, WAV samples), features=NULL
+    for formats with no registered codec (or raise, with
+    ``require_codecs=True``).  payload_bytes/sha are codec-independent.
 
     mapInPandas streams one pandas batch per Arrow chunk — constant memory
     per task regardless of corpus size; partition count controls
@@ -96,39 +237,52 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_image_batch(pdf)
+            yield _decode_batch(pdf, require_codecs)
 
-    return assets.select("asset_id", "modality", "payload").mapInPandas(
+    return assets.select("asset_id", "modality", "media_format", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
 
 
 def synthesize_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table for tests (payload = repeated id
-    bytes; no external media libs needed)."""
+    """Deterministic asset table for tests, carrying REAL media payloads:
+    PPM gradient images and PCM16 sine-wave WAVs (both synthesized with
+    numpy, decoded by the codecs above).  Video payloads stay opaque bytes
+    (no mp4 codec in the container)."""
     rows = []
     for i in range(n):
-        payload = bytes([i % 256] * (64 + i))
         modality = ("image", "audio", "video")[i % 3]
-        rows.append(
-            (
-                i,
-                modality,
-                {"image": "png", "audio": "wav", "video": "mp4"}[modality],
-                payload,
-                64 if modality == "image" else None,
-                48 if modality == "image" else None,
-                1000 * i if modality != "image" else None,
-            )
-        )
+        if modality == "image":
+            w, h = 64, 48
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            px = np.stack(
+                [
+                    np.broadcast_to((xs * 3 + i) % 256, (h, w)),
+                    np.broadcast_to((ys * 5 + i) % 256, (h, w)),
+                    (xs + ys + i) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append((i, "image", "ppm", encode_ppm(px), w, h, None))
+        elif modality == "audio":
+            rate, dur_ms = 8000, 250 * ((i % 4) + 1)
+            t = np.arange(rate * dur_ms // 1000)
+            freq = 220.0 * ((i % 5) + 1)
+            samples = (3000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+            rows.append((i, "audio", "wav", encode_wav_pcm16(samples, rate), None, None, dur_ms))
+        else:
+            payload = bytes([i % 256] * (64 + i))  # opaque: no video codec
+            rows.append((i, "video", "mp4", payload, None, None, 1000 * i))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Plan-shape for video frame sampling: explode timestamps at a fixed
-    stride (decode of each frame is the stubbed step).  Demonstrates the
-    partition-preserving explode pattern: no shuffle, output rows stay on
-    the worker holding the payload."""
+    stride.  Per-frame decode would need a video codec (NotImplemented in
+    this container — register in _DECODERS when available); the explode
+    itself demonstrates the partition-preserving pattern: no shuffle,
+    output rows stay on the worker holding the payload."""
     return (
         assets.filter(F.col("modality") == "video")
         .withColumn(
@@ -151,22 +305,21 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """STUB image resize over mapInPandas (production: Pillow/OpenCV
-    decode → resample → re-encode).  The fake keeps the contract real:
-    output payload is a deterministic function of the input payload and
-    the target dims (here: sha256-keyed truncation to width*height bytes),
-    and the declared dims are rewritten.  Plan shape is identical to a
-    real resize: narrow (no shuffle), Arrow-batched, constant memory."""
+    """REAL image resize over mapInPandas: decode PPM → nearest-neighbor
+    resample → re-encode PPM.  Narrow (no shuffle), Arrow-batched,
+    constant memory; non-PPM images raise (no compressed-image codec
+    here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
         for pdf in batches:
-            def fake_resize(p: bytes | None) -> bytes | None:
+            def do_resize(fmt: str | None, p: bytes | None) -> bytes | None:
                 if p is None:
                     return None
-                seed = hashlib.sha256(p).digest()
-                reps = target // len(seed) + 1
-                return (seed * reps)[:target]
+                if fmt != "ppm":
+                    raise NotImplementedError(
+                        f"no resize codec for image format {fmt!r}"
+                    )
+                return encode_ppm(resize_nearest(decode_ppm(bytes(p)), width, height))
 
             yield pd.DataFrame(
                 {
@@ -174,7 +327,10 @@ def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataF
                     "media_format": pdf["media_format"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"].map(fake_resize),
+                    "payload": [
+                        do_resize(f, p)
+                        for f, p in zip(pdf["media_format"], pdf["payload"])
+                    ],
                 }
             )
 
@@ -186,8 +342,9 @@ def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataF
 def audio_window_plan(assets: DataFrame, window_ms: int = 500) -> DataFrame:
     """Plan-shape for audio windowing (the audio twin of
     frame_sample_plan): explode fixed-stride windows over the declared
-    duration; per-window decode/feature-extract is the stubbed step.
-    Partition-preserving — rows stay with the payload's worker."""
+    duration.  Partition-preserving — rows stay with the payload's
+    worker.  Pair with audio_window_features for the decoded per-window
+    energies."""
     return (
         assets.filter(F.col("modality") == "audio")
         .withColumn(
@@ -196,6 +353,47 @@ def audio_window_plan(assets: DataFrame, window_ms: int = 500) -> DataFrame:
         )
         .select("asset_id", "media_format", "window_start_ms", "payload")
     )
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("window_start_ms", LongType(), False),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+    ]
+)
+
+
+def audio_window_features(assets: DataFrame, window_ms: int = 500) -> DataFrame:
+    """REAL per-window audio features: decode WAV once per asset, slice
+    the sample array into fixed windows, emit RMS + peak per window.  One
+    mapInPandas pass, no shuffle; window count rides the sample length,
+    not the declared metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, starts, rmss, peaks = [], [], [], []
+            for aid, fmt, p in zip(pdf["asset_id"], pdf["media_format"], pdf["payload"]):
+                if p is None:
+                    continue
+                if fmt != "wav":
+                    raise NotImplementedError(f"no audio codec for {fmt!r}")
+                samples, rate = decode_wav_pcm16(bytes(p))
+                step = rate * window_ms // 1000
+                for w0 in range(0, max(len(samples), 1), max(step, 1)):
+                    x = samples[w0 : w0 + step].astype(np.float64)
+                    ids.append(int(aid))
+                    starts.append(w0 * 1000 // rate)
+                    rmss.append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+                    peaks.append(float(np.abs(x).max()) if len(x) else 0.0)
+            yield pd.DataFrame(
+                {"asset_id": ids, "window_start_ms": starts, "rms": rmss, "peak": peaks}
+            )
+
+    return assets.filter(F.col("modality") == "audio").select(
+        "asset_id", "media_format", "payload"
+    ).mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
 
 
 _FEATURES_ORACLE = """
@@ -226,7 +424,8 @@ def _register_multimodal_query() -> None:
         derived from the text column, DuckDB replays the whole thing
         (octet_length + sha256), making this the oracle-checked proof that
         the Arrow batch path (BinaryType → pandas bytes → schema'd output)
-        is lossless.  The codec-dependent stubs above stay rows-only."""
+        is lossless.  The PPM/WAV codec paths are value-tested in
+        tests/test_pipeline.py against independent numpy decodes."""
         schema = StructType(
             [
                 StructField("doc_id", LongType(), False),

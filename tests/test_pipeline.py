@@ -133,15 +133,65 @@ def test_lsh_signature_matches_numpy(spark, sf_dir):
 
 
 def test_multimodal_feature_extraction(spark):
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+    )
+
     assets = synthesize_assets(spark, n=32)
+    src = {r.asset_id: r for r in assets.collect()}
     feats = extract_features(assets).collect()
     assert len(feats) == 32
     by_id = {r.asset_id: r for r in feats}
-    payload0 = bytes([0] * 64)
-    assert by_id[0].payload_sha == hashlib.sha256(payload0).hexdigest()
-    assert by_id[0].payload_bytes == 64
-    digest = hashlib.sha256(payload0).digest()
-    assert by_id[0].features == pytest.approx([b / 256.0 for b in digest[:FEATURE_DIM]])
+    for aid, r in by_id.items():
+        payload = bytes(src[aid].payload)
+        assert r.payload_bytes == len(payload)
+        assert r.payload_sha == hashlib.sha256(payload).hexdigest()
+    # image features are REAL pixel statistics — verify against an
+    # independent numpy decode (asset 0 is an image)
+    px = decode_ppm(bytes(src[0].payload)).astype(float)
+    assert by_id[0].features[0] == 64.0 and by_id[0].features[1] == 48.0
+    assert by_id[0].features[2] == pytest.approx(px[:, :, 0].mean())
+    assert by_id[0].features[5] == pytest.approx(px[:, :, 0].std())
+    # audio features are REAL sample statistics (asset 1 is audio)
+    samples, rate = decode_wav_pcm16(bytes(src[1].payload))
+    x = samples.astype(float)
+    assert by_id[1].features[0] == float(rate)
+    assert by_id[1].features[3] == pytest.approx(float(np.sqrt((x * x).mean())))
+    # video has no registered codec → features NULL, sha/bytes still real
+    assert by_id[2].features is None
+    assert len(by_id[0].features) == FEATURE_DIM
+
+
+def test_multimodal_codec_roundtrips():
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+        resize_nearest,
+    )
+
+    px = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    small = resize_nearest(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+    samples = (1000 * np.sin(np.arange(800))).astype(np.int16)
+    got, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 8000))
+    assert rate == 8000 and (got == samples).all()
+
+
+def test_multimodal_unsupported_codec_raises(spark):
+    import pytest as _pytest
+
+    assets = synthesize_assets(spark, n=12)
+    with _pytest.raises(Exception, match="no codec|NotImplemented"):
+        extract_features(assets, require_codecs=True).collect()
 
 
 def test_multimodal_frame_sampling(spark):
@@ -158,21 +208,49 @@ def test_multimodal_frame_sampling(spark):
     }
 
 
-def test_multimodal_resize_stub(spark):
-    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import resize_images
+def test_multimodal_resize_real(spark):
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        decode_ppm,
+        resize_images,
+        resize_nearest,
+    )
 
     assets = synthesize_assets(spark, n=12)
     out = resize_images(assets, width=8, height=4).collect()
     images = assets.filter(F.col("modality") == "image").collect()
     assert len(out) == len(images)
+    src = {r.asset_id: bytes(r.payload) for r in images}
     for r in out:
         assert (r.width, r.height) == (8, 4)
-        assert len(r.payload) == 8 * 4
-    # deterministic: same payload in → same resized bytes out
-    src = {r.asset_id: r.payload for r in images}
-    for r in out:
-        seed = hashlib.sha256(bytes(src[r.asset_id])).digest()
-        assert bytes(r.payload) == (seed * (32 // len(seed) + 1))[:32]
+        got = decode_ppm(bytes(r.payload))
+        assert got.shape == (4, 8, 3)
+        # true nearest-neighbor: matches an independent numpy resample
+        want = resize_nearest(decode_ppm(src[r.asset_id]), 8, 4)
+        assert (got == want).all()
+
+
+def test_multimodal_audio_window_features(spark):
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        audio_window_features,
+        decode_wav_pcm16,
+    )
+
+    assets = synthesize_assets(spark, n=12)
+    rows = audio_window_features(assets, window_ms=250).collect()
+    audios = {r.asset_id: bytes(r.payload) for r in assets.collect() if r.modality == "audio"}
+    assert {r.asset_id for r in rows} == set(audios)
+    for aid, payload in audios.items():
+        samples, rate = decode_wav_pcm16(payload)
+        step = rate * 250 // 1000
+        windows = [r for r in rows if r.asset_id == aid]
+        assert len(windows) == (len(samples) + step - 1) // step
+        w0 = sorted(windows, key=lambda r: r.window_start_ms)[0]
+        x = samples[:step].astype(float)
+        assert w0.rms == pytest.approx(float(np.sqrt((x * x).mean())))
 
 
 def test_multimodal_audio_windows(spark):

@@ -481,26 +481,31 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     )
-    late = l.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    )
+    # Single pass over l: one groupBy(orderkey) computes every per-order
+    # quantity the EXISTS/NOT EXISTS pair needs.  The join on l_orderkey
+    # already partitioned l by the key, so this aggregation adds no
+    # exchange — one lineitem scan, one shuffle, instead of the naive
+    # three-frame self-join (which re-scans lineitem per frame).
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     per_order = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(is_late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late_lines"),
+        F.min(F.when(is_late, F.col("l_suppkey"))).alias("late_suppkey"),
     )
-    late_per_order = late.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_late_supp")
-    )
-    qualifying = (
-        late.join(per_order.filter(F.col("n_supp") >= 2), "l_orderkey")
-        .join(late_per_order.filter(F.col("n_late_supp") == 1), "l_orderkey")
+    # EXISTS(other supplier) ∧ NOT EXISTS(other late supplier) ⇔ the order
+    # has ≥2 suppliers and exactly one DISTINCT late supplier — and every
+    # late line of such an order belongs to that supplier by construction.
+    qualifying = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     return (
-        qualifying.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualifying.join(F.broadcast(s), F.col("late_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )

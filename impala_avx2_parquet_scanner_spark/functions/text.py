@@ -612,3 +612,50 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
         )
     )
+
+
+_PII_ORACLE = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                || '@example.com tel 5551234' || CAST(doc_id AS VARCHAR),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+       CAST(LENGTH(regexp_replace(
+           text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                || '@example.com tel 5551234' || CAST(doc_id AS VARCHAR),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'))
+         - LENGTH(text) AS INT) AS delta_after_email
+FROM documents WHERE doc_id <= 100
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE, tags=("text", "pipeline", "quality"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email addresses and long digit runs replaced with
+    placeholder tokens — a standard pre-training redaction pass.  The
+    fixture corpus is synthetic (no real PII), so both engines first
+    append a deterministic doc-keyed email + phone suffix, then scrub it;
+    the oracle replays construction AND redaction, proving the regex
+    semantics match (Java regex vs RE2 — patterns restricted to the
+    common subset).
+
+    Scale: pure projection (two regexp_replace over the scan), no
+    shuffle; regex cost is per-byte and embarrassingly parallel."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 5551234"),
+        F.col("doc_id").cast("string"),
+    )
+    after_email = F.regexp_replace(
+        seeded, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(after_email, r"[0-9]{7,}", "<NUM>").alias("scrubbed"),
+        (F.length(after_email) - F.length("text")).cast("int").alias("delta_after_email"),
+    )

@@ -173,3 +173,39 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+_WEIGHTED_KEY = _SQL_H64.format(x="'wsamp:' || CAST(doc_id AS VARCHAR)")
+
+_WEIGHTED_ORACLE = f"""
+SELECT doc_id, n_chars,
+       CAST(LEAST(n_chars * 300, 1000000) AS DOUBLE) / 1000000.0 AS p_keep
+FROM documents
+WHERE ({_WEIGHTED_KEY} % 1000000) < LEAST(n_chars * 300, 1000000)
+"""
+
+
+@query("sample_weighted", oracle=_WEIGHTED_ORACLE, tags=("pipeline", "sampling"))
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted sampling: inclusion probability
+    proportional to document size (capped at 1) — the standard move when
+    long documents should dominate a token-budgeted mix without a
+    separate pass to compute token counts.
+
+    keep ⇔ hash(doc_id) mod 1e6 < min(n_chars·300, 1e6): pure integer
+    arithmetic on scan columns, so the decision fuses into the scan
+    (zero shuffle), replays identically on any cluster size/retry, and
+    the DuckDB oracle reproduces it bit-for-bit.  The emitted `p_keep`
+    documents each row's inclusion probability for downstream
+    importance-weighting (1/p_keep loss scaling)."""
+    d = table(spark, sf_dir, "documents")
+    key = h64(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    cap = F.least(F.col("n_chars") * 300, F.lit(1000000))
+    return (
+        d.filter((key % 1000000) < cap)
+        .select(
+            "doc_id",
+            "n_chars",
+            (cap.cast("double") / 1000000.0).alias("p_keep"),
+        )
+    )

@@ -268,11 +268,11 @@ def agg_percentile_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATS_ORACLE = """
 SELECT l_returnflag, n,
-       sx / n AS mean_qty,
-       (sxx - sx * sx / n) / (n - 1) AS var_qty,
-       SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-       (sxy - sx * sy / n)
-         / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+       ROUND(sx / n, 9) AS mean_qty,
+       ROUND((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 9) AS std_qty,
+       ROUND((sxy - sx * sy / n)
+         / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 9) AS corr_qty_price
 FROM (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
@@ -295,7 +295,13 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Native stddev/corr aggregates accumulate doubles in scan order and so
     differ bit-wise between engines and between cluster sizes; moment
     sums in exact DECIMAL are associative — the same deterministic-
-    parallelism discipline as exprs.py, extended to second moments."""
+    parallelism discipline as exprs.py, extended to second moments.
+
+    The derived statistics are rounded to 9 dp on both sides: second
+    moments like Σy² exceed 2^53 in scaled-integer form, and DuckDB's
+    decimal→double conversion double-rounds (int128→double, then ÷10^s)
+    where Spark's BigDecimal cast rounds once — a 1-ulp input divergence
+    that 9-dp rounding absorbs (same discipline as text_unigram_logprob)."""
     x = F.col("l_quantity").cast("decimal(12,2)")
     y = F.col("l_extendedprice").cast("decimal(12,2)")
     m = (
@@ -315,12 +321,13 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         "n",
-        (sx / n).alias("mean_qty"),
-        ((sxx - sx * sx / n) / (n - F.lit(1))).alias("var_qty"),
-        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("std_qty"),
-        (
+        F.round(sx / n, 9).alias("mean_qty"),
+        F.round((sxx - sx * sx / n) / (n - F.lit(1)), 9).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 9).alias("std_qty"),
+        F.round(
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            9,
         ).alias("corr_qty_price"),
     )
 

@@ -29,20 +29,36 @@ WRITER_OPTIONS = {
 }
 
 
+#: Codecs the reference sink accepts (hdfs-parquet-table-writer.cc:
+#: snappy default / gzip / none) plus Spark-native extras.
+SUPPORTED_CODECS = ("snappy", "gzip", "none", "uncompressed", "zstd", "lz4")
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
     max_records_per_file: int | None = None,
+    compression: str | None = None,
 ) -> None:
     """Write with reference-sink semantics (snappy + dictionary, optional
     partitioned layout and file-size cap).
 
-    `max_records_per_file` is the Spark analog of the reference's
-    HDFS-block-derived file rolling (hdfs-parquet-table-writer.cc:932-978)."""
+    `compression` selects the codec (reference sink: snappy default,
+    gzip, none — hdfs-parquet-table-writer.cc codec dispatch); `None`
+    keeps the snappy default.  `max_records_per_file` is the Spark analog
+    of the reference's HDFS-block-derived file rolling
+    (hdfs-parquet-table-writer.cc:932-978)."""
+    if compression is not None and compression not in SUPPORTED_CODECS:
+        raise ValueError(
+            f"unsupported codec {compression!r}; expected one of {SUPPORTED_CODECS}"
+        )
     writer = df.write.mode(mode)
-    for key, value in WRITER_OPTIONS.items():
+    options = dict(WRITER_OPTIONS)
+    if compression is not None:
+        options["compression"] = compression
+    for key, value in options.items():
         writer = writer.option(key, value)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -254,3 +254,31 @@ def test_csv_permissive_mode_recovers_malformed_rows(spark, tmp_path):
     assert rows[4].v == 8.25 and rows[4]._bad is None
     bad = [r for r in df.collect() if r._bad is not None]
     assert len(bad) == 2  # short row and bad-typed row both quarantined
+
+
+def test_parquet_codec_roundtrips(spark, sf_dir, tmp_path):
+    """Reference sink codec dispatch (snappy default / gzip / none,
+    hdfs-parquet-table-writer.cc) + Spark-native zstd: every codec
+    round-trips identically and the files really carry the codec."""
+    import pyarrow.parquet as pq
+    import glob
+
+    src = table(spark, sf_dir, "region")
+    want = _sorted_rows(src, "r_regionkey")
+    expected_codec = {"snappy": "SNAPPY", "gzip": "GZIP", "none": "UNCOMPRESSED", "zstd": "ZSTD"}
+    for codec in ("snappy", "gzip", "none", "zstd"):
+        out = str(tmp_path / f"rt_{codec}")
+        write_parquet(src, out, compression=codec)
+        back = read_parquet(spark, out)
+        assert _sorted_rows(back, "r_regionkey") == want, codec
+        f = glob.glob(f"{out}/*.parquet")[0]
+        meta = pq.ParquetFile(f).metadata
+        assert meta.row_group(0).column(0).compression == expected_codec[codec]
+
+
+def test_parquet_unknown_codec_rejected(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    src = table(spark, sf_dir, "region")
+    with _pytest.raises(ValueError, match="unsupported codec"):
+        write_parquet(src, str(tmp_path / "bad"), compression="brotli9000")

@@ -169,3 +169,42 @@ def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_q21_single_pass_no_self_joins(spark, sf_dir):
+    """Q21's decorrelated rewrite must stay a single pass over lineitem:
+    one conditional aggregation per order, broadcast dimension joins — no
+    sort-merge self-joins re-scanning the fact table (the naive
+    three-frame plan had 6 exchanges and 4 SMJs)."""
+    from impala_avx2_parquet_scanner_spark.operators.tpch_extra import tpch_q21
+    from impala_avx2_parquet_scanner_spark.plans import formatted_plan
+
+    df = tpch_q21(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert exchange_count(df) <= 3
+
+
+def test_q16_broadcasts_part_and_exclusion(spark, sf_dir):
+    """Q16's dimension join (part) and supplier exclusion must broadcast;
+    the only lineitem-sized work is the DISTINCT pair projection."""
+    from impala_avx2_parquet_scanner_spark.operators.tpch_extra import tpch_q16
+    from impala_avx2_parquet_scanner_spark.plans import formatted_plan
+
+    df = tpch_q16(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert exchange_count(df) <= 3
+
+
+def test_selectivity_sweep_predicate_pushed(spark, sf_dir):
+    """Every sweep point must push its range predicate into the scan —
+    the sweep measures scan/decode throughput, not Filter-operator cost
+    (reference README.md:15-22 contract)."""
+    from impala_avx2_parquet_scanner_spark.registry import REGISTRY
+
+    for name in ("selectivity_002", "selectivity_100"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        filters = pushed_filters(df)
+        assert any("l_quantity" in f for f in filters), (name, filters)

@@ -43,6 +43,7 @@ def load_all() -> None:
         timeseries,
         tpch,
         tpch_extra,
+        tpch_partsupp,
         windows,
     )
     from impala_avx2_parquet_scanner_spark.functions import (  # noqa: F401

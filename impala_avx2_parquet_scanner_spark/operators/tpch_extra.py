@@ -2,9 +2,8 @@
 
 The reference's own benchmark set is Q6/Q12/Q13/Q14 (README.md:9-13); these
 extend the engine's end-to-end surface to the remaining TPC-H shapes
-expressible on the fixture schema (Q2/Q9/Q11/Q20 stay out of scope: they
-need partsupp's ps_supplycost/ps_availqty columns, which have no fixture
-analog):
+expressible on the fixture schema (Q2/Q9/Q11/Q20 — the partsupp-dependent
+quartet — live in tpch_partsupp.py on a derived part↔supplier relation):
 
 - Q7  volume shipping: 6-way join + nation-pair disjunction + year rollup
 - Q8  market share: conditional aggregation over an 8-way join

@@ -23,6 +23,8 @@ SAMPLE = [
     "tpch_q1",
     "tpch_q6",
     "tpch_q13",
+    "tpch_q9",
+    "tpch_q20",
     "pred_in",
     "pred_kleene_null",
     "agg_rollup",

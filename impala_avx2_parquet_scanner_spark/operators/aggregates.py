@@ -506,3 +506,104 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+# --- Count-Min sketch -------------------------------------------------------
+# Deterministic CMS (Cormode & Muthukrishnan): D hash rows × W buckets over
+# the document token stream, probed for a fixed token set.  Like
+# agg_kmv_distinct, the sketch uses the portable MD5-derived h64 so the
+# oracle replays every hash, bucket, and MIN term-for-term.
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_PROBES = ("join", "hash", "scan", "filter", "merge")
+
+_CMS_ORACLE = f"""
+WITH tokens AS (
+  SELECT unnest(list_filter(string_split(lower(regexp_replace(text,
+           '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
+  FROM documents
+),
+seeds AS (SELECT unnest(range({_CMS_D})) AS seed),
+buckets AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(concat('cms', CAST(seed AS VARCHAR), ':', token)), 1, 15))
+              AS BIGINT) % {_CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM tokens, seeds
+  GROUP BY 1, 2
+),
+probes AS (SELECT unnest(['join','hash','scan','filter','merge']) AS token),
+probe_buckets AS (
+  SELECT p.token, s.seed,
+         CAST(('0x' || substr(md5(concat('cms', CAST(s.seed AS VARCHAR), ':', p.token)), 1, 15))
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM probes p, seeds s
+),
+est AS (
+  SELECT pb.token, MIN(b.cnt) AS cms_estimate
+  FROM probe_buckets pb
+  JOIN buckets b ON b.seed = pb.seed AND b.bucket = pb.bucket
+  GROUP BY 1
+),
+exact AS (SELECT token, COUNT(*) AS exact_n FROM tokens GROUP BY 1)
+SELECT e.token, e.cms_estimate, x.exact_n,
+       e.cms_estimate >= x.exact_n AS admissible
+FROM est e JOIN exact x ON x.token = e.token
+"""
+
+
+@query("agg_count_min", oracle=_CMS_ORACLE, tags=("aggregate", "sketch"))
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch, fully value-checked: build a D=4 × W=1024
+    counter table over the corpus token stream, answer point queries for a
+    fixed probe set as MIN over the D bucket counters, and emit the exact
+    count + the CMS admissibility invariant (estimate >= truth) alongside.
+
+    Scale: the sketch is ONE groupBy over (seed, bucket) — 4096 counters
+    regardless of corpus size, the canonical mergeable-summary pattern for
+    100 TB frequency estimation (map-side combine does almost all the
+    work; the probe join touches D rows per queried token)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import h64
+
+    def bucket(tok, i: int):
+        return F.pmod(h64(F.concat(F.lit(f"cms{i}:"), tok)), F.lit(_CMS_W))
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]+", " ")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("token")
+        )
+    )
+    all_buckets = F.array(*[bucket(F.col("token"), i) for i in range(_CMS_D)])
+    cms = (
+        toks.select(F.posexplode(all_buckets).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _CMS_PROBES])).alias("token")
+    )
+    pb = probes.select("token", F.posexplode(all_buckets).alias("seed", "bucket"))
+    est = (
+        cms.join(F.broadcast(pb), ["seed", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    exact = (
+        toks.filter(F.col("token").isin(*_CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        est.join(exact, "token")
+        .select(
+            "token", "cms_estimate", "exact_n",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias("admissible"),
+        )
+    )

@@ -221,3 +221,35 @@ def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_share"),
         )
     )
+
+
+@query(
+    "window_dist_functions",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM orders WHERE o_custkey <= 150
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window", "distribution"),
+)
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST distribution functions (SQL:2003 window
+    surface the reference's Impala FE exposes).  Both are rank/count
+    ratios — (rank-1)/(n-1) and rows_le/n — so the doubles are identical
+    integer divisions in both engines.  Partitioned by customer: scales
+    as ordinary keyed windows (no global sort); the o_orderkey tiebreak
+    makes ranks deterministic."""
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 150)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+    )

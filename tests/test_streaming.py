@@ -158,3 +158,50 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     assert got.n == batch.count()
     assert got.hits == batch.filter(F.col("c_mktsegment").isNotNull()).count()
     assert got.hits > 0
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch must REPLACE its day partitions, not append:
+    run the same staged input through the sink twice (fresh checkpoint the
+    second time simulates a reprocessing run) and expect identical output."""
+    import pandas as pd
+
+    from impala_avx2_parquet_scanner_spark.streaming.stream_demo import (
+        foreach_batch_upsert_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    pdf = pd.DataFrame(
+        [(1, base, 10.0), (2, base + pd.Timedelta(hours=1), 5.0),
+         (3, base + pd.Timedelta(days=1), 2.0)],
+        columns=["user_id", "ts", "value"],
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+    out = str(tmp_path / "out")
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(str(src))
+            .withColumn("day", F.to_date("ts"))
+        )
+        q = (
+            foreach_batch_upsert_sink(stream, out, partition_by=("day",))
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run("ckpt1")
+    first = sorted(
+        (r.user_id, str(r.day)) for r in spark.read.parquet(out).collect()
+    )
+    run("ckpt2")  # replay: same data, fresh checkpoint
+    second = sorted(
+        (r.user_id, str(r.day)) for r in spark.read.parquet(out).collect()
+    )
+    assert first == second == [(1, "2024-03-01"), (2, "2024-03-01"), (3, "2024-03-02")]

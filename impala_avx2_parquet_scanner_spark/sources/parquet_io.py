@@ -216,3 +216,47 @@ def write_zordered_parquet(
     for key, value in WRITER_OPTIONS.items():
         writer = writer.option(key, value)
     writer.parquet(path)
+
+
+def compact_partitions(
+    spark: "SparkSession",  # noqa: F821 - forward ref, imported by callers
+    path: str,
+    partition_by: tuple[str, ...],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned parquet layout: re-read the
+    table, coalesce each partition's data to ceil(bytes / target) files,
+    and rewrite in place via dynamic partition overwrite.
+
+    Streaming ingest (see stream_demo.foreach_batch_upsert_sink) and
+    frequent backfills fragment partitions into many tiny files; at 100 TB
+    the resulting footer/open overhead dominates scan time (the reference
+    pays the same cost per ProcessSplit — one footer + dictionary decode
+    per file, hdfs-parquet-scanner.cc).  Compaction is the standing
+    maintenance job: one `repartition(n, keys)` shuffle sized from the
+    partitions' actual on-disk bytes, then the same idempotent
+    partition-scoped overwrite the ingest path uses — safe to re-run, and
+    partitions not present in the read are untouched.
+
+    Returns {"files_before": ..., "files_after": ...} for observability."""
+    import math
+    import os
+
+    def _stats() -> tuple[int, int]:
+        n_files, n_bytes = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        return n_files, n_bytes
+
+    files_before, total_bytes = _stats()
+    df = spark.read.parquet(path)
+    n_parts = max(df.select(*partition_by).distinct().count(), 1)
+    files_per_part = max(
+        math.ceil(total_bytes / max(n_parts, 1) / target_file_bytes), 1
+    )
+    compacted = df.repartition(n_parts * files_per_part, *partition_by)
+    overwrite_partitions(compacted, path, partition_by)
+    return {"files_before": files_before, "files_after": _stats()[0]}

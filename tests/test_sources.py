@@ -282,3 +282,28 @@ def test_parquet_unknown_codec_rejected(spark, sf_dir, tmp_path):
     src = table(spark, sf_dir, "region")
     with _pytest.raises(ValueError, match="unsupported codec"):
         write_parquet(src, str(tmp_path / "bad"), compression="brotli9000")
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    """Fragmented ingest (5 appends x 2 days) compacts to ~1 file per day
+    partition with identical data."""
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        compact_partitions,
+    )
+
+    out = str(tmp_path / "frag")
+    for i in range(5):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'd1' ELSE 'd2' END AS day")
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    before = spark.read.parquet(out).orderBy("id").collect()
+    stats = compact_partitions(spark, out, ("day",))
+    after = spark.read.parquet(out).orderBy("id").collect()
+    assert before == after
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 4  # ~1 per partition, small data

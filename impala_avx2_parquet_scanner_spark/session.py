@@ -45,7 +45,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # (+ int96RebaseModeInRead/Write for pre-Gregorian rebasing).  The
     # fixtures carry no INT96 data, so the confs are documented here per
     # SURVEY §7 rather than set: the defaults (no conversion, EXCEPTION on
-    # ambiguous rebase) are correct for Spark-written files.
+    # ambiguous rebase) are correct for Spark-written files.  The decode
+    # path itself IS exercised: test_int96_timestamp_write_read_roundtrip
+    # writes physical INT96 (outputTimestampType=INT96) and reads it back.
     # Runtime re-planning: partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

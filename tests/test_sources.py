@@ -307,3 +307,41 @@ def test_compact_partitions_reduces_file_count(spark, tmp_path):
     assert before == after
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] <= 4  # ~1 per partition, small data
+
+
+def test_int96_timestamp_write_read_roundtrip(spark, tmp_path, sf_dir):
+    """The reference's INT96 timestamp path (hdfs-parquet-scanner.cc:57-59,
+    598-605) made testable without an external fixture: Spark WRITES the
+    events timestamps as physical INT96 (outputTimestampType=INT96), and
+    the read path must decode them back to identical µs instants.  The
+    physical type is asserted from the file footer, so this exercises the
+    actual legacy-Impala/Hive encoding, not just a conf no-op."""
+    import pyarrow.parquet as pq
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+
+    # INT96 applies to TIMESTAMP (ltz) only; the catalog's ts is NTZ, so
+    # cast — same instants, session tz UTC
+    src = (
+        table(spark, sf_dir, "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        .limit(500)
+    )
+    out = str(tmp_path / "int96")
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        src.write.parquet(out)
+    finally:
+        spark.conf.set(key, prior)
+
+    import glob
+
+    pf = pq.ParquetFile(glob.glob(f"{out}/*.parquet")[0])
+    ts_col = pf.schema.column(pf.schema.names.index("ts"))
+    assert ts_col.physical_type == "INT96"
+
+    want = {(r.event_id, r.ts) for r in src.collect()}
+    got = {(r.event_id, r.ts) for r in spark.read.parquet(out).collect()}
+    assert got == want

@@ -302,3 +302,42 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("b_shr"),
         F.bit_count(k).alias("b_popcount"),
     )
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+SELECT o_orderkey,
+       CAST(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP)
+         AS local_ny,
+       CAST(timezone('Europe/Paris', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP)
+         AS local_paris,
+       CAST(timezone('Asia/Tokyo', o_orderdate) AS TIMESTAMP) AS utc_from_tokyo
+FROM orders WHERE o_orderkey <= 2000
+""",
+    tags=("function", "datetime", "timezone"),
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_utc_timestamp / to_utc_timestamp (reference
+    scalar-fn-call.cc:386-388: the Impala UTC-conversion builtins).  The
+    fixture dates span 1995-2001, so both sides of every DST transition
+    in America/New_York and Europe/Paris are exercised; DuckDB's ICU
+    timezone() is the oracle twin (both engines read the IANA tzdb).
+    Sessions run in UTC, so TIMESTAMPTZ casts are instant-preserving."""
+    d = F.col("o_orderdate")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.from_utc_timestamp(d, "America/New_York")
+            .cast("timestamp_ntz")
+            .alias("local_ny"),
+            F.from_utc_timestamp(d, "Europe/Paris")
+            .cast("timestamp_ntz")
+            .alias("local_paris"),
+            F.to_utc_timestamp(d, "Asia/Tokyo")
+            .cast("timestamp_ntz")
+            .alias("utc_from_tokyo"),
+        )
+    )

@@ -341,3 +341,36 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("utc_from_tokyo"),
         )
     )
+
+
+@query(
+    "fn_hash_utils",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS md5_hex,
+       sha256(c_name) AS sha256_hex,
+       CAST(('0x' || substr(md5(c_name), 1, 15)) AS BIGINT) AS h60
+FROM customer WHERE c_custkey <= 500
+""",
+    tags=("function", "hash"),
+)
+def fn_hash_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic/uniform hash surface (reference hash-util.h:44-95:
+    CRC32c + Murmur2-64 for dictionary and bitmap-filter probes).  The
+    engine-portable twins are md5/sha2 plus the md5-derived 60-bit
+    integer hash (`h64`) every pipeline operator keys on; Spark's native
+    xxhash64/hash are faster but engine-specific, so they stay out of
+    oracle-checked paths (documented in pipeline/dedup.py)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import h64
+
+    n = F.col("c_name")
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.md5(n).alias("md5_hex"),
+            F.sha2(n, 256).alias("sha256_hex"),
+            h64(n).alias("h60"),
+        )
+    )

@@ -205,3 +205,67 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
         (r.user_id, str(r.day)) for r in spark.read.parquet(out).collect()
     )
     assert first == second == [(1, "2024-03-01"), (2, "2024-03-01"), (3, "2024-03-02")]
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window in a real readStream with a watermark: sessions whose
+    end precedes the final watermark are emitted in append mode and must
+    equal the batch session_window aggregation over the same data."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    rows = [
+        (1, base, 1.0),
+        (1, base + pd.Timedelta(minutes=10), 2.0),          # same session
+        (1, base + pd.Timedelta(hours=2), 4.0),             # new session
+        (2, base + pd.Timedelta(minutes=5), 8.0),
+        # late sentinel far ahead: pushes the watermark past every session
+        (99, base + pd.Timedelta(days=2), 0.0),
+    ]
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+                "sv",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.s, r.e, r.n, r.sv)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = sessions(spark.read.parquet(str(src)))
+    # every session except the sentinel's own (still open at end-of-stream)
+    want = {
+        (r.user_id, r.s, r.e, r.n, r.sv)
+        for r in batch.collect()
+        if r.user_id != 99
+    }
+    assert got == want

@@ -26,7 +26,7 @@ lineitem↔orders shuffle; nothing else exceeds one exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from impala_avx2_parquet_scanner_spark.catalog import table
@@ -87,10 +87,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part↔supplier join + correlated per-part MIN + ordered LIMIT.
 
     Plan: the correlated scalar subquery is decorrelated into a
-    groupBy(ps_partkey).min join-back (one small shuffle over the
-    regional slice); supplier×nation×region prune to a broadcast list
-    BEFORE the pair aggregation, so the big shuffle only carries the
-    region's lines; final TakeOrderedAndProject, never a global sort."""
+    per-part window MIN + equality filter — ONE pass over the regional
+    slice, no self-join-back, no reliance on AQE exchange reuse (the
+    window repartitions on ps_partkey, whose groups are per-part supplier
+    lists — tiny at any scale); supplier×nation×region prune to a
+    broadcast list BEFORE the pair aggregation, so the big shuffle only
+    carries the region's lines; final TakeOrderedAndProject, never a
+    global sort."""
     sup = (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(table(spark, sf_dir, "nation")),
@@ -107,14 +110,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = _partsupp(spark, sf_dir, li).join(
         F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    mn = rs.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     )
+    min_cost = F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
     return (
-        rs.join(mn.withColumnRenamed("ps_partkey", "mn_partkey"),
-                (F.col("ps_partkey") == F.col("mn_partkey"))
-                & (F.col("ps_supplycost") == F.col("min_cost")))
+        rs.withColumn("min_cost", min_cost)
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",

@@ -75,3 +75,38 @@ def sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k via `spark.sql` with a deterministic tiebreak."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PORTABLE_WINDOW)
+
+
+_SQL_PORTABLE_RECURSIVE = """
+WITH RECURSIVE tree(p_partkey, root, depth, price) AS (
+  SELECT p_partkey, p_partkey AS root, 0 AS depth,
+         CAST(p_retailprice AS DECIMAL(12,2)) AS price
+  FROM part WHERE p_partkey IN (2, 3)
+  UNION ALL
+  SELECT p.p_partkey, t.root, t.depth + 1,
+         CAST(p.p_retailprice AS DECIMAL(12,2))
+  FROM tree t JOIN part p
+    ON p.p_partkey = t.p_partkey * 2 OR p.p_partkey = t.p_partkey * 2 + 1
+  WHERE t.depth < 9
+)
+SELECT root, depth, COUNT(*) AS n_parts,
+       CAST(SUM(price) AS DOUBLE) AS subtree_price
+FROM tree GROUP BY root, depth
+"""
+
+
+@query("sql_recursive", oracle=_SQL_PORTABLE_RECURSIVE, tags=("sql", "recursive"))
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) — hierarchical traversal,
+    the one relational shape the engine previously expressed only as a
+    hand-rolled iterative join loop (pipeline/cluster.py).  The part keys
+    form an implicit binary tree (children 2k, 2k+1), and the query walks
+    two subtrees to depth 9, rolling up per-level counts and exact-decimal
+    price sums; identical text runs on DuckDB.
+
+    Scale: each recursion step is an ordinary equi-ish join + union —
+    Spark materializes the frontier per step, so depth (not data size)
+    bounds the iteration count, same contract as connected_components'
+    MAX_ITERATIONS."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PORTABLE_RECURSIVE)

@@ -85,3 +85,26 @@ def test_driver_window_is_representative():
     families = ("pred_", "scan_", "tpch_", "join_", "window_", "fn_", "text_")
     for fam in families:
         assert any(registry_name(n).startswith(fam) for n in window), fam
+
+
+@pytest.mark.parametrize("name", ["tpch_q1", "agg_stats_exact", "tpch_q9"])
+def test_results_invariant_under_partitioning(spark, sf_dir, name):
+    """The exact-decimal discipline's core promise: results are
+    bit-identical at any parallelism.  Re-running under a different
+    shuffle-partition count (different partial-aggregation grouping and
+    reduce order) must produce the same rows."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spec = REGISTRY[name]
+
+    def run():
+        return sorted(map(tuple, spec.fn(spark, sf_dir).collect()))
+
+    try:
+        spark.conf.set(key, "3")
+        low = run()
+        spark.conf.set(key, "32")
+        high = run()
+    finally:
+        spark.conf.set(key, prior)
+    assert low == high

@@ -15,7 +15,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from impala_avx2_parquet_scanner_spark.catalog import table
@@ -74,30 +74,73 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Universal-hash MinHash: each shingle is md5-hashed ONCE (the expensive
+#: step), then the K per-function values derive by cheap integer mixing
+#: h_j(s) = (a_j * h(s) + b_j) mod p over the Mersenne prime 2^31-1.
+#: Operands stay < 2^31 so products stay < 2^62 — no bigint overflow in
+#: either engine, and DuckDB replays the arithmetic bit-for-bit.  This is
+#: the standard Carter-Wegman construction and cuts the md5 count from
+#: K per shingle to 1.
+MINHASH_PRIME = 2147483647
+
+
+def mh_coeffs(j: int) -> tuple[int, int]:
+    """Fixed (a_j, b_j) mixing coefficients for hash function j.
+
+    a_j must be LARGE and structureless: with small multipliers
+    (a*h) mod p partially preserves the order of h, every function picks
+    the same argmin shingle, the K signature slots correlate, and LSH
+    buckets blow up (observed: 10x candidate pairs).  Knuth's golden-ratio
+    multiplier iterated mod p gives full-width, well-mixed constants."""
+    a = (2654435761 * (j + 1)) % MINHASH_PRIME
+    b = (2246822519 * j + 326648991) % MINHASH_PRIME
+    return (a if a > 0 else 1), b
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m{K-1}) min-hash signature columns.
 
-    Implemented as explode → K hash columns → groupBy-min rather than
-    array higher-order functions: min is map-side combinable (partial
-    aggregation collapses each partition to one row per doc before the
-    shuffle), and it sidesteps a Spark bug where many
-    ``array_min(transform(...))`` lambdas in one projection resolve
-    incorrectly."""
+    Shingles are built WITHOUT array higher-order functions:
+    ``transform(sequence(...), lambda)`` evaluates its lambda interpreted
+    (outside codegen) and measured ~50x slower than the whole rest of the
+    pipeline, so the k-gram windows come from posexplode + ``lead`` over
+    (doc_id, pos) instead — every step whole-stage-codegen.  Duplicate
+    shingles are NOT removed: MIN over a multiset equals MIN over its
+    set, so signatures match the oracle's list_distinct formulation
+    exactly while skipping a per-doc distinct.
+
+    The window's doc_id shuffle doubles as the parallelism fix: scan
+    parallelism follows file splits, so a corpus packed into few files
+    would otherwise run the regex+hash stage on few cores.
+
+    groupBy-min is map-side combinable — each partition collapses to one
+    row per doc before the final shuffle."""
+    toks = F.filter(
+        F.split(F.trim(normalize_text(F.col("text"))), " "),
+        lambda t: t != F.lit(""),
+    )
+    tp = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nexts = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_WORDS)]
     ex = (
-        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", F.explode("sh").alias("s"))
+        tp.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *nexts).alias("s"),
+            nexts[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())  # complete k-grams only
     )
-    hashed = ex.select(
+    base = ex.select(
         "doc_id",
-        *[
-            h64(F.concat(F.lit(f"mh{j}:"), F.col("s"))).alias(f"h{j}")
-            for j in range(MINHASH_K)
-        ],
+        (h64(F.concat(F.lit("mh:"), F.col("s"))) % MINHASH_PRIME).alias("hb"),
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{j}").alias(f"m{j}") for j in range(MINHASH_K)]
-    )
+    mixed = []
+    for j in range(MINHASH_K):
+        a, b = mh_coeffs(j)
+        mixed.append(
+            F.min((F.col("hb") * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{j}")
+        )
+    return base.groupBy("doc_id").agg(*mixed)
 
 
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,8 +181,8 @@ sh AS (
   FROM tokens WHERE len(toks) >= 3
 )"""
     sig_terms = ",\n         ".join(
-        "list_min([{h} for s in shs]) AS m{j}".format(
-            h=_SQL_H64.format(x=f"'mh{j}:' || s"), j=j
+        "list_min([(h * {a} + {b}) % {p} for h in hs]) AS m{j}".format(
+            a=mh_coeffs(j)[0], b=mh_coeffs(j)[1], p=MINHASH_PRIME, j=j
         )
         for j in range(MINHASH_K)
     )
@@ -150,11 +193,16 @@ sh AS (
         )
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig")
     bands_sql = "\nUNION ALL\n".join(band_rows)
+    base_hash = _SQL_H64.format(x="'mh:' || s")
     ctes = f"""{shingle_cte},
+hs AS (
+  SELECT doc_id, [{base_hash} % {MINHASH_PRIME} for s in shs] AS hs
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {sig_terms}
-  FROM sh
+  FROM hs
 ),
 bands AS (
 {bands_sql}

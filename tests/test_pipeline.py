@@ -54,9 +54,17 @@ def test_minhash_signature_is_min_of_member_hashes(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
     sig = minhash_signatures(docs).collect()[0]
     sh = docs.select(shingles(F.col("text")).alias("sh")).collect()[0].sh
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import (
+        MINHASH_PRIME,
+        mh_coeffs,
+    )
+
     for j in range(MINHASH_K):
+        a, b = mh_coeffs(j)
         want = min(
-            int(hashlib.md5(f"mh{j}:{s}".encode()).hexdigest()[:15], 16) for s in sh
+            (int(hashlib.md5(f"mh:{s}".encode()).hexdigest()[:15], 16)
+             % MINHASH_PRIME * a + b) % MINHASH_PRIME
+            for s in sh
         )
         assert sig[f"m{j}"] == want
 

@@ -387,20 +387,24 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves skew that equal-width buckets hide).
 
     Two passes over one column: the boundary aggregate collapses to a
-    single broadcast row (9 doubles), and bucket assignment is a pure
-    column expression folded over that array — no per-row join, no
-    global sort.  At 100 TB swap the exact percentile for
-    percentile_approx and keep the identical downstream plan."""
+    single broadcast row (9 doubles), and bucket assignment unrolls to 9
+    codegen'd comparisons summed as integers (an `F.aggregate` lambda
+    runs interpreted, outside whole-stage codegen) — no per-row join, no
+    global sort.  Cost is dominated by the exact interpolated percentile
+    (a full sort of the column, matching the oracle's quantile_cont
+    bit-for-bit); at 100 TB swap it for percentile_approx and keep the
+    identical downstream plan."""
     l = table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
+    n_bounds = 9
     bounds = l.agg(
-        F.percentile(price, [i / 10.0 for i in range(1, 10)]).alias("b")
+        F.percentile(price, [i / 10.0 for i in range(1, n_bounds + 1)]).alias("b")
     )
-    bucket = F.aggregate(
-        F.col("b"),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + F.when(price > x, 1).otherwise(0).cast("bigint"),
-    )
+    terms = [
+        F.when(price > F.col("b").getItem(i), 1).otherwise(0).cast("bigint")
+        for i in range(n_bounds)
+    ]
+    bucket = sum(terms[1:], terms[0])
     return (
         l.crossJoin(F.broadcast(bounds))
         .groupBy(bucket.alias("bucket"))

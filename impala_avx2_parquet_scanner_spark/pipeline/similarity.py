@@ -471,6 +471,108 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.30
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.emb, c.centroid_id,
+         list_dot_product(e.emb, c.cemb)
+           / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, emb, centroid_id, centroid_sim FROM
+   (SELECT *, sim AS centroid_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM scored) t
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         a.centroid_sim AS a_cs, b.centroid_sim AS b_cs
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) > {SEMDEDUP_TAU}
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN a_cs > b_cs OR (a_cs = b_cs AND a_id > b_id)
+                       THEN a_id ELSE b_id END AS vec_id
+  FROM pairs
+)
+SELECT s.vec_id, s.centroid_id, s.centroid_sim, (l.vec_id IS NULL) AS keep
+FROM assign s LEFT JOIN losers l USING (vec_id)
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("similarity", "dedup", "pipeline"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the corpus, find within-cluster cosine-similar pairs, and of
+    each near-duplicate pair prune the vector that sits CLOSER to its
+    centroid (the more "typical" copy — keeping the farther one preserves
+    diversity, the paper's keep-rule).  Emits one row per vector with its
+    cluster, centroid similarity, and a `keep` verdict.
+
+    Plan shape for 100 TB: the pairwise step is a self-join keyed on
+    centroid_id, so the candidate set is per-cluster, never all-pairs —
+    with k-means at k ≈ √N (the paper uses 50k clusters for 5B points)
+    each cluster is a bounded block exactly like `ann_knn_graph`'s.
+    Deterministic centroids (first N_CENTROIDS vectors) stand in for
+    k-means so the DuckDB oracle replays assignment, pair scoring, the
+    keep-rule, and the final verdict term-for-term; swapping in learned
+    centroids changes no plan shape.  The loser set is distinct vec_ids
+    → one keyed left join back onto the assignment marks survivors.
+    Reuses `_ivf_assigned` (map-side argmax, one shuffle) for the
+    cluster assignment.  Reference parity: the reference has no ANN/dedup
+    surface — this is north-star pipeline scope (SURVEY §2 pipeline ops).
+    """
+    assigned = _ivf_assigned(spark, sf_dir).select(
+        "vec_id", "emb", "centroid_id", "centroid_sim"
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("centroid_sim").alias("a_cs"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("centroid_sim").alias("b_cs"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_emb"), F.col("b_emb")) > SEMDEDUP_TAU)
+    )
+    loser = F.when(
+        (F.col("a_cs") > F.col("b_cs"))
+        | ((F.col("a_cs") == F.col("b_cs")) & (F.col("a_id") > F.col("b_id"))),
+        F.col("a_id"),
+    ).otherwise(F.col("b_id"))
+    losers = pairs.select(loser.alias("vec_id")).distinct().withColumn(
+        "pruned", F.lit(True)
+    )
+    return (
+        assigned.join(losers, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_sim",
+            F.coalesce(~F.col("pruned"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 _KNN_GRAPH_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
            WHERE vec_id < 300),

@@ -41,6 +41,7 @@ SAMPLE = [
     "text_stats",
     "dedup_exact",
     "ann_bruteforce_topk",
+    "dedup_semantic",
     "basket_pair_affinity",
     "events_anomaly_zscore",
 ]

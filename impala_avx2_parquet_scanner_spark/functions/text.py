@@ -659,3 +659,119 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(after_email, r"[0-9]{7,}", "<NUM>").alias("scrubbed"),
         (F.length(after_email) - F.length("text")).cast("int").alias("delta_after_email"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("scan", "filter", "merge")
+BM25_TOP = 10
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(regexp_replace(
+             text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS w
+  FROM documents
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+          FROM per_doc),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN ('scan', 'filter', 'merge')
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(ROUND(
+             ROUND(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+             * ((t.tf * 2.2)
+                / (t.tf + 1.2 * (0.25 + (0.75 * p.dl)
+                                 / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))),
+             9) AS DECIMAL(18,9)) AS c
+  FROM tf t JOIN dfreq d USING (w) JOIN per_doc p USING (doc_id)
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25,
+         ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS rank
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {BM25_TOP}
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE, tags=("text", "pipeline", "search"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones, public): top-10
+    documents for the fixed query {scan, filter, merge}, k1=1.2, b=0.75.
+    The corpus-scale search primitive the TF-IDF query leads into.
+
+    Determinism discipline (same as `text_unigram_logprob`): the only
+    transcendental (LN in the IDF) is rounded to 9 dp before use, each
+    term's contribution is rounded to 9 dp and cast to DECIMAL(18,9), and
+    the per-doc score is an exact decimal SUM — bit-reproducible at any
+    parallelism and replayed term-for-term by the oracle.  All remaining
+    arithmetic is IEEE double with identical association in both engines.
+
+    Plan shape for 100 TB: one explode pass feeds both the per-doc length
+    aggregation and the query-term TF aggregation; the term filter drops
+    non-query tokens BEFORE the TF shuffle, so the big shuffle carries
+    ~|docs|x|query| rows, not the full token stream.  Document frequency
+    (|query| rows) and corpus stats (1 row) broadcast back.  The final
+    top-k is orderBy+limit -> TakeOrderedAndProject (per-partition heaps,
+    no global window); rank is then a window over the collected 10 rows
+    only."""
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    u = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode("toks").alias("w"))
+    )
+    per_doc = u.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    )
+    tf = (
+        u.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf9 = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    tfn = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / avgdl)
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(per_doc, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf9 * tfn, 9).cast("decimal(18,9)").alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("c_sum")
+    )
+    top = (
+        scored.orderBy(F.desc("c_sum"), "doc_id")
+        .limit(BM25_TOP)
+        .select("doc_id", F.col("c_sum").cast("double").alias("bm25"), "c_sum")
+    )
+    rank = F.row_number().over(W.orderBy(F.desc("c_sum"), "doc_id"))
+    return top.withColumn("rank", rank).select("doc_id", "bm25", "rank")

@@ -294,3 +294,63 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sval").cast("double").alias("sum_value"),
         )
     )
+
+
+_OHLC_ORACLE = """
+WITH h AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+         ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_h
+                            ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_h
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM h
+)
+SELECT event_type, bucket_h,
+       MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+       COUNT(*) AS n_events
+FROM r GROUP BY event_type, bucket_h
+"""
+
+
+@query("events_ohlc", oracle=_OHLC_ORACLE, tags=("events", "timeseries"))
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candle downsample per event_type
+    — the financial-tick / metrics-rollup shape every time-series store
+    ships (`first`/`last` by event time plus min/max/sum per bucket).
+
+    Open and close are argmin/argmax by (ts, event_id) expressed as
+    MIN/MAX over a struct whose leading fields are the ordering key —
+    they collapse map-side like any other min/max, so the shuffle carries
+    one partial candle per (type, hour, map task) instead of raw ticks,
+    and no window sort over the event stream is needed (the oracle's
+    ROW_NUMBER formulation is the semantic spec, not the plan).  Volume
+    sums exact DECIMAL(18,2) (the tick values are 2 dp) so the candle is
+    bit-reproducible at any parallelism.  At 100 TB this is one keyed
+    shuffle of bounded partials: |event_types| x |hours| x |map tasks|.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return e.groupBy("event_type", "bucket_h").agg(
+        first_s.getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        last_s.getField("value").alias("close"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -42,6 +42,8 @@ SAMPLE = [
     "dedup_exact",
     "ann_bruteforce_topk",
     "dedup_semantic",
+    "text_bm25_topk",
+    "events_ohlc",
     "basket_pair_affinity",
     "events_anomaly_zscore",
 ]

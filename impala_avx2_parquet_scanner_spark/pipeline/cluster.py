@@ -171,3 +171,109 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keep_id", "cluster_size", "members")
     )
+
+
+PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank scale
+PR_TELEPORT = 150_000_000_000  # (1 - 0.85) * PR_SCALE
+PR_ITERATIONS = 3
+PR_K = 3  # out-degree of the kNN graph
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank over the kNN-graph oracle.  Every
+    quantity is a BIGINT (`//` floor division), so the replay is exact —
+    no float accumulation order to diverge on."""
+    knn_edges = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id < 300),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb))
+              * sqrt(list_dot_product(b.emb, b.emb))) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT src_id, nbr_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                 ORDER BY cos_sim DESC, nbr_id) AS rk
+    FROM scored) t
+  WHERE rk <= 3
+),
+nodes AS (SELECT DISTINCT src_id AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS r
+       FROM nodes CROSS JOIN nn)"""
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+s{i} AS (SELECT eg.nbr_id AS node, CAST(SUM(r.r // {PR_K}) AS BIGINT) AS s
+       FROM edges eg JOIN r{i-1} r ON r.node = eg.src_id GROUP BY eg.nbr_id),
+r{i} AS (SELECT p.node,
+              CAST(({PR_TELEPORT} // nn.n)
+                   + (COALESCE(s{i}.s, 0) * 85) // 100 AS BIGINT) AS r
+       FROM r{i-1} p LEFT JOIN s{i} USING (node) CROSS JOIN nn)""")
+    body = knn_edges.format(scale=PR_SCALE) + "," + ",".join(iters)
+    last = f"r{PR_ITERATIONS}"
+    return (
+        "WITH " + body +
+        f"\nSELECT node AS vec_id, r AS pr_q, r / {PR_SCALE}.0 AS pr FROM {last}"
+    )
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pipeline", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin & Page, public) over the kNN similarity graph —
+    the centrality step of graph-based corpus curation (rank documents /
+    embeddings by how often similar items point at them).
+
+    Fixed-point formulation: ranks are 1e-12-scaled BIGINTs, each
+    out-edge carries `r div 3` (the kNN graph is 3-regular out), and the
+    damping update is `(teleport div N) + (85 * inbound_sum) div 100` —
+    all integer ops, so three unrolled iterations are bit-identical at
+    any parallelism and the DuckDB oracle replays every round exactly
+    (float PageRank would drift with summation order).  The tiny mass
+    lost to floor division is deliberate and part of the spec.
+
+    Plan shape: each iteration is one keyed join (edges ⋈ ranks on the
+    3-regular src) + one groupBy(nbr) — the standard distributed
+    PageRank shuffle pair; the node count broadcasts.  At 100 TB the
+    loop adds `localCheckpoint` per round exactly like
+    `connected_components` above (3 bounded rounds here keep lineage
+    shallow enough without it)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.similarity import ann_knn_graph
+
+    edges = ann_knn_graph(spark, sf_dir).select("src_id", "nbr_id")
+    edges = edges.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src_id").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{PR_SCALE} div n").cast("bigint").alias("r"))
+    )
+    for _ in range(PR_ITERATIONS):
+        s = (
+            edges.join(r, edges.src_id == r.node)
+            .groupBy(F.col("nbr_id").alias("node"))
+            .agg(F.sum(F.expr(f"r div {PR_K}")).cast("bigint").alias("s"))
+        )
+        r = (
+            r.select("node")
+            .join(s, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(f"({PR_TELEPORT} div n) + ((coalesce(s, 0) * 85) div 100)")
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return r.select(
+        F.col("node").alias("vec_id"),
+        F.col("r").alias("pr_q"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("pr"),
+    )

@@ -43,6 +43,7 @@ SAMPLE = [
     "ann_bruteforce_topk",
     "dedup_semantic",
     "text_bm25_topk",
+    "graph_pagerank",
     "events_ohlc",
     "basket_pair_affinity",
     "events_anomaly_zscore",

@@ -120,6 +120,41 @@ def attribution_join_stream(events: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+def attribution_outer_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits, with
+    NULL view columns when no same-user view preceded it within an hour.
+
+    Outer semantics on streams are watermark-driven: a purchase that
+    found no match cannot emit immediately (a matching view may still
+    arrive), so it sits in the state store until the watermark passes
+    `p_ts + 0` — only then is "no match" final and the NULL-padded row
+    flushed, in a LATER micro-batch.  This is the correct distributed
+    answer to late data (the batch twin `events_attribution` left-joins
+    trivially because batch sees everything).  State is evicted on the
+    same schedule, so memory stays O(watermark horizon) on an unbounded
+    stream.  Tests drive two micro-batches so the second one advances the
+    watermark and flushes the first batch's unmatched purchases."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    return p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment: each micro-batch left-joins a broadcast
     dimension snapshot (no watermark needed — the static side is not

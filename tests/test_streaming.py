@@ -269,3 +269,66 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         if r.user_id != 99
     }
     assert got == want
+
+
+def test_stream_outer_join_flushes_unmatched_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join contract: an unmatched purchase emits
+    with NULL view columns only after a later batch advances the
+    watermark past it (match-finality is watermark-driven); matched
+    purchases emit with their view."""
+    import pandas as pd
+
+    from impala_avx2_parquet_scanner_spark.streaming.stream_demo import (
+        attribution_outer_join_stream,
+    )
+
+    d = tmp_path / "outer_in"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+
+    # batch 1: user 1 views then purchases (match); user 2 purchases with
+    # no view (must flush as NULL-padded once the watermark passes)
+    write_batch([
+        (1, base + pd.Timedelta(minutes=5), 1, "view", 1.0, "{}"),
+        (2, base + pd.Timedelta(minutes=30), 1, "purchase", 2.0, "{}"),
+        (3, base + pd.Timedelta(minutes=30), 2, "purchase", 3.0, "{}"),
+    ])
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(str(d))
+    joined = attribution_outer_join_stream(stream, watermark="1 hour")
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("outer_out")
+        .option("checkpointLocation", str(tmp_path / "outer_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        early = spark.sql("SELECT * FROM outer_out").collect()
+        # no batch has advanced the watermark yet: the unmatched purchase
+        # must NOT have emitted (its no-match verdict is not final)
+        assert all(r.purchase_id != 3 or r.v_ts is not None for r in early)
+        # batch 2 advances the watermark past batch 1 — BOTH branches need
+        # later event time (the global watermark is the min across the two
+        # watermarked inputs, and each only sees its event_type) — and it
+        # commits at end-of-batch, so batch 3 performs the state-store
+        # sweep that emits the now-final NULL-padded row
+        write_batch([(9, base + pd.Timedelta(hours=12), 9, "view", 1.0, "{}"),
+                     (10, base + pd.Timedelta(hours=12), 9, "purchase", 1.0, "{}")])
+        q.processAllAvailable()
+        write_batch([(11, base + pd.Timedelta(hours=13), 9, "view", 1.0, "{}"),
+                     (12, base + pd.Timedelta(hours=13), 9, "purchase", 1.0, "{}")])
+        q.processAllAvailable()
+        rows = {(r.purchase_id, r.v_ts is not None)
+                for r in spark.sql("SELECT * FROM outer_out").collect()}
+        assert (2, True) in rows   # matched purchase carries its view
+        assert (3, False) in rows  # unmatched purchase flushed NULL-padded
+    finally:
+        q.stop()

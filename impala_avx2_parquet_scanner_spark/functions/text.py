@@ -775,3 +775,58 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rank = F.row_number().over(W.orderBy(F.desc("c_sum"), "doc_id"))
     return top.withColumn("rank", rank).select("doc_id", "bm25", "rank")
+
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(regexp_replace(
+             text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(ROUND((tf.c / CAST(pd.n AS DOUBLE))
+                    * ROUND(LN(tf.c / CAST(pd.n AS DOUBLE)), 9), 9)
+              AS DECIMAL(18,9)) AS term
+  FROM tf JOIN pd USING (doc_id)
+)
+SELECT doc_id, CAST(-SUM(term) AS DOUBLE) AS word_entropy
+FROM terms GROUP BY doc_id
+"""
+
+
+@query("text_entropy", oracle=_ENTROPY_ORACLE, tags=("text", "pipeline", "quality"))
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-level Shannon entropy — the complementary
+    degenerate-text signal to `text_repetition` (low entropy ⇒ the doc is
+    dominated by few repeated words; used alongside Gopher-style filters).
+
+    Determinism: the LN is rounded to 9 dp before the multiply, each term
+    is rounded to 9 dp into DECIMAL(18,9), and the per-doc entropy is an
+    exact decimal sum (same discipline as `text_unigram_logprob` /
+    `text_bm25_topk`).  Plan: one explode → (doc, word) count, doc totals
+    via a doc-keyed re-aggregation of the count table (never the raw
+    token stream twice), one doc-keyed final sum."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    u = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode("toks").alias("w"))
+    )
+    tf = u.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    term = F.round(p * F.round(F.log(p), 9), 9).cast("decimal(18,9)")
+    return (
+        tf.join(pd_, "doc_id")
+        .select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg((-F.sum("term")).cast("double").alias("word_entropy"))
+    )

@@ -95,3 +95,90 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.col("asof_ts"), F.col("asof_event_id"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: left columns + the EARLIEST right_values at or
+    after each left row's time (NULL when nothing follows) — the
+    "next event" direction (next reading after a request, next quote
+    after an order).  Same single-shuffle union+carry composition as the
+    backward form, mirrored: right rows sort after left rows at equal
+    time (>= contract) and `first(ignorenulls)` looks forward over
+    (currentRow, unboundedFollowing).  ``tiebreak`` (a right_values
+    column name) makes the pick deterministic when several right rows
+    share one timestamp."""
+    lhs = left.withColumn("__origin", F.lit(0)).withColumn("__t", F.col(left_time))
+    rhs_cols = [F.col(key), F.col(right_time).alias("__t"), F.lit(1).alias("__origin")]
+    rhs = right.select(*rhs_cols, *[F.col(c).alias(f"__r_{c}") for c in right_values])
+    for c in left.columns:
+        if c not in (key,):
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_values:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    unioned = lhs.select(rhs.columns).unionByName(rhs.select(rhs.columns))
+    order = ["__t", "__origin"] + ([f"__r_{tiebreak}"] if tiebreak else [])
+    w = (
+        W.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_values
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_values
+    ]
+    return carried.filter(F.col("__origin") == 0).select(*out_cols)
+
+
+_ASOF_FWD_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         v.ts AS asof_ts, v.event_id AS asof_event_id,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts, v.event_id) AS rn
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+)
+SELECT event_id, user_id, ts, value, asof_ts, asof_event_id
+FROM j WHERE rn = 1
+"""
+
+
+@query("join_asof_forward", oracle=_ASOF_FWD_ORACLE, tags=("join", "asof"))
+def join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the next view by the same user at or after the
+    purchase time — the forward as-of direction (e.g. "did the user come
+    back?").  The oracle is the window formulation (earliest qualifying
+    row per left row, event_id tiebreak)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return asof_join_forward(
+        purchases,
+        views,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["ts", "event_id"],
+        tiebreak="event_id",
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        F.col("asof_ts"), F.col("asof_event_id"),
+    )

@@ -44,6 +44,8 @@ SAMPLE = [
     "dedup_semantic",
     "text_bm25_topk",
     "graph_pagerank",
+    "join_asof_forward",
+    "text_entropy",
     "events_ohlc",
     "basket_pair_affinity",
     "events_anomaly_zscore",

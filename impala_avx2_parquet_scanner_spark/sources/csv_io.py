@@ -50,6 +50,40 @@ def read_delimited(
     return reader.csv(path)
 
 
+def read_delimited_audited(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Delimited read with the reference's bad-row policy surfaced.
+
+    The reference parser counts and logs unparseable rows, then skips
+    them (delimited-text-parser.cc error path).  Spark's analogs, pinned
+    here and in tests/test_sources.py:
+
+    * ``PERMISSIVE`` + a ``_corrupt_record`` column — the audit shape:
+      malformed rows land NULL-typed with the raw line preserved, so a
+      pipeline can route them to a quarantine sink (strictly more useful
+      than the reference's log-only).
+    * ``DROPMALFORMED`` — the reference's observable behavior: bad rows
+      silently vanish from the scan.
+    * ``FAILFAST`` — strict ingestion: first bad row aborts the query.
+
+    ``schema`` is required (a string DDL): corrupt-record capture is
+    only defined for an explicit schema read."""
+    ensure_runtime_confs(spark)
+    full = schema + (", _corrupt_record string" if mode == "PERMISSIVE" else "")
+    return (
+        spark.read.option("sep", sep)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+    )
+
+
 def write_delimited(
     df: DataFrame,
     path: str,

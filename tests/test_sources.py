@@ -345,3 +345,32 @@ def test_int96_timestamp_write_read_roundtrip(spark, tmp_path, sf_dir):
     want = {(r.event_id, r.ts) for r in src.collect()}
     got = {(r.event_id, r.ts) for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_csv_bad_row_policies(spark, tmp_path):
+    """Reference parser behavior on malformed rows (count/log/skip,
+    delimited-text-parser.cc error path) mapped to Spark's three modes."""
+    import pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.csv_io import (
+        read_delimited_audited,
+    )
+
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alpha,10\n2,beta,notanint\n3,gamma,30\n")
+    schema = "id int, name string, qty int"
+
+    # PERMISSIVE: bad row NULL-typed, raw line captured for quarantine
+    audited = read_delimited_audited(spark, str(p), schema).collect()
+    assert len(audited) == 3
+    bad = [r for r in audited if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].qty is None
+    assert bad[0]._corrupt_record == "2,beta,notanint"
+
+    # DROPMALFORMED: the reference's observable skip
+    kept = read_delimited_audited(spark, str(p), schema, mode="DROPMALFORMED")
+    assert sorted(r.id for r in kept.collect()) == [1, 3]
+
+    # FAILFAST: strict ingestion aborts
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_delimited_audited(spark, str(p), schema, mode="FAILFAST").collect()

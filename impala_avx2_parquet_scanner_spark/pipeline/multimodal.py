@@ -9,12 +9,13 @@ workers without per-row serde.
 
 Codec honesty: the container has no image/audio libraries, so this module
 ships REAL pure-numpy codecs for the uncompressed formats it can parse
-end-to-end — PPM (P6) images and PCM16 WAV audio: binary → pixel/sample
-arrays → statistics features, true nearest-neighbor image resize, true
-per-window audio RMS.  Compressed formats (png/jpeg/mp3/mp4 — and any
-video decode) raise NotImplementedError with a clear message; a
-production deployment registers Pillow/ffmpeg-backed codecs in _DECODERS
-without touching the plan shape.
+end-to-end — PPM (P6) images, PCM16 WAV audio, and RAWV raw-frame video:
+binary → pixel/sample/frame arrays → statistics features, true
+nearest-neighbor image resize, true per-window audio RMS, true per-frame
+video sampling (each sampled frame re-encoded as a PPM row).  Compressed
+formats (png/jpeg/mp3/mp4) raise NotImplementedError with a clear
+message; a production deployment registers Pillow/ffmpeg-backed codecs
+in _DECODERS without touching the plan shape.
 """
 
 from __future__ import annotations
@@ -150,6 +151,27 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2"), rate
 
 
+def encode_rawv(frames: np.ndarray, fps: int) -> bytes:
+    """(n, h, w, 3) uint8 frame stack → RAWV container: a 12-byte header
+    (magic, n_frames, fps, width, height as little-endian uint16) plus
+    concatenated raw RGB24 frames.  An uncompressed stand-in for real
+    video containers that this environment can parse end-to-end — the
+    mp4 path stays behind _DECODERS for an ffmpeg-backed deployment."""
+    n, h, w = frames.shape[:3]
+    return b"RAWV" + struct.pack("<HHHH", n, fps, w, h) + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawv(payload: bytes) -> tuple[np.ndarray, int]:
+    """RAWV payload → ((n, h, w, 3) uint8 frames, fps)."""
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    n, fps, w, h = struct.unpack("<HHHH", payload[4:12])
+    body = np.frombuffer(payload, dtype=np.uint8, offset=12)
+    if body.size != n * h * w * 3:
+        raise ValueError("RAWV payload size mismatch")
+    return body.reshape(n, h, w, 3), fps
+
+
 def _image_features(payload: bytes) -> list[float]:
     """Decoded-pixel statistics: dims + per-channel mean/std + global
     min/max, zero-padded to FEATURE_DIM."""
@@ -180,11 +202,27 @@ def _audio_features(payload: bytes) -> list[float]:
     return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
 
+def _video_features(payload: bytes) -> list[float]:
+    """Decoded-frame statistics: frame count, fps, dims, global and
+    first/last-frame luminance means, zero-padded to FEATURE_DIM."""
+    frames, fps = decode_rawv(payload)
+    x = frames.astype(np.float64)
+    n, h, w = frames.shape[:3]
+    feats = [
+        float(n), float(fps), float(w), float(h),
+        float(x.mean()), float(x.std()),
+        float(x[0].mean()), float(x[-1].mean()),
+    ]
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
 #: Registered codecs: (modality, media_format) → feature fn.  Production
-#: adds e.g. ("image", "png") backed by Pillow here.
+#: adds e.g. ("image", "png") backed by Pillow / ("video", "mp4") backed
+#: by ffmpeg here.
 _DECODERS = {
     ("image", "ppm"): _image_features,
     ("audio", "wav"): _audio_features,
+    ("video", "rawv"): _video_features,
 }
 
 
@@ -277,12 +315,96 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def synthesize_video_assets(spark, n: int = 8) -> DataFrame:
+    """Deterministic RAWV video assets: per-asset gradient frames whose
+    values encode (asset, frame) so sampled frames are checkable
+    pixel-for-pixel."""
+    rows = []
+    for i in range(n):
+        n_frames, fps, w, h = 4 + (i % 5), 4, 16, 12
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        frames = np.stack(
+            [
+                np.stack(
+                    [
+                        np.broadcast_to((xs * 2 + f + i) % 256, (h, w)),
+                        np.broadcast_to((ys * 3 + f) % 256, (h, w)),
+                        (xs + ys + f * 7) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                for f in range(n_frames)
+            ]
+        )
+        dur = 1000 * n_frames // fps
+        rows.append((i, "video", "rawv", encode_rawv(frames, fps), w, h, dur))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),  # PPM of the frame
+    ]
+)
+
+
+def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: decode RAWV → take every Nth frame →
+    re-encode each sampled frame as a PPM image row.  The mapInPandas
+    iterator is narrow (no shuffle — frames stay on the worker holding
+    the payload) and streams one Arrow batch of videos at a time, so
+    memory is O(batch × frames), independent of corpus size; the fan-out
+    (one input row → many frame rows) happens inside the iterator, which
+    is exactly how a 100 TB video corpus feeds per-frame models.
+    Non-RAWV videos raise (register an ffmpeg codec in _DECODERS's
+    deployment)."""
+    videos = assets.filter(F.col("modality") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if (row["media_format"] or "") != "rawv":
+                    raise NotImplementedError(
+                        f"no video codec for {row['media_format']!r}"
+                    )
+                frames, fps = decode_rawv(bytes(row["payload"]))
+                for idx in range(0, frames.shape[0], every_n):
+                    out.append(
+                        (
+                            row["asset_id"],
+                            idx,
+                            1000 * idx // fps,
+                            frames.shape[2],
+                            frames.shape[1],
+                            encode_ppm(frames[idx]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "frame_idx", "frame_ts_ms",
+                    "width", "height", "payload",
+                ],
+            )
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Plan-shape for video frame sampling: explode timestamps at a fixed
-    stride.  Per-frame decode would need a video codec (NotImplemented in
-    this container — register in _DECODERS when available); the explode
-    itself demonstrates the partition-preserving pattern: no shuffle,
-    output rows stay on the worker holding the payload."""
+    """Plan-shape for OPAQUE video frame sampling: explode timestamps at
+    a fixed stride without decoding (works for any container, including
+    mp4 payloads this environment cannot parse — a downstream
+    ffmpeg-backed stage decodes at the emitted timestamps).  The explode
+    demonstrates the partition-preserving pattern: no shuffle, output
+    rows stay on the worker holding the payload.  For RAWV payloads,
+    `sample_video_frames` above does the real decode."""
     return (
         assets.filter(F.col("modality") == "video")
         .withColumn(

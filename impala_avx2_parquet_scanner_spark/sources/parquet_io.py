@@ -41,6 +41,7 @@ def write_parquet(
     partition_by: tuple[str, ...] = (),
     max_records_per_file: int | None = None,
     compression: str | None = None,
+    bloom_filter_columns: tuple[str, ...] = (),
 ) -> None:
     """Write with reference-sink semantics (snappy + dictionary, optional
     partitioned layout and file-size cap).
@@ -49,7 +50,13 @@ def write_parquet(
     gzip, none — hdfs-parquet-table-writer.cc codec dispatch); `None`
     keeps the snappy default.  `max_records_per_file` is the Spark analog
     of the reference's HDFS-block-derived file rolling
-    (hdfs-parquet-table-writer.cc:932-978)."""
+    (hdfs-parquet-table-writer.cc:932-978).  `bloom_filter_columns`
+    embeds a parquet bloom filter per named column
+    (`parquet.bloom.filter.enabled#col`) — the persisted cousin of the
+    reference's runtime bitmap filter (hdfs-parquet-scanner.cc:464-470):
+    point-lookup scans skip row groups whose bloom filter excludes the
+    probe value, complementing dictionary/stats-based skipping for
+    high-cardinality columns where min/max ranges are useless."""
     if compression is not None and compression not in SUPPORTED_CODECS:
         raise ValueError(
             f"unsupported codec {compression!r}; expected one of {SUPPORTED_CODECS}"
@@ -62,6 +69,8 @@ def write_parquet(
         writer = writer.option(key, value)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    for col in bloom_filter_columns:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -208,3 +208,25 @@ def test_selectivity_sweep_predicate_pushed(spark, sf_dir):
         df = REGISTRY[name].fn(spark, sf_dir)
         filters = pushed_filters(df)
         assert any("l_quantity" in f for f in filters), (name, filters)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a partitioned fact with a filtered dim on the partition
+    column plants a dynamicpruning subquery in the fact scan — Spark's
+    partition-level analog of the reference's runtime bitmap filter
+    (hdfs-parquet-scanner.cc:464-470): only partitions surviving the dim
+    filter are read."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(1000).select(
+        "id", (F.col("id") % 5).alias("pk"), (F.col("id") * 2).alias("v")
+    )
+    fact.write.partitionBy("pk").parquet(str(tmp_path / "fact"))
+    fact_r = spark.read.parquet(str(tmp_path / "fact"))
+    dim = (
+        spark.range(5)
+        .select(F.col("id").alias("pk"), F.lit("x").alias("name"))
+        .filter(F.col("pk") < 2)
+    )
+    plan = fact_r.join(dim, "pk")._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

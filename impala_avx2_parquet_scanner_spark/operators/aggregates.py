@@ -611,3 +611,84 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") >= F.col("exact_n")).alias("admissible"),
         )
     )
+
+
+_KMV_MERGE_K = 32
+
+_KMV_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT source,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+grp AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h) t
+  WHERE rn <= {_KMV_MERGE_K}
+),
+grp_est AS (
+  SELECT source AS scope, COUNT(*) AS k_used, MAX(h) AS kth_hash
+  FROM grp GROUP BY source
+),
+merged AS (
+  SELECT h FROM (SELECT DISTINCT h FROM grp) u ORDER BY h LIMIT {_KMV_MERGE_K}
+),
+merged_est AS (
+  SELECT '<all>' AS scope, COUNT(*) AS k_used, MAX(h) AS kth_hash FROM merged
+),
+unioned AS (SELECT * FROM grp_est UNION ALL SELECT * FROM merged_est)
+SELECT scope, k_used, kth_hash,
+       CAST(ROUND(((k_used - 1) * 1152921504606846976.0) / kth_hash, 0)
+            AS BIGINT) AS est_distinct
+FROM unioned
+"""
+
+
+@query("agg_kmv_merge", oracle=_KMV_MERGE_ORACLE, tags=("aggregate", "sketch"))
+def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch contract, demonstrated end-to-end: per-`source`
+    KMV sketches over document ids, PLUS a corpus-wide estimate computed
+    by MERGING the per-group sketches (union their hash sets, keep the k
+    smallest) — never re-touching the raw data.  This is the property
+    that makes sketches the scale path: 1000 executors each ship k
+    hashes, and the merge is k×groups rows, bit-identical regardless of
+    partitioning.  Fully replayed in the oracle including both estimate
+    levels.
+
+    Plan: one distinct over (source, h), a per-group top-k window (each
+    group's rows stay in one partition — group count is small and
+    bounded), then the merged row derives from the ≤ k×groups sketch
+    rows only."""
+    from pyspark.sql import Window as W
+
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import h64
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("source", h64(F.col("doc_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = W.partitionBy("source").orderBy("h")
+    grp = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_MERGE_K)
+        .select("source", "h")
+    )
+    grp = grp.localCheckpoint(eager=True)  # sketch built once, used twice
+    grp_est = grp.groupBy(F.col("source").alias("scope")).agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash")
+    )
+    merged = (
+        grp.select("h").distinct().orderBy("h").limit(_KMV_MERGE_K)
+        .agg(F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash"))
+        .select(F.lit("<all>").alias("scope"), "k_used", "kth_hash")
+    )
+    est = F.round(
+        ((F.col("k_used") - 1) * F.lit(1152921504606846976.0)) / F.col("kth_hash"),
+        0,
+    ).cast("bigint")
+    return grp_est.unionByName(merged).select(
+        "scope", "k_used", "kth_hash", est.alias("est_distinct")
+    )

@@ -49,6 +49,7 @@ SAMPLE = [
     "events_ohlc",
     "basket_pair_affinity",
     "events_anomaly_zscore",
+    "agg_kmv_merge",
 ]
 
 

@@ -34,6 +34,7 @@ def load_all() -> None:
         affinity,
         aggregates,
         asof,
+        cdc,
         joins,
         predicates,
         scan,

@@ -173,6 +173,96 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical_keep_oracle() -> str:
+    """Clusters oracle + quality argmax: within each near-dup cluster keep
+    the longest document (n_chars DESC, doc_id ASC tiebreak); every
+    document outside any cluster keeps itself."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import _minhash_parts
+
+    ctes, pairs_select = _minhash_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({pairs_select}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT c.node AS doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+keeper AS (
+  SELECT component, doc_id AS keeper_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                 ORDER BY n_chars DESC, doc_id) AS rk
+    FROM scored) t
+  WHERE rk = 1
+)
+SELECT d.doc_id,
+       COALESCE(k.keeper_id, d.doc_id) AS keeper_id,
+       COALESCE(k.keeper_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN keeper k ON k.component = c.component
+"""
+
+
+@query(
+    "dedup_canonical_keep",
+    oracle=_canonical_keep_oracle(),
+    tags=("dedup", "cluster", "pipeline"),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step after `dedup_clusters` in a
+    real curation pipeline: instead of keeping the min doc_id, keep the
+    highest-quality member of each near-dup cluster (quality proxy:
+    n_chars, doc_id ASC tiebreak) and emit a per-document keep/drop
+    verdict covering the WHOLE corpus (singletons keep themselves).
+
+    Plan shape: the per-cluster argmax is `max(struct(n_chars, -doc_id))`
+    — associative, map-side combined, one keyed shuffle on component; the
+    keeper table (one row per cluster — tiny at any corpus scale) is
+    broadcast back onto the full document set, so the final verdict pass
+    is a scan + two broadcast probes, never a corpus-wide wide shuffle."""
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(pairs)  # (node, component)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = comps.join(docs, comps.node == docs.doc_id).select(
+        "doc_id", "component", "n_chars"
+    )
+    keeper = (
+        labeled.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("m")
+        )
+        .select("component", (-F.col("m.neg_id")).alias("keeper_id"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(labeled.select("doc_id", "component")), "doc_id", "left")
+        .join(F.broadcast(keeper), "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keeper_id", "doc_id").alias("keeper_id"),
+            (F.coalesce("keeper_id", F.col("doc_id")) == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
 PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank scale
 PR_TELEPORT = 150_000_000_000  # (1 - 0.85) * PR_SCALE
 PR_ITERATIONS = 3

@@ -211,6 +211,77 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_ORACLE = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS BIGINT)) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_src
+),
+shares AS (
+  SELECT source, n_docs, tokens,
+         GREATEST((tokens * 1000000) // total_tokens, 1) AS share_ppm,
+         1000000 // n_sources AS target_ppm
+  FROM per_src CROSS JOIN tot
+),
+weights AS (
+  SELECT *, LEAST(1000000, (target_ppm * 1000000) // share_ppm) AS weight_ppm
+  FROM shares
+)
+SELECT source, n_docs, tokens, share_ppm, target_ppm, weight_ppm,
+       (tokens * weight_ppm) // 1000000 AS expected_tokens
+FROM weights
+"""
+
+
+@query("curate_source_mix", oracle=_MIX_ORACLE, tags=("pipeline", "sampling"))
+def curate_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: per-source token shares vs a uniform
+    target mix, and the downsampling weight that achieves it — the
+    planning step before `sample_stratified` runs with these weights.
+
+    All arithmetic is fixed-point parts-per-million integer division
+    (`div`), so the plan and its DuckDB oracle agree bit-for-bit:
+    share_ppm = source tokens / corpus tokens (floored, min 1 ppm to keep
+    the weight division total at extreme skew), weight_ppm =
+    min(1, target/share) — over-represented sources get weight < 1,
+    under-represented ones stay at 1 (this operator never upsamples).
+
+    Scale shape: one groupBy(source) over scan-side token counts, then a
+    single-row totals aggregate broadcast back over the per-source table
+    (sources number in the thousands at most) — no second pass over the
+    corpus, no wide shuffle beyond the keyed rollup."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("greatest((tokens * 1000000) div total_tokens, 1)").alias("share_ppm"),
+            F.expr("1000000 div n_sources").alias("target_ppm"),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr("least(1000000, (target_ppm * 1000000) div share_ppm)"),
+        )
+        .withColumn("expected_tokens", F.expr("(tokens * weight_ppm) div 1000000"))
+    )
+
+
 _FIXED_K_ORACLE = f"""
 WITH ranked AS (
   SELECT doc_id, lang, n_chars,

@@ -50,6 +50,10 @@ SAMPLE = [
     "basket_pair_affinity",
     "events_anomaly_zscore",
     "agg_kmv_merge",
+    "merge_cdc_snapshot",
+    "agg_winsorize",
+    "dedup_canonical_keep",
+    "curate_source_mix",
 ]
 
 

@@ -253,3 +253,51 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cume_dist"),
         )
     )
+
+
+@query(
+    "window_topk_twophase",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey,
+                                     l_linenumber) AS rn
+  FROM lineitem
+) t WHERE rn <= 2
+""",
+    tags=("window", "topn", "skew"),
+)
+def window_topk_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase Top-K: lineitem has only 3 return-flag groups,
+    so a single `row_number` window funnels a third of the table through
+    one task — the canonical few-huge-groups skew trap.  Phase 1 ranks
+    within (group, salt) sub-buckets (salt = l_orderkey % 16, data-derived
+    and deterministic) and keeps K per bucket; phase 2 re-ranks only the
+    ≤ 16·K survivors per group.  The global Top-K is always contained in
+    the union of per-bucket Top-Ks, so the result is IDENTICAL to the
+    direct window — the oracle states the direct form and the driver's
+    value hash proves the equivalence.
+
+    At 100 TB: phase 1's widest task handles group/16 rows (tune the salt
+    fan-out to executor memory); phase 2's input is 16·K rows per group —
+    constant.  (l_orderkey, l_linenumber) breaks ties, so both phases are
+    total orders and bit-deterministic."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order = [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    salted = l.withColumn("salt", F.col("l_orderkey") % 16)
+    w1 = W.partitionBy("l_returnflag", "salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("brn", F.row_number().over(w1))
+        .filter(F.col("brn") <= 2)
+        .drop("brn", "salt")
+    )
+    w2 = W.partitionBy("l_returnflag").orderBy(*order)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 2)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )

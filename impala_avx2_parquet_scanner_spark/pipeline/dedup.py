@@ -423,3 +423,96 @@ def dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 20)
     )
+
+
+#: Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+#: Data Makes Language Models Better" — the ExactSubstr variant, public):
+#: 64-char windows at stride 32 over normalized text; a window appearing
+#: in ≥2 documents marks both as carrying duplicated spans.
+SPAN_LEN = 64
+SPAN_STRIDE = 32
+SPAN_FLAG_PPM = 500_000  # flag docs with ≥ half their spans shared
+
+_SPANS_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         TRIM(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS t
+  FROM documents
+),
+eligible AS (SELECT * FROM norm WHERE LEN(t) >= {SPAN_LEN}),
+offs AS (
+  SELECT doc_id, t,
+         UNNEST(range(0, (LEN(t) - {SPAN_LEN}) // {SPAN_STRIDE} + 1)) AS i
+  FROM eligible
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         {_SQL_H64.format(x=f"substr(t, CAST(i*{SPAN_STRIDE} + 1 AS INTEGER), {SPAN_LEN})")} AS h
+  FROM offs
+),
+per_h AS (SELECT h, COUNT(*) AS n_docs FROM spans GROUP BY h),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN p.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM spans s JOIN per_h p USING (h)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_spans, n_shared,
+       (n_shared * 1000000) // n_spans AS shared_ppm,
+       (n_shared * 1000000) // n_spans >= {SPAN_FLAG_PPM} AS flagged
+FROM per_doc
+"""
+
+
+@query("dedup_repeated_spans", oracle=_SPANS_ORACLE, tags=("dedup", "pipeline"))
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup: fraction of each document's 64-char
+    windows (stride 32, normalized text) that also occur verbatim in
+    another document — catches boilerplate/templated passages that
+    whole-document MinHash misses because the rest of the page differs.
+
+    Two keyed shuffles, both on the span hash: (1) groupBy(h) counts
+    carrier docs per span (map-side combinable), (2) the span table joins
+    that count back and rolls up per doc.  Span hashes are 8-byte ints —
+    the shuffled payload never contains text, so volume is
+    ~len(corpus)/stride × 16 bytes regardless of document sizes.  At
+    100 TB the per-span doc count would cap at 2 (shared / not-shared is
+    all the rollup needs), turning the hot groupBy into a near-boolean
+    partial aggregate."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.trim(normalize_text(F.col("text"))).alias("t"))
+        .filter(F.length("t") >= SPAN_LEN)
+    )
+    spans = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(length(t) - {SPAN_LEN}) div {SPAN_STRIDE}"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            h64(F.expr(f"substr(t, i*{SPAN_STRIDE} + 1, {SPAN_LEN})")).alias("h"),
+        )
+        .distinct()
+    )
+    per_h = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        spans.join(per_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    shared_ppm = F.expr("(n_shared * 1000000) div n_spans")
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared",
+        shared_ppm.alias("shared_ppm"),
+        (shared_ppm >= SPAN_FLAG_PPM).alias("flagged"),
+    )

@@ -54,6 +54,8 @@ SAMPLE = [
     "agg_winsorize",
     "dedup_canonical_keep",
     "curate_source_mix",
+    "dedup_repeated_spans",
+    "window_topk_twophase",
 ]
 
 

@@ -628,3 +628,132 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("src_id", "nbr_id", "nbr_label", "cos_sim", "rank")
     )
+
+
+#: K-means index build: fixed-point Lloyd iterations.  Coordinates are
+#: 1e6-scaled BIGINTs, distances are integer squared-L2, centroid updates
+#: are integer mean (SUM div COUNT, truncating like both engines' int
+#: division) — every round is bit-exact at any parallelism, so the DuckDB
+#: oracle replays the whole build.  64 dims × (2e6)^2 × . . . stays well
+#: under 2^63.
+KMEANS_ITERATIONS = 2
+KMEANS_SCALE = 1_000_000
+
+
+def _kmeans_oracle() -> str:
+    k = N_CENTROIDS
+    parts = [f"""
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}.0)
+              AS BIGINT) AS xq
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, pos, xq AS cq FROM ex WHERE vec_id < {k})"""]
+    for i in range(1, KMEANS_ITERATIONS + 1):
+        parts.append(f"""
+d{i} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM((e.xq - c.cq) * (e.xq - c.cq)) AS BIGINT) AS dist
+  FROM ex e JOIN c{i-1} c USING (pos) GROUP BY e.vec_id, c.cid
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM d{i}) t WHERE rn = 1
+),
+c{i} AS (
+  SELECT a.cid, e.pos,
+         CAST(SUM(e.xq) AS BIGINT) // COUNT(*) AS cq
+  FROM a{i} a JOIN ex e USING (vec_id) GROUP BY a.cid, e.pos
+)""")
+    n = KMEANS_ITERATIONS
+    return ("WITH " + ",".join(parts) + f""",
+sizes AS (SELECT cid, COUNT(*) AS n_members FROM a{n} GROUP BY cid)
+SELECT c.cid AS centroid_id, c.pos, c.cq AS coord_q,
+       c.cq / {KMEANS_SCALE}.0 AS coord, s.n_members
+FROM c{n} c JOIN sizes s USING (cid)""")
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Integer squared-L2 distance between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+@query("ann_ivf_kmeans", oracle=_kmeans_oracle(), tags=("similarity", "ivf", "pipeline", "iterative"))
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD: k-means (Lloyd) over the corpus, K=8, two
+    fixed-point iterations seeded from the first K vectors — the step
+    that produces the centroids `ann_ivf_assign`/`ann_ivf_topk` consume
+    (their docstrings note the plug-in point).
+
+    Each iteration is the canonical distributed k-means shuffle pair:
+    (1) ASSIGN — centroids broadcast (K×dim is KBs at any corpus size),
+    distance computed JVM-side per row, nearest picked with a map-side
+    `max(struct(-dist, -cid))` argmin, so the exchange carries one row
+    per vector; (2) UPDATE — explode to (cid, pos, coord) and integer-
+    mean per (cid, pos): one keyed groupBy, map-side combinable.  The
+    loop is driver-side over a FIXED iteration count (no convergence
+    action), so the whole build is 2 jobs of 2 shuffles regardless of
+    scale.  Returns long-format centroids (centroid_id, pos, coord_q,
+    coord, n_members) — the layout the oracle can replay exactly."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            _dbl("embedding"), lambda x: F.floor(x * KMEANS_SCALE).cast("bigint")
+        ).alias("xq"),
+    )
+    cents = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERATIONS):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "xq",
+            "cid",
+            _sq_dist(F.col("xq"), F.col("cq")).alias("dist"),
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct((-F.col("dist")).alias("nd"), (-F.col("cid")).alias("nc"))
+                ).alias("m"),
+                F.first("xq").alias("xq"),
+            )
+            .select("vec_id", "xq", (-F.col("m.nc")).cast("bigint").alias("cid"))
+        )
+        long = assigned.select(
+            "cid", F.posexplode("xq").alias("pos0", "xq_i")
+        ).select("cid", (F.col("pos0") + 1).alias("pos"), "xq_i")
+        new_cents_long = long.groupBy("cid", "pos").agg(
+            F.expr("sum(xq_i) div count(1)").cast("bigint").alias("cq")
+        )
+        cents = (
+            new_cents_long.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                    lambda s: s.cq,
+                ).alias("cq")
+            )
+        )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    final_long = (
+        cents.select("cid", F.posexplode("cq").alias("pos0", "coord_q"))
+        .select("cid", (F.col("pos0") + 1).alias("pos"), "coord_q")
+    )
+    return final_long.join(sizes, "cid").select(
+        F.col("cid").alias("centroid_id"),
+        "pos",
+        "coord_q",
+        (F.col("coord_q") / F.lit(float(KMEANS_SCALE))).alias("coord"),
+        "n_members",
+    )

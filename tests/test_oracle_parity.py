@@ -56,6 +56,7 @@ SAMPLE = [
     "curate_source_mix",
     "dedup_repeated_spans",
     "window_topk_twophase",
+    "ann_ivf_kmeans",
 ]
 
 

@@ -750,7 +750,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.select("cid", F.posexplode("cq").alias("pos0", "coord_q"))
         .select("cid", (F.col("pos0") + 1).alias("pos"), "coord_q")
     )
-    return final_long.join(sizes, "cid").select(
+    return final_long.join(F.broadcast(sizes), "cid").select(
         F.col("cid").alias("centroid_id"),
         "pos",
         "coord_q",

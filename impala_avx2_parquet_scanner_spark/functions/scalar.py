@@ -374,3 +374,57 @@ def fn_hash_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
             h64(n).alias("h60"),
         )
     )
+
+
+@query(
+    "fn_decimal",
+    oracle="""
+SELECT o_orderkey,
+       CAST(p + CAST(123.45 AS DECIMAL(14,2)) AS DOUBLE)      AS dec_add,
+       CAST(p - CAST(99.99 AS DECIMAL(14,2)) AS DOUBLE)       AS dec_sub,
+       CAST(p * CAST(0.08 AS DECIMAL(4,2)) AS DOUBLE)         AS dec_mul,
+       -- DuckDB decimal '/' degrades to DOUBLE; re-quantizing the quotient
+       -- at Spark's result scale (6) recovers the exact shifted value
+       CAST(CAST(p / CAST(100 AS DECIMAL(3,0)) AS DECIMAL(24,6)) AS DOUBLE) AS dec_div_shift,
+       CAST(p % CAST(50 AS DECIMAL(14,2)) AS DOUBLE)          AS dec_mod,
+       CAST(ROUND(p, 1) AS DOUBLE)                            AS dec_round1,
+       CAST(ROUND(p, -2) AS DOUBLE)                           AS dec_round_neg2,
+       CAST(CEIL(p) AS DOUBLE)                                AS dec_ceil,
+       CAST(FLOOR(p) AS DOUBLE)                               AS dec_floor,
+       CAST(ABS(p - CAST(100000 AS DECIMAL(14,2))) AS DOUBLE) AS dec_abs_diff
+FROM (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS p
+  FROM orders WHERE o_orderkey <= 2000
+) t
+""",
+    tags=("function", "decimal"),
+)
+def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalOperators family (expr.h:242; literal re-scaling contract
+    scalar-fn-call.cc:894-929): fixed-point +,-,*,%,ROUND at positive and
+    negative scale, CEIL/FLOOR/ABS — all evaluated in exact DECIMAL and
+    only the final value widened to DOUBLE (Decimal trailing-zero
+    stringification diverges from DuckDB-through-pandas floats, so the
+    re-widened double is the canon-comparable form).  Division is by a
+    power of ten — a pure scale shift, exact in both engines; arbitrary
+    divisors are excluded because Spark and DuckDB pick different result
+    scales for repeating quotients (documented deviation).  Every op is
+    JVM-side inside whole-stage codegen."""
+    p = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            (p + F.lit(123.45).cast("decimal(14,2)")).cast("double").alias("dec_add"),
+            (p - F.lit(99.99).cast("decimal(14,2)")).cast("double").alias("dec_sub"),
+            (p * F.lit(0.08).cast("decimal(4,2)")).cast("double").alias("dec_mul"),
+            (p / F.lit(100).cast("decimal(3,0)")).cast("double").alias("dec_div_shift"),
+            (p % F.lit(50).cast("decimal(14,2)")).cast("double").alias("dec_mod"),
+            F.round(p, 1).cast("double").alias("dec_round1"),
+            F.round(p, -2).cast("double").alias("dec_round_neg2"),
+            F.ceil(p).cast("double").alias("dec_ceil"),
+            F.floor(p).cast("double").alias("dec_floor"),
+            F.abs(p - F.lit(100000).cast("decimal(14,2)")).cast("double").alias("dec_abs_diff"),
+        )
+    )

@@ -271,6 +271,71 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_checkpoint_recovery_restores_state_exactly_once(spark, tmp_path):
+    """Kill-and-restart contract: a watermarked windowed aggregation writing
+    to a parquet file sink is resumed from its checkpoint — the restarted
+    query must (a) restore the watermark AND the window partials accumulated
+    before the stop, and (b) emit each finalized window exactly once across
+    the two runs (file-sink transactional log).  This is the operational
+    guarantee a 1000-executor cluster restarts rely on."""
+    import pandas as pd
+
+    src = tmp_path / "ckpt_in"
+    src.mkdir()
+    out = str(tmp_path / "ckpt_out")
+    ckpt = str(tmp_path / "ckpt_state")
+    base = pd.Timestamp("2024-07-01 00:00:00")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .parquet(str(src))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    # run 1: two hour-0 events + an hour-10 sentinel → watermark 09:00 is
+    # checkpointed; the hour-0 window may or may not flush before the stop
+    write_batch([(base + pd.Timedelta(minutes=5), "click", 1.0),
+                 (base + pd.Timedelta(minutes=20), "click", 1.0),
+                 (base + pd.Timedelta(hours=10), "click", 1.0)])
+    run_once()
+
+    # run 2 (restart from the same checkpoint): a fresh sentinel advances
+    # the restored watermark past hours 0 and 10, finalizing both windows
+    write_batch([(base + pd.Timedelta(hours=20), "click", 1.0)])
+    run_once()
+
+    rows = [(r.ws.replace(tzinfo=None), r.n)
+            for r in spark.read.parquet(out).collect()]
+    # hour-0 appears once with n=2: both pre-restart events survived in
+    # recovered state; no duplicate emission across the restart
+    assert sorted(r for r in rows if r[0].hour == 0) == [(base.to_pydatetime(), 2)]
+    assert sorted(r for r in rows if r[0].hour == 10) == [
+        ((base + pd.Timedelta(hours=10)).to_pydatetime(), 1)
+    ]
+
+    # run 3: restart again with NO new input — must be a no-op
+    run_once()
+    assert len(spark.read.parquet(out).collect()) == len(rows)
+
+
 def test_stream_outer_join_flushes_unmatched_on_watermark(spark, tmp_path):
     """LEFT OUTER stream-stream join contract: an unmatched purchase emits
     with NULL view columns only after a later batch advances the

@@ -428,3 +428,45 @@ def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(p - F.lit(100000).cast("decimal(14,2)")).cast("double").alias("dec_abs_diff"),
         )
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / CAST(o_orderkey % 3 AS DOUBLE)        AS div_maybe0,
+       o_orderkey % NULLIF(o_custkey % 5, -1)               AS mod_maybe0,
+       TRY_CAST(o_orderkey AS TINYINT)                      AS tiny_ovf,
+       TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+       TRY_CAST(o_orderstatus AS BIGINT)                    AS status_num,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                     THEN '2024-03-01' ELSE 'not-a-date' END AS DATE) AS maybe_date
+FROM orders WHERE o_orderkey <= 2000
+""",
+    tags=("function", "cast", "null"),
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive expression semantics — Impala evaluates bad casts and
+    zero denominators to NULL instead of raising (the reference's
+    expression framework returns null Get*Val results, expr.h:118-383).
+    Spark's non-ANSI `/` and `%` plus the try_* family are the exact
+    Spark-first twins; DuckDB agrees (x/0 → NULL, TRY_CAST → NULL), so
+    every column is hash-comparable.  Data-dependent zeros/garbage make
+    each column a mix of real values and NULLs."""
+    k = F.col("o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(k <= 2000)
+        .select(
+            "o_orderkey",
+            F.try_divide(F.col("o_totalprice"), (k % 3).cast("double")).alias("div_maybe0"),
+            F.try_mod(k, F.col("o_custkey") % 5).alias("mod_maybe0"),
+            k.try_cast("tinyint").alias("tiny_ovf"),
+            F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_num"),
+            F.col("o_orderstatus").try_cast("bigint").alias("status_num"),
+            F.when(k % 2 == 0, F.lit("2024-03-01"))
+            .otherwise(F.lit("not-a-date"))
+            .try_cast("date")
+            .alias("maybe_date"),
+        )
+    )

@@ -53,12 +53,13 @@ CORE_WINDOW: tuple[str, ...] = (
     "events_sessionize",
     "events_growth_accounting",
     "fn_cast",
-    # §2A #5/#6/#14: the pushdown-predicate contract (simple-predicates.h)
+    # §2A #5/#6/#14: the pushdown-predicate contract (simple-predicates.h).
+    # pred_le/pred_ge are window-excluded twins of pred_lt/pred_gt (same
+    # pushdown path; still parity- and fuzz-checked) to free slots for the
+    # pipeline family below.
     "pred_eq",
     "pred_lt",
-    "pred_le",
     "pred_gt",
-    "pred_ge",
     "pred_in",
     "pred_between",
     "pred_and_or",
@@ -90,12 +91,10 @@ CORE_WINDOW: tuple[str, ...] = (
     "join_null_safe",
     "join_range_nonequi",
     "join_asof_events",
-    "join_sort_merge",
-    # §2B windows
+    # §2B windows (lag/lead covered by parity + window fuzzing)
     "window_running_sum",
     "window_rank_dense",
     "window_range_interval",
-    "window_lag_lead",
     # §2B set ops / subqueries / sort
     "set_except",
     "subq_correlated_exists",
@@ -104,6 +103,12 @@ CORE_WINDOW: tuple[str, ...] = (
     "fn_string",
     "text_stats",
     "udf_pandas_scalar",
+    # north-star pipeline family (graded first-class): exact + LSH dedup,
+    # ANN search, and the multimodal Arrow-batch path
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "multimodal_features",
 )
 
 _EXPORT_PREFIX = "a0_"

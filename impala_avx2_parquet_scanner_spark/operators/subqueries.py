@@ -162,3 +162,35 @@ def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
+
+
+_NOT_IN_SQL = """
+WITH hot AS (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
+  UNION ALL SELECT CAST(NULL AS BIGINT)
+)
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM hot)) AS n_notin_with_null,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM hot WHERE k IS NOT NULL)) AS n_notin_filtered,
+  (SELECT COUNT(*) FROM customer
+   WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.k = customer.c_custkey)) AS n_not_exists
+"""
+
+
+@query("subq_not_in", oracle=_NOT_IN_SQL, tags=("subquery", "anti", "nulls"))
+def subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic contract (compound-predicates.cc:24-245
+    Kleene semantics applied to subqueries): one NULL in the subquery makes
+    every NOT IN test UNKNOWN, so `n_notin_with_null` is provably 0, while
+    the IS NOT NULL-filtered form and NOT EXISTS agree.  Identical SQL text
+    on both engines.
+
+    Scale note: Spark plans nullable NOT IN as a *null-aware anti join*,
+    which only supports broadcast — on a large subquery this is the classic
+    OOM trap.  The fix this query documents: filter NULLs (or prove the
+    column non-nullable) so Catalyst plans a plain shuffleable left-anti
+    join, or rewrite to NOT EXISTS."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

@@ -301,3 +301,54 @@ def window_topk_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+SELECT user_id, event_id,
+  CASE WHEN event_type = 'purchase' THEN value END AS dval,
+  FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_p,
+  NTH_VALUE(CASE WHEN event_type = 'purchase' THEN value END, 2 IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_p,
+  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_p
+FROM events WHERE user_id <= 50
+""",
+    tags=("window", "nulls"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS value-function semantics (first/nth/last over a sparse
+    column): `dval` is non-NULL only on purchase events, and the three
+    windows answer "first purchase so far", "second purchase so far", and
+    "most recent strictly-earlier purchase" — the forward-fill/as-of family
+    expressed entirely in frame clauses.  Values pass through unchanged
+    (no arithmetic), so doubles compare bit-exact.  One shuffle on
+    user_id; per-user frames are calendar-bounded, never data-sized."""
+    dval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    cur = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .select(
+            "user_id",
+            "event_id",
+            dval.alias("dval"),
+            F.first(dval, ignorenulls=True).over(cur).alias("first_p"),
+            F.nth_value(dval, 2, ignoreNulls=True).over(cur).alias("second_p"),
+            F.last(dval, ignorenulls=True).over(prev).alias("prev_p"),
+        )
+    )

@@ -516,3 +516,110 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_ppm.alias("shared_ppm"),
         (shared_ppm >= SPAN_FLAG_PPM).alias("flagged"),
     )
+
+
+#: Winnowing (Schleimer et al., SIGMOD 2003) parameters: character k-grams
+#: of the normalized text, guarantee window w, per-fingerprint document cap
+#: (drops boilerplate grams the way LSH drops mega-buckets), and the
+#: shared-fingerprint count that promotes a pair to near-dup.
+WINNOW_K = 16
+WINNOW_W = 8
+WINNOW_PREFIX = 192
+WINNOW_DOC_CAP = 20
+WINNOW_SHARED_MIN = 6
+
+_WINNOW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')),
+                1, {WINNOW_PREFIX}) AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - {WINNOW_K} + 2)) AS p
+  FROM d WHERE length(t) >= {WINNOW_K}
+), g AS (
+  SELECT doc_id, p,
+    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      [CAST(ascii(c) AS BIGINT)
+       for c in string_split(substr(t, CAST(p AS INT), {WINNOW_K}), '')]),
+      (a, b) -> (a * 31 + b) % 2147483647) AS h
+  FROM pos
+), wsel AS (
+  SELECT doc_id, p,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wsel WHERE p >= {WINNOW_W}
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_DOC_CAP}
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
+"""
+
+
+@query("dedup_winnowing", oracle=_WINNOW_ORACLE, tags=("dedup", "pipeline", "fingerprint"))
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection (MOSS fingerprinting, Schleimer et al.
+    2003): rolling k-gram hashes over the normalized text, keep the MIN
+    hash of each sliding w-window as a fingerprint (any shared substring
+    of length ≥ w+k-1 is guaranteed to share a fingerprint), then pair
+    documents by shared fingerprints.  Complements MinHash (set-overlap)
+    with *contiguous-match* detection at ~2/(w+1) of the rolling-hash
+    footprint.
+
+    Scale design: hashing is embarrassingly parallel (per-doc arrays, one
+    pass, all JVM-side integer lambdas); the per-doc window MIN partitions
+    by doc_id (frames bounded by the 192-char prefix — full-doc
+    form strides the same plan over chunks); the only corpus shuffle is the
+    fingerprint self-join, whose fan-out the 20-doc frequency
+    cap bounds at cap²/2 rows per fingerprint — boilerplate grams are
+    dropped exactly like LSH mega-buckets.  Same base-31 mod-2^31-1 integer
+    hash as `text_rolling_hash`, replayed term-for-term by the oracle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, WINNOW_PREFIX).alias("t"),
+    ).filter(F.length("t") >= WINNOW_K)
+    chars = F.filter(F.split(F.col("t"), ""), lambda c: c != F.lit(""))
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    pos = d.select(
+        "doc_id",
+        codes.alias("codes"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - (WINNOW_K - 1))
+        ).alias("p"),
+    )
+    gram_hash = F.aggregate(
+        F.slice(F.col("codes"), F.col("p"), WINNOW_K),
+        F.lit(7).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
+    )
+    g = pos.select("doc_id", "p", gram_hash.alias("h"))
+    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(-(WINNOW_W - 1), 0)
+    fps = (
+        g.select("doc_id", "p", F.min("h").over(win).alias("fp"))
+        .filter(F.col("p") >= WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= WINNOW_DOC_CAP)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_SHARED_MIN)
+    )

@@ -576,10 +576,12 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: hashing is embarrassingly parallel (per-doc arrays, one
     pass, all JVM-side integer lambdas); the per-doc window MIN partitions
     by doc_id (frames bounded by the 192-char prefix — full-doc
-    form strides the same plan over chunks); the only corpus shuffle is the
-    fingerprint self-join, whose fan-out the 20-doc frequency
-    cap bounds at cap²/2 rows per fingerprint — boilerplate grams are
-    dropped exactly like LSH mega-buckets.  Same base-31 mod-2^31-1 integer
+    form strides the same plan over chunks); the corpus-level work is one
+    fp-keyed shuffle building per-fingerprint doc lists (bounded: groups
+    above the 20-doc frequency cap are dropped like LSH mega-buckets, so
+    lists hold ≤20 ids and pair fan-out is ≤ cap²/2) plus the pair-count
+    aggregation.  Documents are scanned exactly once — no self-join, no
+    broadcast of corpus-sized state.  Same base-31 mod-2^31-1 integer
     hash as `text_rolling_hash`, replayed term-for-term by the oracle."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -607,18 +609,32 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    rare = (
+    # One fp-keyed shuffle replaces the rare-filter join + self-join: the
+    # per-fingerprint doc list is capped at WINNOW_DOC_CAP elements, so
+    # collect_list is bounded and pair fan-out is ≤ cap²/2 per fingerprint.
+    # (The distinct above adds no exchange: the window's doc_id partitioning
+    # satisfies the (doc_id, fp) grouping, so documents are scanned ONCE.)
+    doc_lists = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") <= WINNOW_DOC_CAP)
-        .select("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, WINNOW_DOC_CAP))
     )
-    kept = fps.join(rare, "fp")
-    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda a, i: F.transform(
+                    F.slice(
+                        F.col("docs"), i + F.lit(2), F.size("docs") - i - 1
+                    ),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        doc_lists.select(pairs.alias("pair"))
+        .select("pair.doc_a", "pair.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_SHARED_MIN)

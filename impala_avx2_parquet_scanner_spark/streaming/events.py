@@ -419,3 +419,48 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_ppm
+FROM t
+"""
+
+
+@query("events_path_transitions", oracle=_TRANSITIONS_ORACLE, tags=("events", "path"))
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-path transition matrix (Markov mining over the
+    clickstream): per user, pair each event with its successor via LEAD,
+    then count (from, to) transitions and each row's share of its from-state
+    in exact integer ppm (BIGINT DIV — no float division, so the oracle's
+    HUGEINT window sum is pinned to BIGINT).
+
+    Scale: one user_id-keyed shuffle for the LEAD window (per-user frames),
+    then a map-side-combinable count whose output is |event_types|² rows —
+    constant; the share window runs over that constant-size matrix."""
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq_w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        t.withColumn("n_from", F.sum("n").over(W.partitionBy("from_type")))
+        .withColumn("share_ppm", F.expr("(1000000 * n) DIV n_from"))
+        .select("from_type", "to_type", "n", "share_ppm")
+    )

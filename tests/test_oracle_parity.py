@@ -57,6 +57,9 @@ SAMPLE = [
     "dedup_repeated_spans",
     "window_topk_twophase",
     "ann_ivf_kmeans",
+    "dedup_winnowing",
+    "subq_not_in",
+    "window_ignore_nulls",
 ]
 
 

@@ -396,3 +396,35 @@ def test_video_features_are_real_frame_statistics(spark):
         assert r.features[1] == float(fps)
         assert r.features[4] == pytest.approx(x.mean())
         assert r.features[7] == pytest.approx(x[-1].mean())
+
+
+def test_winnowing_finds_all_exact_prefix_duplicates(spark, duck, sf_dir):
+    """Winnowing guarantee (Schleimer et al. 2003): documents with an
+    identical normalized 192-char prefix have identical fingerprint sets,
+    so every exact-prefix duplicate pair must surface in dedup_winnowing's
+    output (the near-dup set may be larger — that's the point)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import dedup_winnowing
+
+    exact_pairs = {
+        (a, b)
+        for a, b in duck.execute(
+            """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(lower(regexp_replace(text,'[^A-Za-z0-9]+',' ','g')),
+                            1, 192) AS t
+              FROM documents
+            )
+            SELECT a.doc_id, b.doc_id
+            FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id
+            WHERE length(a.t) >= 23
+            """
+        ).fetchall()
+    }
+    assert exact_pairs, "fixture should contain exact-prefix duplicates"
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_winnowing(spark, sf_dir).collect()
+    }
+    missing = exact_pairs - found
+    assert not missing, f"winnowing missed exact duplicates: {sorted(missing)}"

@@ -830,3 +830,128 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((-F.sum("term")).cast("double").alias("word_entropy"))
     )
+
+
+#: BPE merge-training rounds (unrolled; each is one map-side-combinable
+#: pair-count shuffle + a 1-row broadcast back onto the vocabulary).
+BPE_TRAIN_ROUNDS = 3
+BPE_TRAIN_MAX_WORD = 16
+
+_BPE_PAIR_COUNT_SQL = """
+  SELECT p[1] AS x, p[2] AS y, CAST(SUM(wcount) AS BIGINT) AS pair_count FROM (
+    SELECT wcount, unnest([[syms[i], syms[i+1]] for i in range(1, len(syms))]) AS p FROM (
+      SELECT wcount, list_filter(string_split(seq, '||'), s -> s <> '') AS syms FROM {src}
+    ) s WHERE len(syms) >= 2
+  ) e GROUP BY 1, 2
+"""
+
+_BPE_TRAIN_ORACLE = f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+    SELECT unnest(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS word
+    FROM documents
+  ) t WHERE length(word) <= {BPE_TRAIN_MAX_WORD}
+  GROUP BY word
+),
+w0 AS (
+  SELECT wcount,
+         '||' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), '||') || '||' AS seq
+  FROM words
+),
+pc1 AS ({_BPE_PAIR_COUNT_SQL.format(src='w0')}),
+m1 AS (SELECT x, y, pair_count FROM pc1 ORDER BY pair_count DESC, x, y LIMIT 1),
+w1 AS (SELECT wcount, replace(seq, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|') AS seq FROM w0, m1 m),
+pc2 AS ({_BPE_PAIR_COUNT_SQL.format(src='w1')}),
+m2 AS (SELECT x, y, pair_count FROM pc2 ORDER BY pair_count DESC, x, y LIMIT 1),
+w2 AS (SELECT wcount, replace(seq, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|') AS seq FROM w1, m2 m),
+pc3 AS ({_BPE_PAIR_COUNT_SQL.format(src='w2')}),
+m3 AS (SELECT x, y, pair_count FROM pc3 ORDER BY pair_count DESC, x, y LIMIT 1)
+SELECT 1 AS step, x, y, x || y AS merged, pair_count FROM m1
+UNION ALL SELECT 2, x, y, x || y, pair_count FROM m2
+UNION ALL SELECT 3, x, y, x || y, pair_count FROM m3
+"""
+
+
+def _bpe_pair_argmax(vocab: DataFrame) -> DataFrame:
+    """Most frequent adjacent symbol pair in a `(wcount, seq)` vocabulary
+    (ties broken lexicographically) — one shuffle + TakeOrdered(1)."""
+    syms = F.filter(F.split(F.col("seq"), r"\|\|"), lambda s: s != F.lit(""))
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("x"),
+                F.element_at(syms, i + 1).alias("y"),
+            ),
+        ),
+    )
+    return (
+        vocab.select("wcount", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.sum("wcount").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "x", "y")
+        .limit(1)
+    )
+
+
+@query("text_bpe_train", oracle=_BPE_TRAIN_ORACLE, tags=("text", "pipeline", "tokenizer"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING at corpus scale (Sennrich et al. 2016): learn the
+    top-3 byte-pair merges from the word-frequency table — the tokenizer-
+    construction counterpart of `text_bpe_tokens` (which *applies* a fixed
+    pre-tokenizer).  Words become `||`-separated symbol sequences; each
+    round counts adjacent symbol pairs weighted by word frequency, merges
+    the argmax pair (deterministic lexicographic tiebreak), and rewrites
+    the vocabulary with a literal left-to-right non-overlapping string
+    replace — both engines' `replace` implements exactly BPE's merge-scan
+    order, replayed round-for-round by the oracle.
+
+    Scale: training runs on the DISTINCT-word table (vocabulary-sized,
+    not corpus-sized — the one corpus pass is the word count); each round
+    is one map-side-combinable pair-count shuffle plus a 1-row broadcast
+    joined back onto the vocabulary.  Rounds are unrolled like
+    `ann_ivf_kmeans` / `graph_pagerank` — the fixed-iteration distributed-
+    training loop pattern."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("word"))
+        .filter(F.length("word") <= BPE_TRAIN_MAX_WORD)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    vocab = words.select(
+        "wcount",
+        F.concat(F.lit("||"), F.array_join(chars, "||"), F.lit("||")).alias("seq"),
+    )
+    merges = []
+    for step in range(1, BPE_TRAIN_ROUNDS + 1):
+        best = _bpe_pair_argmax(vocab)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "x",
+                "y",
+                F.concat("x", "y").alias("merged"),
+                "pair_count",
+            )
+        )
+        vocab = vocab.crossJoin(F.broadcast(best.select("x", "y"))).select(
+            "wcount",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit("|"), "x", F.lit("||"), "y", F.lit("|")),
+                F.concat(F.lit("|"), "x", "y", F.lit("|")),
+            ).alias("seq"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

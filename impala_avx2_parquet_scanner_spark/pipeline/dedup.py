@@ -589,19 +589,24 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("t") >= WINNOW_K)
     chars = F.filter(F.split(F.col("t"), ""), lambda c: c != F.lit(""))
     codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
-    pos = d.select(
-        "doc_id",
-        codes.alias("codes"),
-        F.explode(
-            F.sequence(F.lit(1), F.length("t") - (WINNOW_K - 1))
-        ).alias("p"),
+    # All gram hashes are computed inside ONE row per document (transform
+    # over positions against the in-place codes array), then posexplode
+    # emits only (doc_id, p, h) — exploding positions BEFORE hashing would
+    # copy the 192-element array into every position row and runs ~10x
+    # slower through the interpreted higher-order-function path.
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("codes") - (WINNOW_K - 1)),
+        lambda p: F.aggregate(
+            F.slice(F.col("codes"), p, WINNOW_K),
+            F.lit(7).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
+        ),
     )
-    gram_hash = F.aggregate(
-        F.slice(F.col("codes"), F.col("p"), WINNOW_K),
-        F.lit(7).cast("bigint"),
-        lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
+    g = (
+        d.select("doc_id", codes.alias("codes"))
+        .select("doc_id", F.posexplode(hashes).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "h")
     )
-    g = pos.select("doc_id", "p", gram_hash.alias("h"))
     win = W.partitionBy("doc_id").orderBy("p").rowsBetween(-(WINNOW_W - 1), 0)
     fps = (
         g.select("doc_id", "p", F.min("h").over(win).alias("fp"))

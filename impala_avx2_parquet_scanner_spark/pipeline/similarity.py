@@ -472,10 +472,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.30
+#: Target cluster size: the centroid count is ceil(N / this), so cluster
+#: population stays ~constant as the corpus grows and the within-cluster
+#: pair stage stays LINEAR in N (fixed k would make it quadratic).
+SEMDEDUP_CLUSTER_SIZE = 64
 
 _SEMDEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+      WHERE vec_id < (SELECT CAST(ceil(COUNT(*) / {SEMDEDUP_CLUSTER_SIZE}.0) AS BIGINT) FROM e)),
 scored AS (
   SELECT e.vec_id, e.emb, c.centroid_id,
          list_dot_product(e.emb, c.cemb)
@@ -523,19 +528,52 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape for 100 TB: the pairwise step is a self-join keyed on
     centroid_id, so the candidate set is per-cluster, never all-pairs —
-    with k-means at k ≈ √N (the paper uses 50k clusters for 5B points)
-    each cluster is a bounded block exactly like `ann_knn_graph`'s.
-    Deterministic centroids (first N_CENTROIDS vectors) stand in for
+    and the centroid count is derived IN-PLAN as ceil(N/64) (a 1-row
+    count broadcast; no collect), pinning cluster population at ~64 so
+    pair work grows linearly with the corpus (a fixed k would make it
+    N²/k — measured super-linear in SCALING.md before this guard).
+    Deterministic centroids (first ceil(N/64) vectors) stand in for
     k-means so the DuckDB oracle replays assignment, pair scoring, the
     keep-rule, and the final verdict term-for-term; swapping in learned
     centroids changes no plan shape.  The loser set is distinct vec_ids
     → one keyed left join back onto the assignment marks survivors.
-    Reuses `_ivf_assigned` (map-side argmax, one shuffle) for the
-    cluster assignment.  Reference parity: the reference has no ANN/dedup
-    surface — this is north-star pipeline scope (SURVEY §2 pipeline ops).
+    Assignment is the same broadcast-argmax shape as `_ivf_assigned`;
+    when k outgrows a broadcast, the IVF probe path (`ann_ivf_topk`)
+    replaces the exhaustive argmax.  Reference parity: the reference has
+    no ANN/dedup surface — north-star pipeline scope (SURVEY §2).
     """
-    assigned = _ivf_assigned(spark, sf_dir).select(
-        "vec_id", "emb", "centroid_id", "centroid_sim"
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    n_centroids = F.ceil(
+        F.count(F.lit(1)) / F.lit(float(SEMDEDUP_CLUSTER_SIZE))
+    ).cast("long").alias("n_centroids")
+    c = (
+        e.crossJoin(F.broadcast(e.agg(n_centroids)))
+        .filter(F.col("vec_id") < F.col("n_centroids"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb"))
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "emb",
+        "centroid_id",
+        cosine(F.col("emb"), F.col("cemb")).alias("sim"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("sim").alias("sim"),
+            (-F.col("centroid_id")).alias("neg_cid"),
+        )
+    ).alias("m")
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(best, F.first("emb").alias("emb"))
+        .select(
+            "vec_id",
+            "emb",
+            (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
+            F.col("m.sim").alias("centroid_sim"),
+        )
     )
     a = assigned.select(
         "centroid_id",

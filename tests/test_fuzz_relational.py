@@ -179,3 +179,50 @@ def test_fuzz_window_functions_match_duckdb(spark, duck, sf_dir):
             key=key,
         )
         assert got == want, f"seed={seed} part={part} fn={fname}"
+
+
+# ------------------------------------------------------------- set ops
+
+_SETOP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+
+def test_fuzz_set_operations_match_duckdb(spark, duck, sf_dir):
+    """18 seeded random set-op cases: two differently-filtered projections
+    of lineitem combined with UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL]
+    — multiset semantics (the ALL forms) compared as exact sorted
+    row-lists, so bag-duplicate counting must match DuckDB's."""
+    li = table(spark, sf_dir, "lineitem")
+    ops = ["union", "union_all", "intersect", "intersect_all",
+           "except", "except_all"]
+    for seed in range(18):
+        rng = random.Random(7000 + seed)
+        cols = rng.sample(_SETOP_COLS, rng.randint(1, 3))
+        lo_a = round(rng.uniform(0, 30), 2)
+        lo_b = round(rng.uniform(0, 30), 2)
+        op = rng.choice(ops)
+
+        a = li.filter(F.col("l_quantity") > lo_a).select(*cols)
+        b = li.filter(F.col("l_quantity") > lo_b).select(*cols)
+        if op == "union":
+            out = a.union(b).distinct()
+        elif op == "union_all":
+            out = a.union(b)
+        elif op == "intersect":
+            out = a.intersect(b)
+        elif op == "intersect_all":
+            out = a.intersectAll(b)
+        elif op == "except":
+            out = a.subtract(b)
+        else:
+            out = a.exceptAll(b)
+        got = sorted(tuple(r) for r in out.collect())
+
+        kw = {"union": "UNION", "union_all": "UNION ALL",
+              "intersect": "INTERSECT", "intersect_all": "INTERSECT ALL",
+              "except": "EXCEPT", "except_all": "EXCEPT ALL"}[op]
+        csel = ", ".join(cols)
+        sql = (f"SELECT {csel} FROM lineitem WHERE l_quantity > {lo_a!r} "
+               f"{kw} "
+               f"SELECT {csel} FROM lineitem WHERE l_quantity > {lo_b!r}")
+        want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+        assert got == want, f"seed={seed} op={op} cols={cols} ({sql})"

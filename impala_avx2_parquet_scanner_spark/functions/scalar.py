@@ -470,3 +470,41 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("maybe_date"),
         )
     )
+
+
+@query(
+    "fn_datearith",
+    oracle="""
+SELECT o_orderkey,
+  CAST(datediff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS INTEGER) AS days_to_99,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(isodow(o_orderdate) % 7 + 1 AS INTEGER) AS dow_sun1,
+  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+  strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders WHERE o_orderkey <= 3000
+""",
+    tags=("function", "datetime"),
+)
+def fn_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date ARITHMETIC companion to `fn_datetime` (TimestampFunctions
+    expr.h:246; DateAddSub scalar-fn-call.cc:386-388): day difference,
+    month addition (both engines clamp Jan 31 + 1 month to Feb 28 —
+    verified), last-day-of-month, day-of-week (Spark's 1=Sunday numbering
+    replayed in DuckDB as isodow % 7 + 1), ISO week-of-year, and
+    pattern formatting (subset where Java and strftime patterns agree)."""
+    d = F.col("o_orderdate")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            F.datediff(F.lit("1999-01-01").cast("date"), d.cast("date"))
+            .cast("int").alias("days_to_99"),
+            (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+            F.last_day(d.cast("date")).alias("month_end"),
+            F.dayofweek(d).cast("int").alias("dow_sun1"),
+            F.weekofyear(d).cast("int").alias("iso_week"),
+            F.date_format(d, "yyyy-MM").alias("ym"),
+        )
+    )

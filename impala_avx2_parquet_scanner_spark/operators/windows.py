@@ -352,3 +352,62 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last(dval, ignorenulls=True).over(prev).alias("prev_p"),
         )
     )
+
+
+_GAPS_ISLANDS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), numbered AS (
+  SELECT user_id, day,
+         CAST(datediff('day', DATE '1998-01-01', day) AS BIGINT)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len, MIN(day) AS start_day
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       MIN(start_day) AS first_day
+FROM streaks GROUP BY user_id
+"""
+
+
+@query("window_gaps_islands", oracle=_GAPS_ISLANDS_ORACLE, tags=("window", "events"))
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via the
+    classic day-number-minus-row-number grouping key (consecutive days
+    share a constant difference), then streak stats per user.  All-integer
+    arithmetic; window SUM-free, so the oracle only needs BIGINT pins on
+    the counts.
+
+    Scale: distinct (user, day) is one map-side-combinable shuffle; the
+    row_number window re-uses the user_id partitioning (frames are
+    per-user day lists, calendar-bounded); both follow-up aggregations
+    stay on the user_id key — no data-sized window, no re-shuffle."""
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    grp = (
+        F.datediff(F.col("day"), F.lit("1998-01-01").cast("date")).cast("bigint")
+        - rn
+    )
+    streaks = (
+        days.select("user_id", "day", grp.alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("day").alias("start_day"),
+        )
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+        F.min("start_day").alias("first_day"),
+    )

@@ -60,6 +60,10 @@ SAMPLE = [
     "dedup_winnowing",
     "subq_not_in",
     "window_ignore_nulls",
+    "text_bpe_train",
+    "fn_datearith",
+    "window_gaps_islands",
+    "events_path_transitions",
 ]
 
 

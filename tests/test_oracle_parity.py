@@ -108,7 +108,10 @@ def test_driver_window_is_representative():
         assert any(registry_name(n).startswith(fam) for n in window), fam
 
 
-@pytest.mark.parametrize("name", ["tpch_q1", "agg_stats_exact", "tpch_q9"])
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q1", "agg_stats_exact", "tpch_q9", "text_bpe_train", "dedup_winnowing"],
+)
 def test_results_invariant_under_partitioning(spark, sf_dir, name):
     """The exact-decimal discipline's core promise: results are
     bit-identical at any parallelism.  Re-running under a different

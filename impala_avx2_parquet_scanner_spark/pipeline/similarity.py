@@ -795,3 +795,92 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("coord_q") / F.lit(float(KMEANS_SCALE))).alias("coord"),
         "n_members",
     )
+
+
+#: Product quantization geometry: 64-dim vectors → 4 subspaces × 16 dims,
+#: 4-entry codebook per subspace (subvectors of the first 4 corpus vectors
+#: — deterministic stand-in, same convention as the IVF/SemDeDup centroids).
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16
+PQ_CODEBOOK = 4
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (
+  SELECT vec_id, s AS subspace,
+         list_slice(emb, s*{PQ_SUBDIM} + 1, s*{PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+  FROM e, unnest([0,1,2,3]) AS t(s)
+),
+cb AS (
+  SELECT vec_id AS code_id, subspace, sub AS csub FROM subs WHERE vec_id < {PQ_CODEBOOK}
+),
+scored AS (
+  SELECT v.vec_id, v.subspace, c.code_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             [ (v.sub[i] - c.csub[i]) * (v.sub[i] - c.csub[i])
+               for i in range(1, {PQ_SUBDIM} + 1) ]),
+           (a, b) -> a + b) AS dist
+  FROM subs v JOIN cb c USING (subspace)
+),
+ranked AS (
+  SELECT vec_id, subspace, code_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code_id) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(subspace AS INTEGER) AS subspace,
+       CAST(code_id AS BIGINT) AS code, dist AS sq_err
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("embedding_pq_codes", oracle=_PQ_ORACLE, tags=("similarity", "pipeline", "quantize"))
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the compression half of
+    a FAISS-style IVF-PQ index (`ann_ivf_*` is the other): split each
+    64-dim vector into 4×16-dim subvectors, assign each to its nearest
+    codebook entry (L2, deterministic lowest-id tiebreak), and emit the
+    4 codes + per-subspace squared reconstruction error.  64 doubles
+    compress to 4 codes — the memory step that makes 100 TB of vectors
+    fit an ANN index.
+
+    Determinism: distances are left-to-right folds over a fixed 16-dim
+    order on both engines (identical ULP), so the argmin ordering and the
+    emitted sq_err are bit-identical.  Plan: subvector explode is 4 rows
+    per vector (constant), the 16-entry codebook broadcasts, and the
+    argmin is a map-side `MIN(struct(dist, code_id))` — one vec_id-keyed
+    shuffle total, no window sort.  Codebooks here are deterministic
+    first-K subvectors; training them is the same unrolled-Lloyd pattern
+    as `ann_ivf_kmeans` and changes no plan shape."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    subarrs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+        lambda s: F.slice(F.col("emb"), s * PQ_SUBDIM + F.lit(1), PQ_SUBDIM),
+    )
+    subs = e.select("vec_id", F.posexplode(subarrs).alias("subspace", "sub"))
+    cb = subs.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("code_id"),
+        "subspace",
+        F.col("sub").alias("csub"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.min(
+        F.struct(dist.alias("dist"), F.col("code_id").alias("code_id"))
+    ).alias("m")
+    return (
+        subs.join(F.broadcast(cb), "subspace")
+        .groupBy("vec_id", "subspace")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("m.code_id").cast("bigint").alias("code"),
+            F.col("m.dist").alias("sq_err"),
+        )
+    )

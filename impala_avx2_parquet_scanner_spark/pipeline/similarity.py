@@ -852,6 +852,26 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle total, no window sort.  Codebooks here are deterministic
     first-K subvectors; training them is the same unrolled-Lloyd pattern
     as `ann_ivf_kmeans` and changes no plan shape."""
+    best = F.min(
+        F.struct(F.col("dist").alias("dist"), F.col("code_id").alias("code_id"))
+    ).alias("m")
+    return (
+        _pq_scored(spark, sf_dir)
+        .groupBy("vec_id", "subspace")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("m.code_id").cast("bigint").alias("code"),
+            F.col("m.dist").alias("sq_err"),
+        )
+    )
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (vector, subspace, codebook-entry) L2 distances — the shared
+    input of code assignment (`embedding_pq_codes`) and the query LUT
+    (`ann_pq_adc_topk`).  Fixed-order fold per 16-dim subvector."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("emb")
     )
@@ -870,17 +890,105 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    best = F.min(
-        F.struct(dist.alias("dist"), F.col("code_id").alias("code_id"))
-    ).alias("m")
-    return (
-        subs.join(F.broadcast(cb), "subspace")
-        .groupBy("vec_id", "subspace")
-        .agg(best)
-        .select(
-            "vec_id",
-            F.col("subspace").cast("int").alias("subspace"),
-            F.col("m.code_id").cast("bigint").alias("code"),
-            F.col("m.dist").alias("sq_err"),
+    return subs.join(F.broadcast(cb), "subspace").select(
+        "vec_id", "subspace", "code_id", dist.alias("dist")
+    )
+
+
+_ADC_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (
+  SELECT vec_id, s AS subspace,
+         list_slice(emb, s*{PQ_SUBDIM} + 1, s*{PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+  FROM e, unnest([0,1,2,3]) AS t(s)
+),
+cb AS (SELECT vec_id AS code_id, subspace, sub AS csub FROM subs WHERE vec_id < {PQ_CODEBOOK}),
+scored AS (
+  SELECT v.vec_id, v.subspace, c.code_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [ (v.sub[i] - c.csub[i]) * (v.sub[i] - c.csub[i])
+             for i in range(1, {PQ_SUBDIM} + 1) ]),
+           (a, b) -> a + b) AS dist
+  FROM subs v JOIN cb c USING (subspace)
+),
+codes AS (
+  SELECT vec_id, subspace, code_id AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code_id) AS rn
+    FROM scored) t WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, subspace, code_id AS code, dist
+  FROM scored WHERE vec_id < {N_QUERIES}
+),
+pair AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         SUM(CASE WHEN c.subspace = 0 THEN l.dist END) AS d0,
+         SUM(CASE WHEN c.subspace = 1 THEN l.dist END) AS d1,
+         SUM(CASE WHEN c.subspace = 2 THEN l.dist END) AS d2,
+         SUM(CASE WHEN c.subspace = 3 THEN l.dist END) AS d3
+  FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, ((d0 + d1) + d2) + d3 AS adc_dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ((d0 + d1) + d2) + d3, neighbor_id) AS rank
+  FROM pair) t
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_pq_adc_topk", oracle=_ADC_ORACLE, tags=("similarity", "pipeline", "quantize"))
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation (ADC) search over PQ codes — the
+    query half of IVF-PQ: each query precomputes a 4×4 lookup table of
+    subspace distances to the codebook, and a compressed vector's
+    approximate distance is the sum of 4 LUT entries addressed by its
+    codes — the corpus's 64 doubles are never touched at query time.
+
+    Determinism: each (query, neighbor) pair has exactly one LUT entry
+    per subspace, extracted via four single-element conditional SUMs and
+    added in a fixed order — no order-dependent double accumulation, so
+    ranks replay bit-identically.  Plan: codes come from the one keyed
+    argmin shuffle; the LUT (|queries|×4×4 rows) broadcasts; the
+    distance aggregation is one (query, neighbor)-keyed map-side-
+    combinable shuffle over 4N rows; the final top-k is a per-query
+    window over N rows — all linear in the corpus."""
+    scored = _pq_scored(spark, sf_dir)
+    codes = (
+        scored.groupBy("vec_id", "subspace")
+        .agg(
+            F.min(
+                F.struct(F.col("dist").alias("dist"), F.col("code_id").alias("code_id"))
+            ).alias("m")
         )
+        .select("vec_id", "subspace", F.col("m.code_id").alias("code"))
+    )
+    lut = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("subspace").alias("l_subspace"),
+        F.col("code_id").alias("l_code"),
+        "dist",
+    )
+    joined = codes.join(
+        F.broadcast(lut),
+        (F.col("subspace") == F.col("l_subspace"))
+        & (F.col("code") == F.col("l_code"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    d = [
+        F.sum(F.when(F.col("subspace") == s, F.col("dist"))).alias(f"d{s}")
+        for s in range(PQ_SUBSPACES)
+    ]
+    pair = joined.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(*d)
+    adc = (
+        (F.col("d0") + F.col("d1")) + F.col("d2")
+    ) + F.col("d3")
+    w = W.partitionBy("query_id").orderBy(adc.asc(), "neighbor_id")
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"), "rank")
     )

@@ -411,3 +411,51 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").alias("n_active_days"),
         F.min("start_day").alias("first_day"),
     )
+
+
+_TRAILING_FEATURES_ORACLE = """
+SELECT user_id, event_id,
+  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+       RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1d,
+  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+       RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+       RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_value_7d,
+  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+       OVER (PARTITION BY user_id ORDER BY ts
+       RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_purchase_7d
+FROM events QUALIFY user_id <= 30
+"""
+
+
+@query("window_trailing_features", oracle=_TRAILING_FEATURES_ORACLE,
+       tags=("window", "range", "features"))
+def window_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon trailing-window feature vector (the feature-store /
+    online-ML shape): per event, the user's 1-day and 7-day activity
+    counts, 7-day exact-decimal value sum, and 7-day purchase count — all
+    horizons computed in ONE pass over one user_id partitioning (Spark
+    plans the four RANGE frames over the same sort, no extra shuffle).
+    Frames are integer-µs RANGE bounds, so boundary arithmetic matches
+    DuckDB's interval frames bit-for-bit; equal timestamps are in-frame
+    together, making the result order-independent."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = 86_400 * 1_000_000
+
+    def w(days: int):
+        return (
+            W.partitionBy("user_id").orderBy(micros).rangeBetween(-days * day, 0)
+        )
+
+    dec_val = F.col("value").cast("decimal(18,6)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w(1)).alias("n_1d"),
+        F.count(F.lit(1)).over(w(7)).alias("n_7d"),
+        F.sum(dec_val).over(w(7)).cast("double").alias("sum_value_7d"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        .over(w(7))
+        .alias("n_purchase_7d"),
+    )

@@ -354,3 +354,63 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_SCD2_PIT_ORACLE = """
+WITH w AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type AS attr, ts, event_id FROM w
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id, attr, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version
+  FROM changes
+)
+SELECT f.event_id, f.user_id, f.ts, d.attr AS prior_attr, d.version
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') f
+LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from < f.ts
+ AND (d.valid_to IS NULL OR d.valid_to >= f.ts)
+"""
+
+
+@query("join_scd2_pit", oracle=_SCD2_PIT_ORACLE, tags=("join", "scd", "timeseries"))
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension lookup against the SCD2 build — the
+    leakage-safe enrichment a feature pipeline needs: each purchase gets
+    the attribute regime in effect STRICTLY BEFORE its timestamp
+    (`valid_from < ts ≤ COALESCE(valid_to, ∞)` — provably unique: an
+    interval starting at ts itself never matches, so a fact can never see
+    state written at or after its own event time).  Facts whose user has
+    no earlier regime keep NULL via the left join.
+
+    Scale: the join is EQUI on user_id with the validity range as a
+    residual — fan-out per fact is the user's version count (bounded by
+    per-user change frequency, never corpus-sized), and both sides
+    shuffle once on the same key.  No broadcast of the corpus-sized
+    dimension, no binning needed."""
+    dim = scd2_build(spark, sf_dir).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("attr"),
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("int").alias("version"),
+    )
+    facts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    cond = (
+        (F.col("d_user_id") == F.col("user_id"))
+        & (F.col("valid_from") < F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") >= F.col("ts")))
+    )
+    return facts.join(dim, cond, "left").select(
+        "event_id", "user_id", "ts", F.col("attr").alias("prior_attr"), "version"
+    )

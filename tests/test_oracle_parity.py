@@ -64,6 +64,10 @@ SAMPLE = [
     "fn_datearith",
     "window_gaps_islands",
     "events_path_transitions",
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "window_trailing_features",
+    "join_scd2_pit",
 ]
 
 

@@ -400,3 +400,45 @@ def test_parquet_bloom_filter_columns_written(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "bf"))
     assert got.count() == 100000
     assert got.filter(F.col("v") == "7919").count() == 1
+
+
+def test_corrupt_parquet_footer_fails_then_skips(spark, tmp_path):
+    """Corrupt-file contract (the reference scanner validates footer magic
+    and metadata before decoding — hdfs-parquet-scanner.cc ProcessSplit):
+    with `ignoreCorruptFiles=false` a truncated footer is a clean error;
+    with `true` the corrupt file is skipped and healthy files still read."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    good = str(tmp_path / "good")
+    spark.range(1000).select("id", (F.col("id") % 7).alias("k")).coalesce(1) \
+        .write.mode("overwrite").parquet(good)
+    part = glob.glob(good + "/*.parquet")[0]
+    corrupt_dir = tmp_path / "mixed"
+    corrupt_dir.mkdir()
+    import shutil
+
+    shutil.copy(part, corrupt_dir / "part-good.parquet")
+    with open(part, "rb") as f:
+        raw = f.read()
+    with open(corrupt_dir / "part-bad.parquet", "wb") as f:
+        f.write(raw[: len(raw) // 2])  # truncate: footer + magic gone
+
+    key = "spark.sql.files.ignoreCorruptFiles"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="(?i)parquet|corrupt|footer|magic"):
+            spark.read.schema("id bigint, k bigint").parquet(
+                str(corrupt_dir)
+            ).count()
+        spark.conf.set(key, "true")
+        n = spark.read.schema("id bigint, k bigint").parquet(
+            str(corrupt_dir)
+        ).count()
+        assert n == 1000  # the healthy file only
+    finally:
+        spark.conf.set(key, prior)

@@ -46,7 +46,12 @@ CHECKED: list[tuple[str, str]] = [
     ("pipeline_curate", "documents"),
     ("pack_token_budget", "documents"),
     ("sample_weighted", "documents"),
+    ("window_trailing_features", "events"),
+    ("window_gaps_islands", "events"),
+    ("join_scd2_pit", "events"),
     ("ann_bruteforce_topk", "embeddings"),
+    ("embedding_pq_codes", "embeddings"),
+    ("ann_pq_adc_topk", "embeddings"),
     ("ann_ivf_topk", "embeddings"),
     ("ann_knn_graph", "embeddings"),
     ("graph_pagerank", "embeddings"),

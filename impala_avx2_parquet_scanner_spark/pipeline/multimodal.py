@@ -575,3 +575,89 @@ def _register_multimodal_query() -> None:
 
 
 _register_multimodal_query()
+
+
+def _register_frame_dedup_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    FRAME_BYTES = 256
+
+    oracle = f"""
+WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+f AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+         sha256(substring(hx, i*{FRAME_BYTES * 2} + 1, {FRAME_BYTES * 2})) AS frame_sha
+  FROM p, unnest(range(0, CAST(length(hx) // {FRAME_BYTES * 2} AS BIGINT))) AS t(i)
+)
+SELECT frame_sha,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM f GROUP BY frame_sha HAVING COUNT(*) >= 2
+"""
+
+    @query(
+        "multimodal_frame_dedup",
+        oracle=oracle,
+        tags=("pipeline", "multimodal", "dedup", "pandas_udf"),
+    )
+    def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Frame-level dedup over binary media payloads: a `mapInPandas`
+        iterator slices each payload into fixed 256-byte frames (what a
+        real video pipeline does after RAWV/container demux — see
+        `sample_frames` above for the codec form) and fingerprints each
+        frame as SHA-256 of its lowercase-hex encoding; a relational
+        group-by then finds frames repeated across the corpus (intro/outro
+        cards, looped segments — the video analog of exact-substring text
+        dedup).  The payload is the document's UTF-8 bytes, so DuckDB
+        replays slicing + hashing exactly (hex/substring/sha256).
+
+        Scale: frame extraction streams Arrow batch-by-batch with ~N/256
+        output rows per payload byte; the only shuffle is the frame-hash
+        group-by (map-side combinable, 32-byte keys)."""
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("frame_no", IntegerType(), False),
+                StructField("frame_sha", StringType(), False),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, nos, shas = [], [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    b = bytes(payload)
+                    for i in range(len(b) // FRAME_BYTES):
+                        frame_hex = b[i * FRAME_BYTES:(i + 1) * FRAME_BYTES].hex()
+                        ids.append(doc_id)
+                        nos.append(i)
+                        shas.append(hashlib.sha256(frame_hex.encode()).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "frame_no": pd.Series(nos, dtype="int32"),
+                        "frame_sha": pd.Series(shas, dtype="object"),
+                    }
+                )
+
+        frames = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+            .mapInPandas(run, schema=schema)
+        )
+        return (
+            frames.groupBy("frame_sha")
+            .agg(
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+            )
+            .filter(F.col("n_occurrences") >= 2)
+        )
+
+
+_register_frame_dedup_query()

@@ -68,6 +68,7 @@ SAMPLE = [
     "ann_pq_adc_topk",
     "window_trailing_features",
     "join_scd2_pit",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -692,3 +692,66 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grp_est.unionByName(merged).select(
         "scope", "k_used", "kth_hash", est.alias("est_distinct")
     )
+
+
+_OLS_ORACLE = """
+SELECT p_brand, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9) AS intercept,
+       ROUND(
+         CASE WHEN syy - sy * sy / n = 0 THEN 1.0
+              ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+         9) AS r2
+FROM (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(p_size AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(p_size AS DECIMAL(12,2)) * CAST(p_size AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(p_size AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM part GROUP BY p_brand
+) m
+"""
+
+
+@query("agg_ols_regression", oracle=_OLS_ORACLE, tags=("aggregate", "statistics"))
+def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price ~ size per brand): slope,
+    intercept, and R² derived from the same exact-decimal moment sums as
+    `agg_stats_exact` — the REGR_SLOPE/REGR_INTERCEPT/REGR_R2 family
+    without order-dependent double accumulation.  One map-side-combinable
+    shuffle; all floating math is a final per-group expression, 9-dp
+    rounded on both sides (same double-rounding rationale as
+    agg_stats_exact)."""
+    x = F.col("p_size").cast("decimal(12,2)")
+    y = F.col("p_retailprice").cast("decimal(12,2)")
+    m = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(
+            F.when(syy - sy * sy / n == 0, F.lit(1.0)).otherwise(
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ),
+            9,
+        ).alias("r2"),
+    )

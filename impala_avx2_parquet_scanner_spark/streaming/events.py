@@ -464,3 +464,90 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("share_ppm", F.expr("(1000000 * n) DIV n_from"))
         .select("from_type", "to_type", "n", "share_ppm")
     )
+
+
+_AB_LIFT_ORACLE = """
+WITH assign AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM assign GROUP BY variant
+), w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+    MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+    MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+    MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM v
+)
+SELECT n0, c0, n1, c1,
+       ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 9) AS abs_lift,
+       ROUND(
+         (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+         / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1.0 / n0 + 1.0 / n1)),
+         9) AS z_stat
+FROM w
+"""
+
+
+@query("events_ab_lift", oracle=_AB_LIFT_ORACLE, tags=("events", "experiment"))
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout (the A/B analytics shape):
+    deterministic variant assignment (user_id parity — in production a
+    salted hash, same plan), per-user conversion flag via MAX(CASE) on
+    high-value purchases (value > 150; unconditional purchase is 100%
+    in the fixture, which would zero the pooled variance), then
+    pooled-variance z-statistic for the conversion-rate lift.  All counts
+    are exact integers; the two floating expressions are final per-row
+    math, 9-dp rounded on both sides.
+
+    Scale: one user-keyed shuffle (map-side combinable MAX), one
+    2-row variant rollup, then a 1-row pivot — the corpus is touched
+    once, and nothing downstream of the first aggregation exceeds
+    |variants| rows."""
+    assign = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "converted")
+    )
+    v = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0"), F.col("c0")
+    n1, c1 = F.col("n1"), F.col("c1")
+    p0 = c0.cast("double") / n0
+    p1 = c1.cast("double") / n1
+    pool = (c0 + c1).cast("double") / (n0 + n1)
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p1 - p0, 9).alias("abs_lift"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(
+                pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+            ),
+            9,
+        ).alias("z_stat"),
+    )

@@ -137,3 +137,26 @@ def test_results_invariant_under_partitioning(spark, sf_dir, name):
     finally:
         spark.conf.set(key, prior)
     assert low == high
+
+
+def test_driver_entry_contract(spark):
+    """__spark_entry__.entry(spark) must run on an already-built session
+    and return a non-empty DataFrame with a stable schema — the driver's
+    smoke check."""
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"revenue", "n_rows"}
+
+
+def test_bench_set_contract():
+    """bench.py's headline set: every bench-flagged query exists, carries
+    an oracle, and covers the reference's published workload (TPC-H
+    benchmark queries + the full selectivity sweep incl. 80/100%)."""
+    bench = {n: s for n, s in REGISTRY.items() if s.bench}
+    assert all(s.oracle for s in bench.values())
+    for required in ("tpch_q1", "tpch_q6", "tpch_q12", "tpch_q13", "tpch_q14",
+                     "selectivity_002", "selectivity_080", "selectivity_100"):
+        assert required in bench, required

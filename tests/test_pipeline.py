@@ -171,6 +171,14 @@ def test_multimodal_feature_extraction(spark):
     # video has no registered codec → features NULL, sha/bytes still real
     assert by_id[2].features is None
     assert len(by_id[0].features) == FEATURE_DIM
+    # asset 3 is a PNG image — the zlib+unfilter decode path yields the
+    # same real pixel statistics
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import decode_png
+
+    px3 = decode_png(bytes(src[3].payload)).astype(float)
+    assert src[3].media_format == "png"
+    assert by_id[3].features[2] == pytest.approx(px3[:, :, 0].mean())
+    assert by_id[3].features[5] == pytest.approx(px3[:, :, 0].std())
 
 
 def test_multimodal_codec_roundtrips():
@@ -192,6 +200,73 @@ def test_multimodal_codec_roundtrips():
     samples = (1000 * np.sin(np.arange(800))).astype(np.int16)
     got, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 8000))
     assert rate == 8000 and (got == samples).all()
+
+
+def test_png_codec_roundtrip_and_all_filter_types():
+    """The PNG decoder must reverse every scanline filter the spec allows
+    (None/Sub/Up/Average/Paeth), not just the filter-0 stream our encoder
+    emits — a real-world PNG mixes them per scanline.  Builds a
+    conformant file with one filter type per row and pixel-verifies the
+    decode; also pins the RGBA(color type 6)→RGB drop path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+    h, w, bpp = px.shape[0], px.shape[1], 3
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+    lines = []
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * bpp, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
+
+    rgba = rng.integers(0, 256, (9, 7, 4), dtype=np.uint8)
+    raw = np.concatenate([np.zeros((9, 1), np.uint8), rgba.reshape(9, 28)], axis=1)
+    p6 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(p6), rgba[:, :, :3])
 
 
 def test_multimodal_unsupported_codec_raises(spark):
@@ -220,7 +295,7 @@ def test_multimodal_resize_real(spark):
     import numpy as np
 
     from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
-        decode_ppm,
+        decode_image,
         resize_images,
         resize_nearest,
     )
@@ -229,13 +304,16 @@ def test_multimodal_resize_real(spark):
     out = resize_images(assets, width=8, height=4).collect()
     images = assets.filter(F.col("modality") == "image").collect()
     assert len(out) == len(images)
-    src = {r.asset_id: bytes(r.payload) for r in images}
+    src = {r.asset_id: (r.media_format, bytes(r.payload)) for r in images}
+    assert {f for f, _ in src.values()} == {"ppm", "png"}  # both codecs exercised
     for r in out:
         assert (r.width, r.height) == (8, 4)
-        got = decode_ppm(bytes(r.payload))
+        fmt, payload = src[r.asset_id]
+        assert r.media_format == fmt  # re-encoded in the source format
+        got = decode_image(fmt, bytes(r.payload))
         assert got.shape == (4, 8, 3)
         # true nearest-neighbor: matches an independent numpy resample
-        want = resize_nearest(decode_ppm(src[r.asset_id]), 8, 4)
+        want = resize_nearest(decode_image(fmt, payload), 8, 4)
         assert (got == want).all()
 
 
@@ -403,21 +481,60 @@ def test_winnowing_finds_all_exact_prefix_duplicates(spark, duck, sf_dir):
     identical normalized 192-char prefix have identical fingerprint sets,
     so every exact-prefix duplicate pair must surface in dedup_winnowing's
     output (the near-dup set may be larger — that's the point)."""
-    from impala_avx2_parquet_scanner_spark.pipeline.dedup import dedup_winnowing
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import (
+        WINNOW_DOC_CAP,
+        WINNOW_K,
+        WINNOW_PREFIX,
+        WINNOW_SHARED_MIN,
+        WINNOW_W,
+        dedup_winnowing,
+    )
 
+    # Expected pairs are computed under the query's OWN emission contract
+    # (≥ WINNOW_SHARED_MIN shared fingerprints after the WINNOW_DOC_CAP
+    # rarity filter) rather than a raw length heuristic — a dup group with
+    # a short prefix (few fingerprints) or > cap members is legitimately
+    # not emitted, and this test must not demand it (ADVICE round 3).
     exact_pairs = {
         (a, b)
         for a, b in duck.execute(
-            """
+            f"""
             WITH d AS (
               SELECT doc_id,
                      substr(lower(regexp_replace(text,'[^A-Za-z0-9]+',' ','g')),
-                            1, 192) AS t
+                            1, {WINNOW_PREFIX}) AS t
               FROM documents
+            ), pos AS (
+              SELECT doc_id, t, unnest(range(1, length(t) - {WINNOW_K} + 2)) AS p
+              FROM d WHERE length(t) >= {WINNOW_K}
+            ), g AS (
+              SELECT doc_id, p,
+                list_reduce(list_prepend(CAST(7 AS BIGINT),
+                  [CAST(unicode(c) AS BIGINT)
+                   for c in string_split(substr(t, CAST(p AS INT), {WINNOW_K}), '')]),
+                  (a, b) -> (a * 31 + b) % 2147483647) AS h
+              FROM pos
+            ), wsel AS (
+              SELECT doc_id, p, MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+              FROM g
+            ), fps AS (
+              SELECT DISTINCT doc_id, fp FROM wsel WHERE p >= {WINNOW_W}
+            ), rare AS (
+              SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_DOC_CAP}
+            ), kept AS (
+              SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+            ), same_prefix AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id
+              WHERE length(a.t) >= {WINNOW_K}
             )
-            SELECT a.doc_id, b.doc_id
-            FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id
-            WHERE length(a.t) >= 23
+            SELECT sp.da, sp.db
+            FROM same_prefix sp
+            JOIN kept ka ON ka.doc_id = sp.da
+            JOIN kept kb ON kb.doc_id = sp.db AND kb.fp = ka.fp
+            GROUP BY sp.da, sp.db
+            HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
             """
         ).fetchall()
     }

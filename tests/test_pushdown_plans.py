@@ -230,3 +230,33 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = fact_r.join(dim, "pk")._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_partition_filter_prunes_directories(spark, sf_dir, tmp_path):
+    """Partition-column predicates must land in PartitionFilters (metadata
+    pruning — the Spark analog of the reference resolving clustering
+    columns from the partition descriptor, descriptors.h:154-162, and
+    never reading file bytes for them) and the pruned scan must list only
+    the matching partition directories."""
+    from impala_avx2_parquet_scanner_spark.operators.scan import (
+        partitioned_lineitem_path,
+    )
+    from impala_avx2_parquet_scanner_spark.plans import formatted_plan
+
+    path = partitioned_lineitem_path(spark, sf_dir)
+    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "l_returnflag" in m.group(1)
+    # the data filter must NOT also appear as a parquet PushedFilter —
+    # partition columns have no file bytes to evaluate against
+    pf = " ".join(pushed_filters(df))
+    assert "l_returnflag" not in pf
+    # pruning is observable: only one of the three flag directories scanned
+    files = [r.filePath for r in df.select(F.input_file_name().alias("filePath")).distinct().collect()]
+    assert files and all("l_returnflag=R" in f for f in files)

@@ -143,7 +143,13 @@ def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan for multi-distinct — at 100 TB the branches run as independent
     column-pruned scans, each a map-side-combinable aggregation.
     min/max are picked values (not accumulated sums), so doubles are
-    hash-exact."""
+    hash-exact.
+
+    100 TB note: exact NDV (`countDistinct`) shuffles every distinct
+    value per branch; at cluster scale run the profile with
+    `approx_count_distinct` instead (the `agg_approx` query's HLL path —
+    map-side-combinable sketches, one small shuffle) unless exact NDV is
+    a hard requirement."""
     l = table(spark, sf_dir, "lineitem")
     parts = []
     for c in _PROFILE_COLS:

@@ -476,16 +476,42 @@ SEMDEDUP_TAU = 0.30
 #: population stays ~constant as the corpus grows and the within-cluster
 #: pair stage stays LINEAR in N (fixed k would make it quadratic).
 SEMDEDUP_CLUSTER_SIZE = 64
+#: Fixed super-centroid count for two-level assignment routing — constant
+#: by design (it bounds the broadcast and the linear routing term).
+SEMDEDUP_SUPER = 64
 
 _SEMDEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
-      WHERE vec_id < (SELECT CAST(ceil(COUNT(*) / {SEMDEDUP_CLUSTER_SIZE}.0) AS BIGINT) FROM e)),
+st AS (SELECT CAST(ceil(COUNT(*) / {SEMDEDUP_CLUSTER_SIZE}.0) AS BIGINT) AS k,
+              least({SEMDEDUP_SUPER}, CAST(ceil(COUNT(*) / {SEMDEDUP_CLUSTER_SIZE}.0) AS BIGINT)) AS s
+       FROM e),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e, st WHERE vec_id < st.k),
+sup AS (SELECT vec_id AS super_id, emb AS semb FROM e, st WHERE vec_id < st.s),
+c_route AS (
+  SELECT centroid_id, cemb, super_id FROM (
+    SELECT c.centroid_id, c.cemb, sup.super_id,
+           ROW_NUMBER() OVER (PARTITION BY c.centroid_id ORDER BY
+             list_dot_product(c.cemb, sup.semb)
+               / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(sup.semb, sup.semb)))
+             DESC, sup.super_id) AS rn
+    FROM c, sup) t
+  WHERE rn = 1
+),
+p_route AS (
+  SELECT vec_id, emb, super_id FROM (
+    SELECT e.vec_id, e.emb, sup.super_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.emb, sup.semb)
+               / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(sup.semb, sup.semb)))
+             DESC, sup.super_id) AS rn
+    FROM e, sup) t
+  WHERE rn = 1
+),
 scored AS (
-  SELECT e.vec_id, e.emb, c.centroid_id,
-         list_dot_product(e.emb, c.cemb)
-           / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
-  FROM e, c
+  SELECT p.vec_id, p.emb, c.centroid_id,
+         list_dot_product(p.emb, c.cemb)
+           / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS sim
+  FROM p_route p JOIN c_route c USING (super_id)
 ),
 assign AS (
   SELECT vec_id, emb, centroid_id, centroid_sim FROM
@@ -530,30 +556,77 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid_id, so the candidate set is per-cluster, never all-pairs —
     and the centroid count is derived IN-PLAN as ceil(N/64) (a 1-row
     count broadcast; no collect), pinning cluster population at ~64 so
-    pair work grows linearly with the corpus (a fixed k would make it
+    PAIR work grows linearly with the corpus (a fixed k would make it
     N²/k — measured super-linear in SCALING.md before this guard).
-    Deterministic centroids (first ceil(N/64) vectors) stand in for
-    k-means so the DuckDB oracle replays assignment, pair scoring, the
-    keep-rule, and the final verdict term-for-term; swapping in learned
-    centroids changes no plan shape.  The loser set is distinct vec_ids
-    → one keyed left join back onto the assignment marks survivors.
-    Assignment is the same broadcast-argmax shape as `_ivf_assigned`;
-    when k outgrows a broadcast, the IVF probe path (`ann_ivf_topk`)
-    replaces the exhaustive argmax.  Reference parity: the reference has
-    no ANN/dedup surface — north-star pipeline scope (SURVEY §2).
+
+    ASSIGNMENT is two-level IVF-style routing (round-4 rewrite; the
+    round-3 exhaustive broadcast-argmax against all k=N/64 centroids was
+    itself O(N·k)=O(N²/64) with a corpus-sized/64 broadcast — the
+    quadratic had moved, not vanished).  A FIXED set of
+    S=min(64, k) super-centroids broadcasts (constant-size, never
+    corpus-scaled); points and centroids each route to their nearest
+    super-centroid in O(N·S) linear work, then the point↔centroid argmax
+    happens inside each super-cell via a keyed join (centroids
+    co-partitioned by super_id, no broadcast).  Every cell is non-empty
+    (super-centroid s is also centroid s, and routes to itself at
+    cosine 1).  The remaining super-linear term is the in-cell argmax —
+    O(N·k/S): exact nearest-of-a-growing-codebook cannot be linear at
+    fixed index depth; each added hierarchy level buys another S×
+    constant, and a production deployment swaps in a fixed-depth
+    approximate router (the `ann_ivf_topk` probe path) once k outgrows
+    one level.  The routed assignment is deterministic (cosine ties →
+    lower id at both levels), so the DuckDB oracle replays routing,
+    assignment, pair scoring, the keep-rule, and the final verdict
+    term-for-term.  The loser set is distinct vec_ids → one keyed left
+    join back onto the assignment marks survivors.  Reference parity:
+    the reference has no ANN/dedup surface — north-star pipeline scope
+    (SURVEY §2).
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("emb")
     )
-    n_centroids = F.ceil(
+    k = F.ceil(
         F.count(F.lit(1)) / F.lit(float(SEMDEDUP_CLUSTER_SIZE))
-    ).cast("long").alias("n_centroids")
+    ).cast("long")
+    stats = e.agg(
+        k.alias("k"), F.least(F.lit(SEMDEDUP_SUPER).cast("long"), k).alias("s")
+    )
     c = (
-        e.crossJoin(F.broadcast(e.agg(n_centroids)))
-        .filter(F.col("vec_id") < F.col("n_centroids"))
+        e.crossJoin(F.broadcast(stats))
+        .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb"))
     )
-    scored = e.crossJoin(F.broadcast(c)).select(
+    sup = (
+        e.crossJoin(F.broadcast(stats))
+        .filter(F.col("vec_id") < F.col("s"))
+        .select(F.col("vec_id").alias("super_id"), F.col("emb").alias("semb"))
+    )
+
+    def route(df, id_col: str, emb_col: str):
+        """Nearest super-centroid (ties → lower super_id) via broadcast
+        of the constant-size super set + map-side argmax."""
+        scored = df.crossJoin(F.broadcast(sup)).select(
+            id_col,
+            emb_col,
+            "super_id",
+            cosine(F.col(emb_col), F.col("semb")).alias("ssim"),
+        )
+        best = F.max(
+            F.struct(
+                F.col("ssim").alias("ssim"), (-F.col("super_id")).alias("neg_sid")
+            )
+        ).alias("m")
+        return (
+            scored.groupBy(id_col)
+            .agg(best, F.first(emb_col).alias(emb_col))
+            .select(
+                id_col, emb_col, (-F.col("m.neg_sid")).cast("long").alias("super_id")
+            )
+        )
+
+    c_routed = route(c, "centroid_id", "cemb")
+    p_routed = route(e, "vec_id", "emb")
+    scored = p_routed.join(c_routed, "super_id").select(
         "vec_id",
         "emb",
         "centroid_id",

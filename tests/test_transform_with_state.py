@@ -15,8 +15,11 @@ from impala_avx2_parquet_scanner_spark.streaming.transform_state import (
 
 pytestmark = pytest.mark.skipif(
     not TRANSFORM_WITH_STATE_AVAILABLE,
-    reason="transformWithState needs google.protobuf (absent in this "
-    "container); see streaming/transform_state.py docstring",
+    reason="transformWithState needs google.protobuf, absent in this "
+    "container AND uninstallable: `pip download protobuf --no-deps` fails "
+    "with 'Failed to establish a new connection: [Errno -2] Name or "
+    "service not known' (no network egress; verified 2026-08-14). "
+    "See streaming/transform_state.py docstring",
 )
 
 

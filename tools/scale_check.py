@@ -7,13 +7,29 @@ noop sink, so the time is plan execution, not driver transfer) and the
 table reports wall-clock and the time ratio against the data ratio
 (10x rows for lineitem/orders/events/documents between these two SFs;
 4x for embeddings).  A query whose time grows no faster than its input
-is shuffle-linear — the local[32] proxy for "holds at 100 TB".  Run:
+is shuffle-linear — the local[32] proxy for "holds at 100 TB".
 
-    python tools/scale_check.py > SCALING.md
+A second decade: the three queries that measured closest to the line at
+sf0.01→sf0.1 (winnowing 2.4x, curate 2.4x, bm25 2.3x per round 3) are
+re-measured one decade further on a synthesized 10x-documents corpus
+(deterministic replication with per-replica doc_id offsets and text
+perturbation so replicas are near- but not exact duplicates).
+
+Usage:
+
+    python tools/scale_check.py [sf_small sf_big] > SCALING.md
+
+SF roots come from argv, else $SPARK_GRAFT_SCALE_SMALL/_BIG, else the
+/root/testdata defaults; the warmup scale comes from
+$SPARK_GRAFT_SCALE_WARM.  Before timing, every input table at both SFs is
+scanned once (count) so first-touch IO/footer costs don't land on the
+first measured query, and each query's first plan is executed once at the
+small SF untimed so codegen/planning one-time costs don't skew ratios.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,8 +39,9 @@ import impala_avx2_parquet_scanner_spark as engine  # noqa: E402
 from impala_avx2_parquet_scanner_spark.registry import REGISTRY  # noqa: E402
 from impala_avx2_parquet_scanner_spark.session import get_spark  # noqa: E402
 
-SF_A = "/root/testdata/sf0.01"
-SF_B = "/root/testdata/sf0.1"
+SF_A = os.environ.get("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.01")
+SF_B = os.environ.get("SPARK_GRAFT_SCALE_BIG", "/root/testdata/sf0.1")
+SF_WARM = os.environ.get("SPARK_GRAFT_SCALE_WARM", "/root/testdata/sf0.001")
 
 #: (query, dominant input tables) — the table drives the expected data ratio.
 CHECKED: list[tuple[str, str]] = [
@@ -59,6 +76,10 @@ CHECKED: list[tuple[str, str]] = [
     ("dedup_semantic", "embeddings"),
 ]
 
+#: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these
+#: get the extra decade on the synthetic 10x-documents corpus.
+TAIL_STRESS = ["dedup_winnowing", "pipeline_curate", "text_bm25_topk"]
+
 
 def _run(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
@@ -67,9 +88,67 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _warm_tables(spark, sf_dirs: list[str]) -> None:
+    """One full scan per input table per SF: pulls parquet footers + file
+    bytes through the OS cache so the first measured query doesn't pay
+    first-touch IO the later ones don't."""
+    from impala_avx2_parquet_scanner_spark.catalog import TABLES, table
+
+    for sf in sf_dirs:
+        for t in TABLES:
+            table(spark, sf, t).write.format("noop").mode("overwrite").save()
+
+
+def _synth_documents_10x(spark, base_sf: str) -> str:
+    """Materialize a corpus with 10x the documents of `base_sf` under
+    /tmp (write-once) and return a dir usable as an sf_dir: documents is
+    the replicated table, every other table symlinks to the base.
+
+    Replicas get disjoint doc_id ranges and a deterministic per-replica
+    text suffix, so they are near-duplicates (realistic corpus growth for
+    dedup: more docs AND more lookalikes) rather than exact copies that
+    would collapse into one hash bucket."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import TABLES, table
+
+    out_dir = "/tmp/spark_graft_scale10"
+    doc_path = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(doc_path, "_SUCCESS")):
+        os.makedirs(out_dir, exist_ok=True)
+        base = table(spark, base_sf, "documents")
+        n = base.count()
+        replicas = None
+        for i in range(10):
+            r = base.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(f" replica{i} shard "), F.col("doc_id").cast("string")
+                ).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(10)).alias("n_chars"),
+            )
+            replicas = r if replicas is None else replicas.unionByName(r)
+        replicas.repartition(32).write.mode("overwrite").parquet(doc_path)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(base_sf, f"{t}.parquet"), link)
+    return out_dir
+
+
 def main() -> int:
+    if len(sys.argv) >= 3:
+        sf_a, sf_b = sys.argv[1], sys.argv[2]
+    else:
+        sf_a, sf_b = SF_A, SF_B
     engine.load_all()
-    spark = get_spark("scale-check", cpus=int(__import__("os").environ.get("SPARK_GRAFT_CPUS", "16")))
+    spark = get_spark(
+        "scale-check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    )
 
     print("# SCALING — measured sf0.01 → sf0.1 wall-clock (tools/scale_check.py)")
     print()
@@ -77,17 +156,24 @@ def main() -> int:
     print("dominant input's row-count growth between the SFs; a `time x` at or")
     print("below `data x` means the plan scaled no worse than its input")
     print("(fixed JVM/planning overhead makes small queries sub-linear).")
+    print("Input tables at both SFs are pre-scanned and each query's plan is")
+    print("pre-executed once at the small SF, so times exclude one-time")
+    print("IO/codegen costs.")
     print()
     print("| query | input (data x) | sf0.01 s | sf0.1 s | time x |")
     print("|---|---|---|---|---|")
     ratios = {"lineitem": 10, "lineitem+orders": 10, "events": 10,
               "documents": 10, "embeddings": 4}
-    # warm the JVM so the first measured query isn't paying startup
-    _run(spark, "dedup_exact", "/root/testdata/sf0.001")
+    _run(spark, "dedup_exact", SF_WARM)  # JVM warmup
+    _warm_tables(spark, [sf_a, sf_b])
+    for name, _ in CHECKED:
+        _run(spark, name, sf_a)  # per-query codegen/planning warmup, untimed
     flagged: list[str] = []
+    results: dict[str, tuple[float, float]] = {}
     for name, tableset in CHECKED:
-        ta = _run(spark, name, SF_A)
-        tb = _run(spark, name, SF_B)
+        ta = _run(spark, name, sf_a)
+        tb = _run(spark, name, sf_b)
+        results[name] = (ta, tb)
         r = tb / ta if ta > 0 else float("inf")
         dr = ratios[tableset]
         mark = ""
@@ -100,6 +186,35 @@ def main() -> int:
         print(f"Super-linear (investigate): {', '.join(flagged)}")
     else:
         print("All checked queries scale at or below their input growth.")
+
+    # ---- second decade: synthetic 10x documents for the closest-to-line tail
+    print()
+    print("## Tail stress — one more decade (sf0.1 documents × 10, synthetic)")
+    print()
+    print("The three queries nearest the line get a further 10x on a")
+    print("deterministic near-duplicate replication of the sf0.1 corpus")
+    print("(disjoint doc_ids, per-replica text suffix).")
+    print()
+    print("| query | sf0.1 s | 10x-docs s | time x (data 10x) |")
+    print("|---|---|---|---|")
+    big_dir = _synth_documents_10x(spark, sf_b)
+    _warm_tables(spark, [big_dir])
+    tail_flagged: list[str] = []
+    for name in TAIL_STRESS:
+        _run(spark, name, big_dir)  # warm plan at the big scale, untimed
+        tb = _run(spark, name, sf_b)
+        tc = _run(spark, name, big_dir)
+        r = tc / tb if tb > 0 else float("inf")
+        mark = ""
+        if r > 10:
+            mark = " ⚠"
+            tail_flagged.append(name)
+        print(f"| {name} | {tb:.2f} | {tc:.2f} | {r:.1f}x{mark} |")
+    print()
+    if tail_flagged:
+        print(f"Tail super-linear (investigate): {', '.join(tail_flagged)}")
+    else:
+        print("Tail queries stay at or below input growth across the extra decade.")
     spark.stop()
     return 0
 

@@ -20,6 +20,18 @@ testable.  Instead each headline query's oracle SQL also runs in DuckDB
 per-query `duckdb_sec` + ratio — a real engine on this hardware as the
 portable baseline.  Disable with SPARK_GRAFT_NO_DUCKDB=1 for quick
 iteration loops.
+
+Two scales, because fixed cost and throughput are different questions:
+at sf0.1 (600k lineitem rows) EVERY Spark query sits on the ~0.3-0.5 s
+job floor (scheduling + codegen + task launch) while DuckDB's in-process
+scans finish in 20 ms — the sf0.1 ratios measure Spark's fixed overhead,
+not its throughput, and `spark_floor_sec` (a 1-row parquet count) is
+reported so the reader can see it.  The `scaled10x` section re-times the
+reference's own headline four + the mid-sweep point on a deterministic
+10x replication of lineitem/orders (≈6M lineitem rows, sf1-equivalent)
+where per-row work dominates — that ratio is the honest single-node
+throughput comparison, and the regime that extrapolates toward 100 TB.
+Disable with SPARK_GRAFT_NO_SCALE10=1.
 """
 
 from __future__ import annotations
@@ -46,8 +58,11 @@ def duckdb_times(sf_dir: str, names: list[str]) -> dict[str, float]:
 
     con = duckdb.connect()
     for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        # Spark-written tables are directories of part files
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
     times: dict[str, float] = {}
     for name in names:
@@ -60,6 +75,62 @@ def duckdb_times(sf_dir: str, names: list[str]) -> dict[str, float]:
         times[name] = round(time.time() - t0, 4)
     con.close()
     return times
+
+
+SCALE10_QUERIES = [
+    "tpch_q6",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "selectivity_050",
+]
+
+
+def synth_scale10_dir(spark, base_sf: str) -> str:
+    """Write-once 10x replication of lineitem+orders under /tmp and
+    return a dir usable as an sf_dir (other tables symlink to the base).
+
+    Replicas shift l_orderkey/o_orderkey by a disjoint per-replica offset
+    (join keys stay consistent; part/customer foreign keys unchanged, so
+    dimension joins fan out 10x — the same shape real growth has).
+    Deterministic, so Spark and DuckDB read identical bytes."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import TABLES, table
+
+    key = hashlib.md5(os.path.abspath(base_sf).encode()).hexdigest()[:12]
+    out_dir = f"/tmp/spark_graft_bench10x_{key}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        okey_span = (
+            table(spark, base_sf, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+            + 1
+        )
+        for name, keycols in (("lineitem", ("l_orderkey",)), ("orders", ("o_orderkey",))):
+            base = table(spark, base_sf, name)
+            parts = []
+            for i in range(10):
+                r = base
+                for kc in keycols:
+                    r = r.withColumn(kc, F.col(kc) + F.lit(i * okey_span))
+                parts.append(r)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
+        for t in TABLES:
+            if t in ("lineitem", "orders"):
+                continue
+            link = os.path.join(out_dir, f"{t}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(base_sf, f"{t}.parquet"), link)
+        open(done, "w").close()
+    return out_dir
 
 
 def main() -> None:
@@ -86,6 +157,13 @@ def main() -> None:
         "sf": sf_dir,
     }
 
+    # Spark's fixed per-job cost on this setup: a 1-row parquet count.
+    # Sub-second headline times sit on this floor; subtract it mentally
+    # when reading sf0.1 ratios.
+    t0 = time.time()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    out["spark_floor_sec"] = round(time.time() - t0, 4)
+
     if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
         duck = duckdb_times(sf_dir, names)
         out["duckdb"] = duck
@@ -93,6 +171,30 @@ def main() -> None:
         out["ratio_vs_duckdb"] = {
             n: round(times[n] / duck[n], 2) for n in duck if duck[n] > 0
         }
+
+        if not os.environ.get("SPARK_GRAFT_NO_SCALE10"):
+            big = synth_scale10_dir(spark, sf_dir)
+            s10: dict[str, float] = {}
+            for name in SCALE10_QUERIES:
+                REGISTRY[name].fn(spark, big).collect()  # warm plan
+                t0 = time.time()
+                REGISTRY[name].fn(spark, big).collect()
+                s10[name] = round(time.time() - t0, 4)
+            d10 = duckdb_times(big, SCALE10_QUERIES)
+            out["scaled10x"] = {
+                "spark": s10,
+                "duckdb": d10,
+                "ratio_vs_duckdb": {
+                    n: round(s10[n] / d10[n], 2) for n in d10 if d10[n] > 0
+                },
+                "note": (
+                    "single-JVM local mode pays a fixed per-job+per-shuffle "
+                    "cost DuckDB's in-process engine does not; subtract "
+                    "spark_floor_sec for marginal throughput. 100x-data runs "
+                    "were measured by hand but are IO-bound on this VM's "
+                    "shared disk (2 GB page cache) and too noisy to report."
+                ),
+            }
 
     print(json.dumps(out))
     spark.stop()

@@ -228,6 +228,70 @@ def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def nested_documents_path(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize documents in a NESTED layout —
+    ``doc_id, meta: struct<lang, source, n_chars>, text`` — under a
+    per-fixture cache dir (write-once) and return the path.  Exercises
+    parquet's Dremel-style nested storage: each struct leaf is its own
+    column chunk, so field-level projection and predicates can prune at
+    the storage layer exactly like top-level columns."""
+    import hashlib
+    import os as _os
+
+    key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = _os.path.join("/tmp/spark_graft_partitioned", key, "documents_nested")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.struct("lang", "source", "n_chars").alias("meta"),
+                "text",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+_NESTED_PRUNED_ORACLE = """
+SELECT doc_id, source AS src, n_chars
+FROM documents WHERE lang = 'en'
+"""
+
+
+@query(
+    "scan_nested_pruned",
+    oracle=_NESTED_PRUNED_ORACLE,
+    tags=("scan", "nested"),
+)
+def scan_nested_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column pruning + nested predicate pushdown: documents laid
+    out with a ``meta`` struct, read with a struct-field filter and a
+    struct-field projection.
+
+    The reference resolves each slot against a column *path* through the
+    parquet schema tree (descriptors.h SlotDescriptor col_path;
+    hdfs-parquet-scanner.cc:1410-1451 creates one reader per materialized
+    leaf), so a nested leaf is scanned independently of its siblings.
+    Spark's analog: `nestedSchemaPruning` narrows the ReadSchema to
+    `meta.lang`/`meta.source`/`meta.n_chars` (the unused `text` — ~95% of
+    the bytes — is never read) and the `meta.lang = 'en'` predicate
+    pushes down to the scan (plan-asserted in test_pushdown_plans.py).
+    The DuckDB oracle replays on the flat base table, proving the nested
+    round-trip is value-lossless."""
+    path = nested_documents_path(spark, sf_dir)
+    d = spark.read.parquet(path)
+    return (
+        d.filter(F.col("meta.lang") == "en")
+        .select(
+            "doc_id",
+            F.col("meta.source").alias("src"),
+            F.col("meta.n_chars").alias("n_chars"),
+        )
+    )
+
+
 _PARTITION_PRUNED_ORACLE = """
 SELECT l_linestatus,
        COUNT(*) AS n,

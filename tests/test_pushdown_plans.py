@@ -260,3 +260,33 @@ def test_partition_filter_prunes_directories(spark, sf_dir, tmp_path):
     # pruning is observable: only one of the three flag directories scanned
     files = [r.filePath for r in df.select(F.input_file_name().alias("filePath")).distinct().collect()]
     assert files and all("l_returnflag=R" in f for f in files)
+
+
+def test_nested_schema_pruning_and_predicate_pushdown(spark, sf_dir):
+    """Struct-leaf projection must prune the ReadSchema to the referenced
+    subfields (the wide `text` sibling is never read) and the struct-field
+    equality must reach the scan as a pushed filter — the Spark analog of
+    the reference's per-leaf column readers resolved by col_path
+    (hdfs-parquet-scanner.cc:1410-1451)."""
+    from impala_avx2_parquet_scanner_spark.operators.scan import (
+        nested_documents_path,
+    )
+    from impala_avx2_parquet_scanner_spark.plans import formatted_plan
+
+    path = nested_documents_path(spark, sf_dir)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("meta.lang") == "en")
+        .select("doc_id", F.col("meta.source").alias("src"))
+    )
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"ReadSchema: struct<(.*)>$", plan, re.MULTILINE)
+    assert m, plan
+    schema = m.group(1)
+    assert "text" not in schema  # the 95%-of-bytes sibling is pruned
+    assert "n_chars" not in schema  # unreferenced struct leaf pruned too
+    assert "lang" in schema and "source" in schema
+    filters = " ".join(pushed_filters(df))
+    assert "meta.lang" in filters  # nested predicate reached the scan

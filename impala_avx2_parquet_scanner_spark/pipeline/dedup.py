@@ -644,3 +644,78 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_SHARED_MIN)
     )
+
+
+_INCREMENTAL_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS text_key
+  FROM documents
+),
+cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS cut_id FROM keyed),
+existing AS (
+  SELECT text_key, MIN(doc_id) AS dup_of_existing
+  FROM keyed, cut WHERE doc_id <= cut_id GROUP BY text_key
+),
+incoming AS (
+  SELECT doc_id, text_key,
+         MIN(doc_id) OVER (PARTITION BY text_key) AS first_incoming
+  FROM keyed, cut WHERE doc_id > cut_id
+)
+SELECT i.doc_id, i.text_key,
+       e.dup_of_existing,
+       CASE WHEN i.first_incoming < i.doc_id THEN i.first_incoming END
+         AS dup_within_incoming,
+       (e.dup_of_existing IS NULL AND i.first_incoming = i.doc_id) AS keep
+FROM incoming i LEFT JOIN existing e USING (text_key)
+"""
+
+
+@query("dedup_incremental", oracle=_INCREMENTAL_ORACLE, tags=("dedup", "pipeline"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch checked against the EXISTING corpus
+    and against itself — the daily-crawl shape (ingest N docs/day into a
+    100 TB historical store; re-dedup-ing the union from scratch every day
+    is the anti-pattern this operator replaces).
+
+    The corpus is split in-plan at max(doc_id)/2 (a 1-row broadcast; the
+    fixture's stand-in for yesterday's snapshot vs today's batch).  The
+    historical side collapses to (text_key → first doc_id) — one
+    map-side-combinable shuffle — and the batch left-joins that key set:
+    `dup_of_existing` marks cross-snapshot dups, a per-key window-min
+    inside the batch marks `dup_within_incoming`, and `keep` is the
+    batch's survivor set.
+
+    Scale: the historical key table is ~32 bytes/doc and in production is
+    pre-materialized + bucketed on text_key (sources/parquet_io), so the
+    daily join co-locates without reshuffling history; Spark's bloom
+    runtime filter prunes the batch scan besides.  Work per day is
+    O(batch + matched keys), never O(corpus)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("text_key")
+    )
+    cut = d.agg((F.max("doc_id") / 2).cast("long").alias("cut_id"))
+    keyed = d.crossJoin(F.broadcast(cut))
+    existing = (
+        keyed.filter(F.col("doc_id") <= F.col("cut_id"))
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("dup_of_existing"))
+    )
+    incoming = keyed.filter(F.col("doc_id") > F.col("cut_id")).withColumn(
+        "first_incoming", F.min("doc_id").over(W.partitionBy("text_key"))
+    )
+    return (
+        incoming.join(existing, "text_key", "left")
+        .select(
+            "doc_id",
+            "text_key",
+            "dup_of_existing",
+            F.when(
+                F.col("first_incoming") < F.col("doc_id"), F.col("first_incoming")
+            ).alias("dup_within_incoming"),
+            (
+                F.col("dup_of_existing").isNull()
+                & (F.col("first_incoming") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )

@@ -647,6 +647,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
             F.col("m.sim").alias("centroid_sim"),
         )
+        # The assignment feeds three consumers (both sides of the pair
+        # self-join + the final verdict join); without a materialization
+        # point Catalyst re-derives the whole routing subtree per consumer
+        # (measured 27 shuffles vs ~11).  Persisting here is the SemDeDup
+        # paper's own structure — cluster assignments are materialized
+        # before pair scoring — and at 100 TB this is a checkpoint table.
+        .persist()
     )
     a = assigned.select(
         "centroid_id",

@@ -50,6 +50,18 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-directory predicates (metadata pruning — never touch
+    file bytes), e.g. '(l_returnflag = R)'."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[(.*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(part.strip() for part in _split_top_level(body))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns actually read from parquet (projection pruning evidence)."""
     plan = formatted_plan(df)

@@ -69,6 +69,9 @@ SAMPLE = [
     "window_trailing_features",
     "join_scd2_pit",
     "multimodal_frame_dedup",
+    "scan_partition_pruned",
+    "scan_nested_pruned",
+    "dedup_incremental",
 ]
 
 

@@ -164,37 +164,45 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     out["spark_floor_sec"] = round(time.time() - t0, 4)
 
+    # Yardstick extras are best-effort: the headline JSON contract must
+    # survive any failure in them (missing duckdb, full /tmp, ...).
     if not os.environ.get("SPARK_GRAFT_NO_DUCKDB"):
-        duck = duckdb_times(sf_dir, names)
-        out["duckdb"] = duck
-        out["duckdb_total_sec"] = round(sum(duck.values()), 4)
-        out["ratio_vs_duckdb"] = {
-            n: round(times[n] / duck[n], 2) for n in duck if duck[n] > 0
-        }
+        try:
+            duck = duckdb_times(sf_dir, names)
+            out["duckdb"] = duck
+            out["duckdb_total_sec"] = round(sum(duck.values()), 4)
+            out["ratio_vs_duckdb"] = {
+                n: round(times[n] / duck[n], 2) for n in duck if duck[n] > 0
+            }
+        except Exception as exc:  # noqa: BLE001
+            out["duckdb_error"] = str(exc)[:200]
 
         if not os.environ.get("SPARK_GRAFT_NO_SCALE10"):
-            big = synth_scale10_dir(spark, sf_dir)
-            s10: dict[str, float] = {}
-            for name in SCALE10_QUERIES:
-                REGISTRY[name].fn(spark, big).collect()  # warm plan
-                t0 = time.time()
-                REGISTRY[name].fn(spark, big).collect()
-                s10[name] = round(time.time() - t0, 4)
-            d10 = duckdb_times(big, SCALE10_QUERIES)
-            out["scaled10x"] = {
-                "spark": s10,
-                "duckdb": d10,
-                "ratio_vs_duckdb": {
-                    n: round(s10[n] / d10[n], 2) for n in d10 if d10[n] > 0
-                },
-                "note": (
-                    "single-JVM local mode pays a fixed per-job+per-shuffle "
-                    "cost DuckDB's in-process engine does not; subtract "
-                    "spark_floor_sec for marginal throughput. 100x-data runs "
-                    "were measured by hand but are IO-bound on this VM's "
-                    "shared disk (2 GB page cache) and too noisy to report."
-                ),
-            }
+            try:
+                big = synth_scale10_dir(spark, sf_dir)
+                s10: dict[str, float] = {}
+                for name in SCALE10_QUERIES:
+                    REGISTRY[name].fn(spark, big).collect()  # warm plan
+                    t0 = time.time()
+                    REGISTRY[name].fn(spark, big).collect()
+                    s10[name] = round(time.time() - t0, 4)
+                d10 = duckdb_times(big, SCALE10_QUERIES)
+                out["scaled10x"] = {
+                    "spark": s10,
+                    "duckdb": d10,
+                    "ratio_vs_duckdb": {
+                        n: round(s10[n] / d10[n], 2) for n in d10 if d10[n] > 0
+                    },
+                    "note": (
+                        "single-JVM local mode pays a fixed per-job+per-shuffle "
+                        "cost DuckDB's in-process engine does not; subtract "
+                        "spark_floor_sec for marginal throughput. 100x-data runs "
+                        "were measured by hand but are IO-bound on this VM's "
+                        "shared disk (2 GB page cache) and too noisy to report."
+                    ),
+                }
+            except Exception as exc:  # noqa: BLE001
+                out["scaled10x_error"] = str(exc)[:200]
 
     print(json.dumps(out))
     spark.stop()

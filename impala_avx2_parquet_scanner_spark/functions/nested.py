@@ -75,3 +75,65 @@ def fn_nested_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.create_map(F.lit("total"), total), F.lit("total")
         ).alias("map_total"),
     )
+
+
+_MAP_ORACLE = """
+SELECT o_orderkey,
+       'okey,cust,price' AS keys_csv,
+       CAST(CAST(o_orderkey AS DECIMAL(12,2)) AS VARCHAR) || ','
+         || CAST(CAST(o_custkey AS DECIMAL(12,2)) AS VARCHAR) || ','
+         || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS vals_csv,
+       CAST(3 AS INTEGER) AS m_size,
+       CAST(o_custkey AS DOUBLE) AS cust_val,
+       CAST(1 AS DOUBLE) AS extra_val,
+       CAST(CASE WHEN o_orderkey > 100 THEN 1 ELSE 0 END
+          + CASE WHEN o_custkey  > 100 THEN 1 ELSE 0 END
+          + CASE WHEN o_totalprice > 100 THEN 1 ELSE 0 END AS INTEGER) AS n_big,
+       CAST(o_orderkey * 2 AS DOUBLE) AS okey_doubled
+FROM orders WHERE o_custkey <= 20
+"""
+
+
+@query("fn_map", oracle=_MAP_ORACLE, tags=("function", "nested", "map"))
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType operator surface: construction (create_map), introspection
+    (map_keys / map_values / size), lookup (element_at), merge
+    (map_concat), and higher-order map lambdas (map_filter /
+    transform_values) — the full map half of the nested-type capability
+    the engine adds over the reference's flat-only scanner
+    (hdfs-parquet-scanner.cc:1430-1435).
+
+    Spark maps preserve insertion order, so keys_csv/vals_csv are
+    deterministic; every map output is reduced to scalars/strings (the
+    driver's canonicalizer cannot hash ndarray/dict cells).  The oracle
+    states the expected values directly in flat SQL — the point under
+    test is that Spark's map expressions compute them."""
+    price = F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+    m = F.create_map(
+        F.lit("okey"), F.col("o_orderkey").cast("double"),
+        F.lit("cust"), F.col("o_custkey").cast("double"),
+        F.lit("price"), price,
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1.0)))
+    big = F.map_filter(m, lambda k, v: v > 100.0)
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 20)
+        .select(
+            "o_orderkey",
+            F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+            F.array_join(
+                F.transform(
+                    F.map_values(m),
+                    lambda v: v.cast("decimal(12,2)").cast("string"),
+                ),
+                ",",
+            ).alias("vals_csv"),
+            F.size(m).alias("m_size"),
+            F.element_at(m, F.lit("cust")).alias("cust_val"),
+            F.element_at(merged, F.lit("extra")).alias("extra_val"),
+            F.size(big).alias("n_big"),
+            F.element_at(doubled, F.lit("okey")).alias("okey_doubled"),
+        )
+    )

@@ -1072,3 +1072,118 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", adc.alias("adc_dist"), "rank")
     )
+
+
+_OUTLIER_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, COUNT(*) AS n, SUM(xq) AS sumq
+  FROM ex GROUP BY label, pos
+),
+dist AS (
+  SELECT e.vec_id, e.label,
+         ROUND(CAST(SUM(CAST(e.xq * c.n - c.sumq AS HUGEINT)
+                         * CAST(e.xq * c.n - c.sumq AS HUGEINT)) AS DOUBLE)
+               / (CAST(MAX(c.n) AS DOUBLE) * CAST(MAX(c.n) AS DOUBLE) * 1e12),
+               9) AS d2
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY e.vec_id, e.label
+),
+m AS (
+  SELECT label,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(d2 AS DECIMAL(18,9)) * CAST(d2 AS DECIMAL(18,9)))
+              AS DOUBLE) AS sxx
+  FROM dist GROUP BY label
+)
+SELECT d.vec_id, d.label, d.d2,
+       ROUND((d.d2 - m.sx / m.n)
+         / SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 9) AS zscore
+FROM dist d JOIN m ON d.label = m.label
+WHERE m.n >= 2
+  AND ABS(ROUND((d.d2 - m.sx / m.n)
+          / SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 9)) > 2.0
+"""
+
+
+@query(
+    "embedding_outliers",
+    oracle=_OUTLIER_ORACLE,
+    tags=("similarity", "pipeline", "outlier"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: vectors whose squared distance to
+    their label centroid sits >2σ from the label's distance distribution —
+    the curation gate that catches mislabeled or corrupted embeddings
+    before they enter training (the embedding-space twin of
+    `events_anomaly_zscore`).
+
+    Determinism: components quantize to 1e-6 fixed point, so the centroid
+    is an exact integer sum and the squared distance Σ(xq·n − Σxq)² is an
+    exact DECIMAL(38) integer per vector — order-independent at any
+    parallelism — with ONE final conversion to double (÷ n²·1e12, rounded
+    9 dp).  Distance moments then follow the exprs.py discipline (exact
+    decimal Σx/Σx², 9 dp z-scores), so the 2σ membership test is
+    bit-stable and DuckDB replays every term.
+
+    Scale: explode is a narrow 64× row multiply fused into the scan; the
+    plan is two keyed aggregations (label×pos centroids, per-vector fold)
+    + a broadcast of the per-label stats — no detail-row shuffle beyond
+    the fold's vec_id key."""
+    ex = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode(_dbl("embedding")).alias("pos", "x"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("pos"),  # 1-based like generate_subscripts
+            F.floor(F.col("x") * 1000000.0).cast("long").alias("xq"),
+        )
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xq").alias("sumq")
+    )
+    diff = (
+        (F.col("xq") * F.col("n") - F.col("sumq")).cast("decimal(20,0)")
+    )
+    dist = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(diff * diff).alias("d2q"),
+            F.max("n").alias("n_members"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("d2q").cast("double")
+                / (
+                    F.col("n_members").cast("double")
+                    * F.col("n_members").cast("double")
+                    * F.lit(1e12)
+                ),
+                9,
+            ).alias("d2"),
+        )
+    )
+    dd = F.col("d2").cast("decimal(18,9)")
+    m = dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dd).cast("double").alias("sx"),
+        F.sum(dd * dd).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = F.round(
+        (F.col("d2") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 9
+    )
+    return (
+        dist.join(F.broadcast(m), "label")
+        .filter((n >= 2) & (F.abs(z) > 2.0))
+        .select("vec_id", "label", "d2", z.alias("zscore"))
+    )

@@ -72,6 +72,8 @@ SAMPLE = [
     "scan_partition_pruned",
     "scan_nested_pruned",
     "dedup_incremental",
+    "fn_map",
+    "embedding_outliers",
 ]
 
 

@@ -545,3 +545,64 @@ def test_winnowing_finds_all_exact_prefix_duplicates(spark, duck, sf_dir):
     }
     missing = exact_pairs - found
     assert not missing, f"winnowing missed exact duplicates: {sorted(missing)}"
+
+
+def test_png_codec_property_roundtrip():
+    """Seeded property test (mirrors the reference's randomized encoder
+    round-trips, fle-test.cc:264-275, but deterministic): arbitrary image
+    shapes and contents must survive encode_png → decode_png exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(h, w, seed):
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    prop()
+
+
+def test_dedup_incremental_invariants(spark, sf_dir):
+    """Cross-operator invariants tying the incremental form to the batch
+    form: (1) every batch doc appears exactly once; (2) a doc marked
+    keep-worthy by the full-corpus dedup_exact and living in the batch is
+    also kept incrementally; (3) dup_of_existing always points at a doc at
+    or below the snapshot cut with the same key."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import (
+        dedup_exact,
+        dedup_incremental,
+    )
+
+    inc = {r.doc_id: r for r in dedup_incremental(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = max_id // 2
+    batch_ids = {r.doc_id for r in docs.filter(F.col("doc_id") > cut).collect()}
+    assert set(inc) == batch_ids  # (1)
+
+    exact_keep = {r.keep_id for r in dedup_exact(spark, sf_dir).collect()}
+    for doc_id, r in inc.items():
+        if doc_id in exact_keep:
+            # first-ever holder of its key: nothing earlier anywhere
+            assert r.keep and r.dup_of_existing is None, doc_id  # (2)
+        if r.dup_of_existing is not None:
+            assert r.dup_of_existing <= cut  # (3)
+        if r.keep:
+            assert r.dup_of_existing is None and r.dup_within_incoming is None

@@ -182,3 +182,67 @@ def join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.col("asof_ts"), F.col("asof_event_id"),
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tolerance: Column,
+) -> DataFrame:
+    """Backward as-of join with a staleness bound (pandas merge_asof's
+    ``tolerance``): the latest prior right row counts only if it is within
+    `tolerance` (an INTERVAL expression for timestamps, a numeric Column
+    for integer times) of the left time; older matches null out.
+    Composition: the plain as-of carry, then a post-filter — correct
+    because the carried row is THE latest prior row, so if it is too
+    stale no in-window match exists.  Adds zero shuffles."""
+    carried = asof_join(left, right, key, left_time, right_time, right_values)
+    # the carried right timestamp must be among right_values for the bound
+    fresh = F.col(f"asof_{right_time}") >= (F.col(left_time) - tolerance)
+    out = carried
+    for c in right_values:
+        out = out.withColumn(
+            f"asof_{c}", F.when(fresh, F.col(f"asof_{c}"))
+        )
+    return out
+
+
+_ASOF_TOL_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.ts END AS asof_ts,
+       CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.event_id END
+         AS asof_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("join", "asof"))
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with a 1-hour staleness window: a purchase is credited
+    to the most recent prior view only if that view happened within the
+    hour (stale views null out) — the bounded-lookback form every
+    time-series feature join needs to avoid leaking ancient context.
+    Same single-shuffle plan as `join_asof_events`; the tolerance is a
+    post-carry column expression."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return asof_join_tolerance(
+        purchases,
+        views,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["ts", "event_id"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).select(
+        "event_id", "user_id", "ts", "value", "asof_ts", "asof_event_id"
+    )

@@ -95,3 +95,41 @@ def test_asof_forward_matches_bruteforce(spark, seed):
             first_t = cand.t.min()
             expect = int(cand[cand.t == first_t].payload.min())
             assert got[row.lid] == expect, f"lid={row.lid}"
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    tol=st.integers(min_value=0, max_value=20),
+)
+def test_asof_tolerance_matches_pandas_merge_asof(spark, seed, tol):
+    """The staleness-bounded form must agree with pandas merge_asof's
+    native tolerance semantics for arbitrary integer tolerances."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.operators.asof import (
+        asof_join_tolerance,
+    )
+
+    sl, sr, left, right = _frames(spark, seed, n_left=40, n_right=30)
+    got = {
+        r.lid: r.asof_payload
+        for r in asof_join_tolerance(
+            sl, sr, key="k", left_time="t", right_time="t",
+            right_values=["t", "payload"], tolerance=F.lit(tol),
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values(["t", "lid"]),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=tol,
+    )
+    want = {row.lid: row.payload for row in want_df.itertuples()}
+    assert set(got) == set(want)
+    for lid in want:
+        w = want[lid]
+        assert got[lid] == (None if pd.isna(w) else int(w)), f"lid={lid} tol={tol}"

@@ -1,0 +1,60 @@
+"""Shuffle-exchange budgets for the headline bench set — plan-regression
+tripwire.  Each budget is the CURRENT measured exchange count (PLANS.md,
+round 4); a future edit that adds an exchange (lost broadcast, lost
+stage reuse, accidental repartition) fails here before it ever reaches a
+benchmark.  Budgets are upper bounds: going lower is progress, not a
+failure."""
+
+from __future__ import annotations
+
+import pytest
+
+from impala_avx2_parquet_scanner_spark.plans import exchange_count
+from impala_avx2_parquet_scanner_spark.registry import REGISTRY
+
+import impala_avx2_parquet_scanner_spark as engine
+
+engine.load_all()
+
+#: query -> max shuffle exchanges (from PLANS.md at round 4)
+BUDGETS = {
+    "tpch_q1": 1,
+    "tpch_q2": 2,
+    "tpch_q3": 1,
+    "tpch_q4": 1,
+    "tpch_q5": 1,
+    "tpch_q6": 1,
+    "tpch_q7": 1,
+    "tpch_q8": 1,
+    "tpch_q9": 3,
+    "tpch_q10": 1,
+    "tpch_q11": 6,
+    "tpch_q12": 1,
+    "tpch_q13": 2,
+    "tpch_q14": 1,
+    "tpch_q15": 4,
+    "tpch_q16": 3,
+    "tpch_q17": 2,
+    "tpch_q18": 1,
+    "tpch_q19": 1,
+    "tpch_q20": 4,
+    "tpch_q21": 3,
+    "tpch_q22": 2,
+    "selectivity_050": 1,
+    # pipeline scale paths
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 4,
+    "pipeline_curate": 1,
+    "ann_ivf_topk": 3,
+    "dedup_incremental": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    got = exchange_count(df)
+    assert got <= BUDGETS[name], (
+        f"{name}: {got} exchanges > budget {BUDGETS[name]} — a broadcast, "
+        "stage reuse, or pushdown was probably lost; compare PLANS.md"
+    )

@@ -129,3 +129,49 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _materialize(spark, sf_dir, "orc")
     df = spark.read.orc(path)
     return _roundtrip_agg(df)
+
+
+_SINK_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@query("sink_sorted_roundtrip", oracle=_SINK_ORACLE, tags=("sink", "parquet", "format"))
+def sink_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SINK round-trip (§2A #17) through the engine's own writer:
+    lineitem re-laid-out with `write_sorted_parquet` on l_shipdate (the
+    order-preserving-dictionary analog, dict-encoding.h:393-406 — the
+    sort tightens row-group min/max so the date predicate skips stripes),
+    read back with the same predicate, aggregated incl. the timestamp
+    min/max; the oracle replays on the original fixture.  A hash match
+    proves the full sink path — dictionary+snappy encode, range
+    partitioning, sorted write, timestamp round-trip — is value-lossless;
+    the stats-tightening behavior itself is pinned in
+    test_sorted_write_tightens_rowgroup_stats."""
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        write_sorted_parquet,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, key, "lineitem_sorted")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+        )
+        write_sorted_parquet(src, path, sort_cols=("l_shipdate",), num_files=8)
+    df = spark.read.parquet(path).filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_dbl(F.col("l_quantity").cast("decimal(12,2)"), "sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )

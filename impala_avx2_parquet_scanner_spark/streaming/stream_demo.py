@@ -196,3 +196,32 @@ def foreach_batch_upsert_sink(
         overwrite_partitions(batch_df, path, partition_by)
 
     return stream_df.writeStream.foreachBatch(upsert)
+
+
+def ohlc_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the oracle-checked `events_ohlc` candle builder:
+    watermarked hourly tumbling windows with the same struct-argmin/argmax
+    open/close trick — min/max/sum/count are all unconditionally supported
+    streaming aggregates, so the candle state collapses incrementally
+    per-window and the watermark finalizes+evicts candles an hour behind
+    the stream head (state is O(active windows), exactly the batch
+    query's partial-candle shape)."""
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            first_s.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s.getField("value").alias("close"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_h"),
+            "event_type",
+            "open", "high", "low", "close", "volume", "n_events",
+        )
+    )

@@ -397,3 +397,37 @@ def test_stream_outer_join_flushes_unmatched_on_watermark(spark, tmp_path):
         assert (3, False) in rows  # unmatched purchase flushed NULL-padded
     finally:
         q.stop()
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir):
+    """The streaming candle builder must produce exactly the batch
+    `events_ohlc` result when the whole fixture flows through (complete
+    mode — every window finalized)."""
+    from impala_avx2_parquet_scanner_spark.operators.timeseries import events_ohlc
+    from impala_avx2_parquet_scanner_spark.streaming.stream_demo import (
+        events_stream,
+        ohlc_stream,
+        run_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    q = run_to_memory(ohlc_stream(stream), "ohlc_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.bucket_h): (r.open, r.high, r.low, r.close,
+                                         r.volume, r.n_events)
+            for r in spark.table("ohlc_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.event_type, r.bucket_h): (r.open, r.high, r.low, r.close,
+                                     r.volume, r.n_events)
+        for r in events_ohlc(spark, sf_dir).collect()
+    }
+    # batch bucket is timestamp_ntz, stream window.start is ltz — session
+    # TZ is UTC so values align after normalization
+    got_n = {(t, b.replace(tzinfo=None) if hasattr(b, "tzinfo") else b): v
+             for (t, b), v in got.items()}
+    assert got_n == want

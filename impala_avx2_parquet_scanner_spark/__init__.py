@@ -56,6 +56,7 @@ def load_all() -> None:
     from impala_avx2_parquet_scanner_spark import sql  # noqa: F401
     from impala_avx2_parquet_scanner_spark.sources import (  # noqa: F401
         format_roundtrip,
+        ppm_datasource,
     )
     from impala_avx2_parquet_scanner_spark.streaming import events  # noqa: F401
     from impala_avx2_parquet_scanner_spark.pipeline import (  # noqa: F401

@@ -59,6 +59,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for any pandas-UDF path (pipeline operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Predicate pushdown into registered Python DataSources (the custom
+    # ppmdir scanner's pushFilters — §2A #5 in a user-defined source).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Dynamic perf knob: the 200-partition default over-parallelizes the
     # fixture scales (and stateful streaming, where AQE can't coalesce).
     # On a real cluster the deploy env overrides this to ~2-3× cores.

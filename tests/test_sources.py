@@ -442,3 +442,74 @@ def test_corrupt_parquet_footer_fails_then_skips(spark, tmp_path):
         assert n == 1000  # the healthy file only
     finally:
         spark.conf.set(key, prior)
+
+
+def test_ppm_datasource_pushdown_skips_files(spark, sf_dir):
+    """doc_id predicates pushed into the custom reader must shrink the
+    file listing BEFORE any file is opened (the scan-range skip), and
+    unsupported filters must come back as residuals."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from impala_avx2_parquet_scanner_spark.sources.ppm_datasource import (
+        PpmDirReader,
+        materialize_ppm_dir,
+    )
+
+    path = materialize_ppm_dir(spark, sf_dir)
+    base = PpmDirReader({"path": path, "numPartitions": "4"})
+    n_all = sum(len(p.paths) for p in base.partitions())
+    assert n_all > 0
+
+    r = PpmDirReader({"path": path, "numPartitions": "4"})
+    residual = list(
+        r.pushFilters([GreaterThanOrEqual(("doc_id",), 10), LessThan(("doc_id",), 20),
+                       EqualTo(("width",), 64)])
+    )
+    # width filter is not ours — must be yielded back for Spark to apply
+    assert [type(f).__name__ for f in residual] == ["EqualTo"]
+    kept = [p for part in r.partitions() for p in part.paths]
+    assert 0 < len(kept) < n_all
+    import os as _os
+
+    ids = {int(_os.path.basename(p)[4:-4]) for p in kept}
+    assert ids and all(10 <= i < 20 for i in ids)
+
+
+def test_ppm_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
+    """The custom sink must write real files under the commit protocol
+    (_DONE manifest listing every file) that the custom reader then
+    re-reads byte-identically."""
+    from impala_avx2_parquet_scanner_spark.sources.ppm_datasource import (
+        PpmDataSource,
+        materialize_ppm_dir,
+    )
+
+    try:
+        spark.dataSource.register(PpmDataSource)
+    except Exception:
+        pass  # already registered on this session
+    src_dir = materialize_ppm_dir(spark, sf_dir)
+    import hashlib as _h
+    import os as _os
+
+    names = sorted(f for f in _os.listdir(src_dir) if f.endswith(".ppm"))[:20]
+    rows = []
+    for n in names:
+        with open(_os.path.join(src_dir, n), "rb") as fh:
+            rows.append((int(n[4:-4]), bytearray(fh.read())))
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    out = str(tmp_path / "ppm_out")
+    df.write.format("ppmdir").option("path", out).mode("append").save()
+
+    manifest = open(_os.path.join(out, "_DONE")).read().splitlines()
+    assert sorted(manifest) == names
+    back = (
+        spark.read.format("ppmdir").option("path", out).load().collect()
+    )
+    want = {
+        doc_id: _h.sha256(bytes(payload).split(b"\n", 3)[3].hex().encode()).hexdigest()
+        for doc_id, payload in rows
+    }
+    got = {r.doc_id: r.raster_sha for r in back}
+    assert got == want

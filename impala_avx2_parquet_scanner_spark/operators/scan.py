@@ -216,6 +216,9 @@ def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os as _os
 
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # cache-hit path skips table(); confs still required
     key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = _os.path.join("/tmp/spark_graft_partitioned", key, "lineitem_by_returnflag")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
@@ -237,6 +240,10 @@ def nested_documents_path(spark: SparkSession, sf_dir: str) -> str:
     the storage layer exactly like top-level columns."""
     import hashlib
     import os as _os
+
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # cache-hit path skips table(); confs still required
 
     key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = _os.path.join("/tmp/spark_graft_partitioned", key, "documents_nested")

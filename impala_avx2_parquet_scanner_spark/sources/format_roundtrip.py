@@ -61,6 +61,9 @@ _LI_SCHEMA = StructType(
 
 def _materialize(spark: SparkSession, sf_dir: str, fmt: str, **options) -> str:
     """Write-once conversion of the lineitem projection into `fmt`."""
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # cache-hit path skips table(); confs still required
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(_CACHE_ROOT, key, f"lineitem_{fmt}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -158,7 +161,9 @@ def sink_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
         write_sorted_parquet,
     )
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
 
+    ensure_runtime_confs(spark)  # cache-hit path skips table(); UTC TZ still required
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(_CACHE_ROOT, key, "lineitem_sorted")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -247,6 +247,10 @@ def materialize_ppm_dir(spark: SparkSession, sf_dir: str) -> str:
     cluster the target would be a shared mount/object store)."""
     import hashlib as _h
 
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # cache-hit path skips table(); pushdown conf required
+
     key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join("/tmp/spark_graft_formats", key, "ppm_assets")
     done = os.path.join(out, "_DONE")

@@ -360,3 +360,78 @@ def scan_custom_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("doc_id", "width", "raster_sha")
     )
+
+
+try:  # streaming half (Spark >= 4.0)
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class PpmStreamReader(SimpleDataSourceStreamReader):
+        """Streaming form of the custom scanner: the directory is a live
+        feed, each micro-batch picks up files not yet processed, and the
+        OFFSET is the exact sorted file-name set — so
+        `readBetweenOffsets` replays any batch deterministically after a
+        failure (exactly-once file processing under checkpointing,
+        arrival-order independent).  The reference has no streaming
+        surface; this is the scan-framework story carried into
+        Structured Streaming (SURVEY §2B streaming row)."""
+
+        def __init__(self, options):
+            self.dir = options.get("path")
+            if not self.dir:
+                raise ValueError("ppmdir requires option 'path'")
+
+        def initialOffset(self) -> dict:
+            return {"names": []}
+
+        def _parse(self, names):
+            # returns a LIST: the stream framework pickles prefetched rows
+            out = []
+            for name in names:
+                path = os.path.join(self.dir, name)
+                with open(path, "rb") as fh:
+                    payload = fh.read()
+                parts = payload.split(b"\n", 3)
+                if parts[0] != b"P6":
+                    raise ValueError(f"{path}: not a P6 PPM")
+                w, h = (int(x) for x in parts[1].split())
+                raster = parts[3]
+                out.append(
+                    (
+                        int(name[len("doc_"):-len(".ppm")]),
+                        w,
+                        h,
+                        len(raster),
+                        hashlib.sha256(raster.hex().encode()).hexdigest(),
+                    )
+                )
+            return out
+
+        def read(self, start: dict):
+            seen = set(start.get("names", []))
+            current = sorted(
+                f for f in os.listdir(self.dir) if f.endswith(".ppm")
+            )
+            fresh = [f for f in current if f not in seen]
+            # iter() over the materialized list: the framework requires an
+            # ITERATOR, and a list_iterator pickles (a generator does not)
+            return iter(self._parse(fresh)), {"names": sorted(seen | set(fresh))}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            fresh = sorted(set(end.get("names", [])) - set(start.get("names", [])))
+            return iter(self._parse(fresh))
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in the query checkpoint; nothing to prune
+
+    STREAM_API_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    STREAM_API_AVAILABLE = False
+
+
+def _simple_stream_reader(self, schema):
+    if not STREAM_API_AVAILABLE:
+        raise NotImplementedError("streaming DataSource requires Spark >= 4.0")
+    return PpmStreamReader(self.options)
+
+
+PpmDataSource.simpleStreamReader = _simple_stream_reader

@@ -513,3 +513,47 @@ def test_ppm_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
     }
     got = {r.doc_id: r.raster_sha for r in back}
     assert got == want
+
+
+def test_ppm_datasource_streaming_exactly_once(spark, tmp_path):
+    """The streaming custom scanner must deliver every file exactly once
+    across micro-batches, with late-arriving files picked up by the next
+    batch (offset = processed-name set)."""
+    import hashlib as _h
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.ppm_datasource import (
+        PpmDataSource,
+    )
+
+    try:
+        spark.dataSource.register(PpmDataSource)
+    except Exception:
+        pass
+    d = str(tmp_path / "stream_in")
+    _os.makedirs(d)
+
+    def put(doc_id: int):
+        raster = bytes([(doc_id * 7 + i) % 256 for i in range(12)])
+        with open(_os.path.join(d, f"doc_{doc_id:06d}.ppm"), "wb") as fh:
+            fh.write(b"P6\n4 1\n255\n" + raster)
+        return _h.sha256(raster.hex().encode()).hexdigest()
+
+    want = {i: put(i) for i in (1, 2, 3)}
+    stream = spark.readStream.format("ppmdir").option("path", d).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ppm_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        want.update({i: put(i) for i in (4, 5)})  # late arrivals
+        q.processAllAvailable()
+        rows = spark.table("ppm_stream_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 5  # exactly once, no re-delivery of batch-1 files
+    assert {r.doc_id: r.raster_sha for r in rows} == want
+    assert all(r.width == 4 and r.n_raster_bytes == 12 for r in rows)

@@ -1,0 +1,547 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no external image libs.
+
+Closes the round-3 "compressed-media codecs" gap for JPEG the same way
+round 4 closed PNG: a real, spec-conformant implementation validated
+against files produced by standard tools (the decoder opens CPython's
+own test JPEGs — see tests/test_pipeline.py), not a stub.
+
+Scope (honest):
+* DECODER — baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+  any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals,
+  0xFF00 byte stuffing.  Progressive (SOF2), arithmetic coding, and
+  12-bit raise NotImplementedError with a clear message.
+* ENCODER — baseline sequential, 4:4:4, standard Annex K quantization
+  tables (quality-scaled) and Annex K Huffman tables.  Lossy by nature:
+  the round-trip contract is bounded reconstruction error (PSNR), pinned
+  in tests, not bit identity.
+
+Everything is numpy-vectorized per 8x8 block (the IDCT/FDCT are single
+matrix sandwiches over a stacked block tensor); the bit-level Huffman
+walk is plain Python over a numpy bit array — fine for the Arrow-batch
+sizes the multimodal pipeline feeds it (decode cost is per-payload on
+executors, never in a shuffle).
+
+Reference parity note: the reference engine has no media codecs at all —
+this module serves the north-star multimodal pipeline surface (SURVEY
+§2B), with the same plan-shape contract as the PPM/PNG/WAV codecs in
+`pipeline.multimodal`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared tables
+# ---------------------------------------------------------------------------
+
+#: Zig-zag order: index i in the scan -> (row, col) in the 8x8 block.
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K luminance / chrominance quantization tables (natural order).
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# Annex K Huffman tables: (bits[1..16], values)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: 8x8 DCT-II orthonormal basis matrix: IDCT(b) = C.T @ b @ C.
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) coefficient blocks → (n, 8, 8) samples."""
+    return np.einsum("ki,nkl,lj->nij", _C, blocks, _C, optimize=True)
+
+
+def _fdct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) samples → (n, 8, 8) DCT coefficients."""
+    return np.einsum("ik,nkl,jl->nij", _C, blocks, _C, optimize=True)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _build_decode_table(bits, values):
+    """Canonical Huffman: map (length, code) -> value via a dict keyed by
+    (length, code int)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing and restart-marker awareness."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # byte position
+        self.bit = 0  # bit position within current byte
+
+    def _current_byte(self) -> int:
+        b = self.data[self.pos]
+        return b
+
+    def read_bit(self) -> int:
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    pass  # stuffed byte: treat 0xFF as data, skip 0x00 later
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise _RestartMarker(nxt)
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            bit = (b >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+                if b == 0xFF:
+                    self.pos += 1  # skip the stuffed 0x00
+            return bit
+
+    def align_to_restart(self):
+        """Skip to just after the next restart marker."""
+        self.bit = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker")
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _extend(v: int, n: int) -> int:
+    """JPEG EXTEND: map the n-bit magnitude v to its signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _decode_huffman(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w, 3) uint8 RGB (grayscale is replicated)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                zz = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.float64)
+                nat = np.zeros(64)
+                nat[_ZIGZAG] = zz
+                qts[tq] = nat
+                p += 64
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish)
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF 0x{marker:02X} (progressive/arithmetic/lossless) unsupported"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(seg[p + 17 : p + 17 + n])
+                table = _build_decode_table(bits, values)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_sel.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            data = payload[pos + seg_len :]
+            return _decode_scan(
+                frame, qts, dc_tables, ac_tables, scan_sel, data, restart_interval
+            )
+        pos += seg_len
+    raise ValueError("no SOS in JPEG")
+
+
+def _decode_scan(frame, qts, dc_tables, ac_tables, scan_sel, data, restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    sel = {s["id"]: s for s in scan_sel}
+
+    # per-component coefficient planes in units of 8x8 blocks
+    planes = []
+    for c in comps:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes.append(np.zeros((bh * bw, 8, 8)))
+
+    reader = _BitReader(data)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                try:
+                    reader.read_bit()  # force marker detection if aligned
+                except _RestartMarker:
+                    pass
+                reader.align_to_restart()
+                preds = [0] * len(comps)
+            try:
+                for ci, c in enumerate(comps):
+                    s = sel[c["id"]]
+                    dct, act = dc_tables[s["dc"]], ac_tables[s["ac"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block = np.zeros(64)
+                            t = _decode_huffman(reader, dct)
+                            diff = _extend(reader.receive(t), t)
+                            preds[ci] += diff
+                            block[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huffman(reader, act)
+                                r, size = rs >> 4, rs & 0xF
+                                if size == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index out of range")
+                                block[_ZIGZAG[k]] = _extend(reader.receive(size), size)
+                                k += 1
+                            bw = mcux * c["h"]
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            planes[ci][row * bw + col] = block.reshape(8, 8)
+            except _RestartMarker:
+                raise ValueError("restart marker inside MCU")
+            mcu_count += 1
+
+    # dequantize + IDCT + level shift, assemble full-res planes
+    out_planes = []
+    for ci, c in enumerate(comps):
+        q = qts[c["tq"]].reshape(8, 8)
+        px = _idct2(planes[ci] * q) + 128.0
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        img = (
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full MCU-grid resolution
+        if c["h"] != hmax or c["v"] != vmax:
+            img = np.repeat(np.repeat(img, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(img[: mcuy * vmax * 8, : mcux * hmax * 8])
+
+    if len(comps) == 1:
+        ycc = out_planes[0][:h, :w]
+        rgb = np.stack([ycc, ycc, ycc], axis=2)
+    elif len(comps) == 3:
+        y = out_planes[0][:h, :w]
+        cb = out_planes[1][:h, :w] - 128.0
+        cr = out_planes[2][:h, :w] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4, Annex K tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _build_encode_table(bits, values):
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value -> (size, code bits) per JPEG magnitude coding."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, Annex K)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    px = pixels.astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in ((0, qt_l), (1, qt_c)):
+        zz = np.zeros(64, dtype=np.uint8)
+        zz[np.arange(64)] = qt.reshape(64)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, (bits, values) in (
+        (0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA),
+        (0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(values)) + bytes([tc_th])
+        out += bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    enc_dc = [_build_encode_table(*_HT_DC_LUMA), _build_encode_table(*_HT_DC_CHROMA)]
+    enc_ac = [_build_encode_table(*_HT_AC_LUMA), _build_encode_table(*_HT_AC_CHROMA)]
+
+    def blocks_of(plane: np.ndarray) -> np.ndarray:
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        return (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
+        )
+
+    planes = [(blocks_of(y), 0, qt_l), (blocks_of(cb), 1, qt_c), (blocks_of(cr), 1, qt_c)]
+    quantized = []
+    for blocks, tsel, qt in planes:
+        coef = _fdct2(blocks - 128.0)
+        quantized.append((np.round(coef / qt.reshape(8, 8)).astype(np.int64), tsel))
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for mcu in range(bh * bw):
+        for ci, (qblocks, tsel) in enumerate(quantized):
+            block = qblocks[mcu]
+            zz = block.reshape(64)[_ZIGZAG]
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            size, code = _magnitude(diff)
+            hc, hl = enc_dc[tsel][size]
+            writer.write(hc, hl)
+            if size:
+                writer.write(code, size)
+            run = 0
+            last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    if k > last_nz:
+                        hc, hl = enc_ac[tsel][0x00]  # EOB
+                        writer.write(hc, hl)
+                        break
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = enc_ac[tsel][0xF0]  # ZRL
+                    writer.write(hc, hl)
+                    run -= 16
+                size, code = _magnitude(v)
+                hc, hl = enc_ac[tsel][(run << 4) | size]
+                writer.write(hc, hl)
+                writer.write(code, size)
+                run = 0
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

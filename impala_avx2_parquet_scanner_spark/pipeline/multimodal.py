@@ -9,14 +9,17 @@ workers without per-row serde.
 
 Codec honesty: the container has no image/audio libraries, so this module
 ships REAL codecs for every format it can parse with stdlib+numpy alone —
-PPM (P6) and PNG (stdlib-zlib inflate + Sub/Up/Average/Paeth scanline
-unfiltering) images, PCM16 WAV audio, and RAWV raw-frame video: binary →
-pixel/sample/frame arrays → statistics features, true nearest-neighbor
-image resize, true per-window audio RMS, true per-frame video sampling
-(each sampled frame re-encoded as a PPM row).  Formats needing external
-decoders (jpeg/mp3/mp4) raise NotImplementedError with a clear message; a
-production deployment registers Pillow/ffmpeg-backed codecs in _DECODERS
-without touching the plan shape.
+PPM (P6), PNG (stdlib-zlib inflate + Sub/Up/Average/Paeth scanline
+unfiltering), and baseline JPEG (full Huffman + dequant + IDCT + chroma
+upsampling decoder validated against real-world files, plus a 4:4:4
+Annex-K encoder — see jpeg_codec.py) images, PCM16 WAV audio, and RAWV
+raw-frame video: binary → pixel/sample/frame arrays → statistics
+features, true nearest-neighbor image resize, true per-window audio RMS,
+true per-frame video sampling (each sampled frame re-encoded as a PPM
+row).  Formats needing external decoders (mp3/mp4; progressive JPEG)
+raise NotImplementedError with a clear message; a production deployment
+registers ffmpeg-backed codecs in _DECODERS without touching the plan
+shape.
 """
 
 from __future__ import annotations
@@ -287,9 +290,14 @@ def decode_rawv(payload: bytes) -> tuple[np.ndarray, int]:
     return body.reshape(n, h, w, 3), fps
 
 
-#: Image decoders by format — both return (h, w, 3) uint8.
-_IMAGE_DECODERS = {"ppm": decode_ppm, "png": decode_png}
-_IMAGE_ENCODERS = {"ppm": encode_ppm, "png": encode_png}
+from impala_avx2_parquet_scanner_spark.pipeline.jpeg_codec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
+#: Image decoders by format — each returns (h, w, 3) uint8.
+_IMAGE_DECODERS = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
+_IMAGE_ENCODERS = {"ppm": encode_ppm, "png": encode_png, "jpeg": encode_jpeg}
 
 
 def decode_image(media_format: str, payload: bytes) -> np.ndarray:
@@ -343,13 +351,14 @@ def _video_features(payload: bytes) -> list[float]:
     return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
 
-#: Registered codecs: (modality, media_format) → feature fn.  PPM and PNG
-#: are real pure-numpy/stdlib codecs; production adds e.g.
-#: ("image", "jpeg") backed by Pillow / ("video", "mp4") backed by ffmpeg
-#: here without touching any plan shape.
+#: Registered codecs: (modality, media_format) → feature fn.  PPM, PNG,
+#: and baseline JPEG are real pure-numpy/stdlib codecs (jpeg_codec.py —
+#: decoder validated against real-world files); production adds e.g.
+#: ("audio", "mp3") backed by ffmpeg here without touching any plan shape.
 _DECODERS = {
     ("image", "ppm"): lambda p: _pixel_features(decode_ppm(p)),
     ("image", "png"): lambda p: _pixel_features(decode_png(p)),
+    ("image", "jpeg"): lambda p: _pixel_features(decode_jpeg(p)),
     ("audio", "wav"): _audio_features,
     ("video", "rawv"): _video_features,
 }

@@ -606,3 +606,107 @@ def test_dedup_incremental_invariants(spark, sf_dir):
             assert r.dup_of_existing <= cut  # (3)
         if r.keep:
             assert r.dup_of_existing is None and r.dup_within_incoming is None
+
+
+def test_jpeg_codec_roundtrip_psnr():
+    """Baseline JPEG encode→decode is lossy by design; the contract is
+    bounded reconstruction error.  A smooth gradient at quality 90 must
+    come back above 40 dB PSNR (measured 52 dB); a quality sweep must be
+    monotone in size."""
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 40, 56
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    px = np.stack(
+        [
+            np.broadcast_to((xs * 2) % 256, (h, w)),
+            np.broadcast_to((ys * 3) % 256, (h, w)),
+            (xs + ys) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    data = encode_jpeg(px, quality=90)
+    dec = decode_jpeg(data)
+    assert dec.shape == px.shape
+    mse = ((dec.astype(float) - px.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 40, psnr
+    assert len(encode_jpeg(px, quality=30)) < len(encode_jpeg(px, quality=95))
+    # non-multiple-of-8 dims exercise edge-block padding
+    odd = px[:37, :53]
+    assert decode_jpeg(encode_jpeg(odd, quality=90)).shape == odd.shape
+
+
+def test_jpeg_decoder_conformance_real_world_files():
+    """Spec conformance: the decoder must open JPEGs produced by standard
+    tools, covering 4:2:0 subsampling, grayscale, and restart intervals —
+    and reject progressive with a clear NotImplementedError.  Uses files
+    shipped inside this container (CPython test data, rust doc assets);
+    each case skips individually if its file is absent."""
+    import os
+
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.pipeline.jpeg_codec import decode_jpeg
+
+    cases = {
+        # 16x16, 4:2:0 subsampled
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.jpg": (16, 16),
+        # 477x720 photo, baseline 4:4:4 WITH restart intervals (DRI)
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/html/embedded-book/assets/verify.jpeg": (477, 720),
+    }
+    ran = 0
+    for path, (h, w) in cases.items():
+        if not os.path.exists(path):
+            continue
+        img = decode_jpeg(open(path, "rb").read())
+        assert img.shape == (h, w, 3), path
+        assert img.std() > 1.0  # real content, not a constant plane
+        ran += 1
+    prog = "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/html/embedded-book/assets/f3.jpg"
+    if os.path.exists(prog):
+        with _pytest.raises(NotImplementedError, match="progressive|SOF"):
+            decode_jpeg(open(prog, "rb").read())
+        ran += 1
+    if ran == 0:
+        _pytest.skip("no real-world JPEGs present in this container")
+
+
+def test_jpeg_registered_in_multimodal_pipeline(spark):
+    """A jpeg asset flowing through extract_features must yield REAL
+    decoded-pixel statistics (verified against an independent decode),
+    and resize_images must re-encode jpeg in-format."""
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        decode_jpeg,
+        encode_jpeg,
+        resize_images,
+        resize_nearest,
+    )
+
+    h, w = 24, 32
+    px = (np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256).astype(np.uint8)
+    rgb = np.stack([px, px[::-1], px], axis=2).astype(np.uint8)
+    payload = encode_jpeg(rgb, quality=92)
+    assets = spark.createDataFrame(
+        [(0, "image", "jpeg", bytearray(payload), w, h, None)], ASSET_SCHEMA
+    )
+    feats = extract_features(assets).collect()[0]
+    want = decode_jpeg(payload).astype(float)
+    assert feats.features[0] == float(w) and feats.features[1] == float(h)
+    assert feats.features[2] == pytest.approx(want[:, :, 0].mean())
+    out = resize_images(assets, width=8, height=6).collect()[0]
+    assert out.media_format == "jpeg"
+    got = decode_jpeg(bytes(out.payload))
+    assert got.shape == (6, 8, 3)
+    # lossy re-encode: compare against the exact resample within codec error
+    ref = resize_nearest(decode_jpeg(payload), 8, 6).astype(float)
+    assert np.abs(got.astype(float) - ref).mean() < 12.0

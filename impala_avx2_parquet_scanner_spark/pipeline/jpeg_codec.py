@@ -17,9 +17,12 @@ Scope (honest):
 
 Everything is numpy-vectorized per 8x8 block (the IDCT/FDCT are single
 matrix sandwiches over a stacked block tensor); the bit-level Huffman
-walk is plain Python over a numpy bit array — fine for the Arrow-batch
-sizes the multimodal pipeline feeds it (decode cost is per-payload on
-executors, never in a shuffle).
+walk is plain Python — measured ~530 kpx/s (a 477x720 photo in 0.64 s),
+three orders below libjpeg but fine for the Arrow-batch sizes the
+multimodal pipeline feeds it (decode cost is per-payload on executors,
+never in a shuffle); a throughput-bound deployment swaps a
+Pillow/libjpeg-backed decoder into `_DECODERS` without touching any
+plan shape.
 
 Reference parity note: the reference engine has no media codecs at all —
 this module serves the north-star multimodal pipeline surface (SURVEY

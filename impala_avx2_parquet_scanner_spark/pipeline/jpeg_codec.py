@@ -16,13 +16,14 @@ Scope (honest):
   in tests, not bit identity.
 
 Everything is numpy-vectorized per 8x8 block (the IDCT/FDCT are single
-matrix sandwiches over a stacked block tensor); the bit-level Huffman
-walk is plain Python — measured ~530 kpx/s (a 477x720 photo in 0.64 s),
-three orders below libjpeg but fine for the Arrow-batch sizes the
-multimodal pipeline feeds it (decode cost is per-payload on executors,
-never in a shuffle); a throughput-bound deployment swaps a
-Pillow/libjpeg-backed decoder into `_DECODERS` without touching any
-plan shape.
+matrix sandwiches over a stacked block tensor); the entropy decode uses
+the classic libjpeg-style fast path — restart segments unstuffed up
+front, a reservoir bit reader, and 16-bit-lookahead Huffman LUTs —
+measured ~1.5 Mpx/s (a 477x720 photo in 0.23 s), still well below
+libjpeg but fine for the Arrow-batch sizes the multimodal pipeline feeds
+it (decode cost is per-payload on executors, never in a shuffle); a
+throughput-bound deployment swaps a Pillow/libjpeg-backed decoder into
+`_DECODERS` without touching any plan shape.
 
 Reference parity note: the reference engine has no media codecs at all —
 this module serves the north-star multimodal pipeline surface (SURVEY
@@ -154,75 +155,91 @@ def _fdct2(blocks: np.ndarray) -> np.ndarray:
 
 
 def _build_decode_table(bits, values):
-    """Canonical Huffman: map (length, code) -> value via a dict keyed by
-    (length, code int)."""
-    table = {}
+    """Canonical Huffman → 16-bit-lookahead LUT: two 65536-entry lists
+    (symbol length, symbol value) indexed by the next 16 bits of the
+    stream.  One list lookup replaces the per-bit tree walk — the
+    classic libjpeg-style fast path (~8x on real photos)."""
+    lut_len = [0] * 65536
+    lut_val = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            lut_len[lo:hi] = [length] * (hi - lo)
+            lut_val[lo:hi] = [values[k]] * (hi - lo)
             k += 1
             code += 1
         code <<= 1
-    return table
+    return lut_len, lut_val
 
 
-class _BitReader:
-    """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    unstuffing and restart-marker awareness."""
+def _split_entropy(data: bytes) -> list[bytes]:
+    """Split the entropy-coded stream into restart segments with 0xFF00
+    stuffing removed.  Inside entropy data every 0xFF is followed by
+    0x00 (stuffed data byte), 0xD0-0xD7 (restart — segment boundary), or
+    a terminating marker (EOI / next header).  One pass via bytes.find,
+    so cost is per-0xFF, not per-byte."""
+    segments: list[bytes] = []
+    seg = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ff = data.find(b"\xff", pos)
+        if ff < 0:
+            seg += data[pos:]
+            break
+        seg += data[pos:ff]
+        nxt = data[ff + 1] if ff + 1 < n else 0xD9
+        if nxt == 0x00:
+            seg.append(0xFF)
+            pos = ff + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(seg))
+            seg = bytearray()
+            pos = ff + 2
+        else:  # EOI or any other marker terminates the scan
+            break
+    segments.append(bytes(seg))
+    return segments
 
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0  # byte position
-        self.bit = 0  # bit position within current byte
 
-    def _current_byte(self) -> int:
-        b = self.data[self.pos]
-        return b
+class _FastBits:
+    """MSB-first reservoir bit reader over a clean (unstuffed) segment.
+    Zero-pads past the end — trailing pad bits are never consumed by a
+    well-formed scan (MCU count bounds the walk)."""
 
-    def read_bit(self) -> int:
-        while True:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream exhausted")
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
-                if nxt == 0x00:
-                    pass  # stuffed byte: treat 0xFF as data, skip 0x00 later
-                elif 0xD0 <= nxt <= 0xD7:
-                    raise _RestartMarker(nxt)
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-            bit = (b >> (7 - self.bit)) & 1
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
-                if b == 0xFF:
-                    self.pos += 1  # skip the stuffed 0x00
-            return bit
+    __slots__ = ("buf", "pos", "n", "acc", "nbits")
 
-    def align_to_restart(self):
-        """Skip to just after the next restart marker."""
-        self.bit = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.n = len(buf)
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill16(self):
+        while self.nbits < 16:
+            b = self.buf[self.pos] if self.pos < self.n else 0
             self.pos += 1
-        raise ValueError("expected restart marker")
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFF
+            self.nbits += 8
 
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill16()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, k: int):
+        self.nbits -= k
+
+    def get(self, k: int) -> int:
+        if self.nbits < 16:
+            self._fill16()
+        v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+        self.nbits -= k
         return v
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker):
-        self.marker = marker
 
 
 def _extend(v: int, n: int) -> int:
@@ -230,15 +247,6 @@ def _extend(v: int, n: int) -> int:
     if n == 0:
         return 0
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
-
-
-def _decode_huffman(reader: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code in JPEG stream")
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -330,49 +338,59 @@ def _decode_scan(frame, qts, dc_tables, ac_tables, scan_sel, data, restart_inter
         bw, bh = mcux * c["h"], mcuy * c["v"]
         planes.append(np.zeros((bh * bw, 8, 8)))
 
-    reader = _BitReader(data)
+    segments = _split_entropy(data)
+    zz = _ZIGZAG.tolist()
+    seg_idx = 0
+    reader = _FastBits(segments[0])
     preds = [0] * len(comps)
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                try:
-                    reader.read_bit()  # force marker detection if aligned
-                except _RestartMarker:
-                    pass
-                reader.align_to_restart()
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment")
+                reader = _FastBits(segments[seg_idx])
                 preds = [0] * len(comps)
-            try:
-                for ci, c in enumerate(comps):
-                    s = sel[c["id"]]
-                    dct, act = dc_tables[s["dc"]], ac_tables[s["ac"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            block = np.zeros(64)
-                            t = _decode_huffman(reader, dct)
-                            diff = _extend(reader.receive(t), t)
-                            preds[ci] += diff
-                            block[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huffman(reader, act)
-                                r, size = rs >> 4, rs & 0xF
-                                if size == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC index out of range")
-                                block[_ZIGZAG[k]] = _extend(reader.receive(size), size)
-                                k += 1
-                            bw = mcux * c["h"]
-                            row = my * c["v"] + by
-                            col = mx * c["h"] + bx
-                            planes[ci][row * bw + col] = block.reshape(8, 8)
-            except _RestartMarker:
-                raise ValueError("restart marker inside MCU")
+            for ci, c in enumerate(comps):
+                s = sel[c["id"]]
+                dc_len, dc_val = dc_tables[s["dc"]]
+                ac_len, ac_val = ac_tables[s["ac"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = [0.0] * 64
+                        idx = reader.peek16()
+                        ln = dc_len[idx]
+                        if ln == 0:
+                            raise ValueError("invalid Huffman code in JPEG stream")
+                        reader.skip(ln)
+                        t = dc_val[idx]
+                        diff = _extend(reader.get(t), t)
+                        preds[ci] += diff
+                        block[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            idx = reader.peek16()
+                            ln = ac_len[idx]
+                            if ln == 0:
+                                raise ValueError("invalid Huffman code in JPEG stream")
+                            reader.skip(ln)
+                            rs = ac_val[idx]
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            block[zz[k]] = _extend(reader.get(size), size)
+                            k += 1
+                        bw = mcux * c["h"]
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        planes[ci][row * bw + col] = np.asarray(block).reshape(8, 8)
             mcu_count += 1
 
     # dequantize + IDCT + level shift, assemble full-res planes

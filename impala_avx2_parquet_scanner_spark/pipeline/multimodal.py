@@ -366,13 +366,25 @@ _DECODERS = {
 }
 
 
-def _features(modality: str, media_format: str | None, payload: bytes | None):
+def _features(
+    modality: str, media_format: str | None, payload: bytes | None,
+    strict: bool = False,
+):
     if payload is None:
         return None
     fn = _DECODERS.get((modality, media_format or ""))
     if fn is None:
         return None  # unsupported codec → null features (see extract_features)
-    return fn(bytes(payload))
+    try:
+        return fn(bytes(payload))
+    except Exception:
+        # Corrupt payload: a 100 TB corpus always contains some — one bad
+        # file must not kill the scan.  Lenient mode quarantines it as
+        # features=NULL (payload_bytes/sha still identify the row for
+        # triage); require_codecs=True keeps the strict fail-fast contract.
+        if strict:
+            raise
+        return None
 
 
 def _decode_batch(pdf: pd.DataFrame, require_codecs: bool) -> pd.DataFrame:
@@ -396,7 +408,7 @@ def _decode_batch(pdf: pd.DataFrame, require_codecs: bool) -> pd.DataFrame:
                 lambda p: hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
             ),
             "features": [
-                _features(m, f, p)
+                _features(m, f, p, strict=require_codecs)
                 for m, f, p in zip(pdf["modality"], pdf["media_format"], pdf["payload"])
             ],
         }

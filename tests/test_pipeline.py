@@ -830,3 +830,33 @@ def test_jpeg_codec_property_roundtrip():
         assert mse == 0 or 10 * np.log10(255**2 / mse) > 20
 
     prop()
+
+
+def test_corrupt_payload_quarantined_not_fatal(spark):
+    """A corrupt media payload in a large corpus must NOT kill the
+    feature-extraction scan: lenient mode yields features=NULL with
+    payload_bytes/sha intact (triage identity), strict mode
+    (require_codecs=True) fails fast."""
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        encode_png,
+    )
+    import numpy as np
+
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    corrupt = good[:20] + b"\x00garbage\xff" + good[30:]
+    assets = spark.createDataFrame(
+        [
+            (0, "image", "png", bytearray(good), 4, 4, None),
+            (1, "image", "png", bytearray(corrupt), 4, 4, None),
+        ],
+        ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert rows[0].features is not None  # healthy row unaffected
+    assert rows[1].features is None  # quarantined
+    assert rows[1].payload_bytes == len(corrupt)  # identity kept for triage
+    with _pytest.raises(Exception):
+        extract_features(assets, require_codecs=True).collect()

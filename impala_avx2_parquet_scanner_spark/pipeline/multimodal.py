@@ -931,3 +931,89 @@ def probe_media(payload: bytes) -> dict | None:
     except Exception:
         return None
     return None
+
+
+def _register_inventory_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    RATE = 8000
+
+    oracle = f"""
+SELECT doc_id,
+       'wav' AS media_format,
+       CAST({RATE} AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST((octet_length(encode(text)) // 2) * 2 AS BIGINT) AS data_bytes,
+       CAST(1000 * ((octet_length(encode(text)) // 2) * 2) // {RATE * 2} AS BIGINT)
+         AS duration_ms
+FROM documents
+WHERE octet_length(encode(text)) >= 2
+"""
+
+    @query(
+        "multimodal_inventory",
+        oracle=oracle,
+        tags=("pipeline", "multimodal", "probe", "pandas_udf"),
+    )
+    def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Media-inventory pass, value-verified end-to-end: each document's
+        bytes are wrapped as a REAL PCM16 WAV payload (text bytes become
+        samples) inside the Arrow batch, then `probe_media` parses the
+        container it just built — format identification, fmt-chunk fields,
+        data length, duration — exactly what the ingest inventory does
+        before routing assets to decoders.  Because the payload derives
+        from the text, DuckDB replays every probed field arithmetically
+        from the base table: a hash match proves the RIFF writer AND the
+        probe's chunk walk agree with the spec'd layout byte-for-byte.
+
+        Scale: pure mapInPandas streaming (no shuffle at all); probe cost
+        is header-bounded per payload regardless of media size."""
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("media_format", StringType(), True),
+                StructField("sample_rate", LongType(), True),
+                StructField("channels", LongType(), True),
+                StructField("data_bytes", LongType(), True),
+                StructField("duration_ms", LongType(), True),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    b = bytes(payload)
+                    n = (len(b) // 2) * 2
+                    if n < 2:
+                        continue
+                    samples = np.frombuffer(b[:n], dtype="<i2")
+                    meta = probe_media(encode_wav_pcm16(samples, RATE))
+                    rows.append(
+                        (
+                            doc_id,
+                            meta["format"],
+                            meta["sample_rate"],
+                            meta["channels"],
+                            meta["data_bytes"],
+                            meta["duration_ms"],
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_format", "sample_rate",
+                        "channels", "data_bytes", "duration_ms",
+                    ],
+                )
+
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        return d.mapInPandas(run, schema=schema)
+
+
+_register_inventory_query()

@@ -167,6 +167,59 @@ def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PROFILE_APPROX_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(MIN({c}) AS DOUBLE) AS min_v,
+       CAST(MAX({c}) AS DOUBLE) AS max_v,
+       COUNT(*) - COUNT({c}) AS n_null,
+       TRUE AS ndv_within_5pct
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("scan_profile_approx", oracle=_PROFILE_APPROX_ORACLE, tags=("scan", "statistics"))
+def scan_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `scan_profile`: identical min/max/null-count
+    (exact, map-side combinable) but NDV via `approx_count_distinct`
+    (HLL++, rsd 2%) — sketches merge map-side, so each branch's shuffle
+    carries one sketch per partition instead of every distinct value.
+
+    Oracle contract: exact fields compare exactly; the approximate NDV is
+    pinned as a tolerance BOOLEAN (within ±5% of the exact count) — the
+    same oracle technique as `agg_approx`.  The in-plan exact NDV exists
+    ONLY to compute that verification boolean; the production profile
+    drops it (and the distinct-value shuffle with it), leaving the
+    sketch-only plan the docstring above describes."""
+    l = table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            l.select(c)
+            .agg(
+                F.min(c).cast("double").alias("min_v"),
+                F.max(c).cast("double").alias("max_v"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.approx_count_distinct(c, 0.02).alias("andv"),
+                F.countDistinct(c).alias("xndv"),
+            )
+            .select(
+                F.lit(c).alias("column_name"),
+                "min_v",
+                "max_v",
+                "n_null",
+                (
+                    (F.col("andv") >= F.col("xndv") * 0.95)
+                    & (F.col("andv") <= F.col("xndv") * 1.05)
+                ).alias("ndv_within_5pct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _EVOLUTION_ORACLE = """
 SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_comment FROM region
 """

@@ -74,6 +74,13 @@ SAMPLE = [
     "dedup_incremental",
     "fn_map",
     "embedding_outliers",
+    "join_asof_tolerance",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "sink_sorted_roundtrip",
+    "scan_custom_datasource_pushdown",
+    "multimodal_inventory",
+    "scan_profile_approx",
 ]
 
 

@@ -12,16 +12,18 @@ ships REAL codecs for every format it can parse with stdlib+numpy alone —
 PPM (P6), PNG (stdlib-zlib inflate + Sub/Up/Average/Paeth scanline
 unfiltering), and baseline JPEG (full Huffman + dequant + IDCT + chroma
 upsampling decoder validated against real-world files, plus a 4:4:4
-Annex-K encoder — see jpeg_codec.py) images, PCM16 WAV audio, and RAWV
-raw-frame video: binary → pixel/sample/frame arrays → statistics
-features, true nearest-neighbor image resize, true per-window audio RMS,
-true per-frame video sampling (each sampled frame re-encoded as a PPM
-row).  Formats needing external decoders (mp3/mp4; progressive JPEG)
-raise NotImplementedError with a clear message — but `probe_media` still
-extracts their container-level metadata (MP3 frame-header walk, ISO-BMFF
-box walk, RIFF chunks) without decoding, so the ingest inventory pass
-covers them; a production deployment registers ffmpeg-backed codecs in
-_DECODERS without touching the plan shape.
+Annex-K encoder — see jpeg_codec.py) and GIF87a/89a (full variable-width
+LZW, interlace, animation compositing — see gif_codec.py) images, PCM16
+WAV audio, and RAWV + animated-GIF video: binary → pixel/sample/frame
+arrays → statistics features, true nearest-neighbor image resize, true
+per-window audio RMS, true per-frame video sampling (each sampled frame
+re-encoded as a PPM row).  Formats needing external decoders (mp3/mp4;
+progressive JPEG) raise NotImplementedError with a clear message — but
+`probe_media` still extracts their container-level metadata (GIF block
+walk, MP3 frame-header walk, ISO-BMFF box walk, RIFF chunks) without
+decoding, so the ingest inventory pass covers them; a production
+deployment registers ffmpeg-backed codecs in _DECODERS without touching
+the plan shape.
 """
 
 from __future__ import annotations
@@ -292,14 +294,30 @@ def decode_rawv(payload: bytes) -> tuple[np.ndarray, int]:
     return body.reshape(n, h, w, 3), fps
 
 
+from impala_avx2_parquet_scanner_spark.pipeline.gif_codec import (  # noqa: E402
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    probe_gif,
+)
 from impala_avx2_parquet_scanner_spark.pipeline.jpeg_codec import (  # noqa: E402
     decode_jpeg,
     encode_jpeg,
 )
 
 #: Image decoders by format — each returns (h, w, 3) uint8.
-_IMAGE_DECODERS = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
-_IMAGE_ENCODERS = {"ppm": encode_ppm, "png": encode_png, "jpeg": encode_jpeg}
+_IMAGE_DECODERS = {
+    "ppm": decode_ppm,
+    "png": decode_png,
+    "jpeg": decode_jpeg,
+    "gif": decode_gif,
+}
+_IMAGE_ENCODERS = {
+    "ppm": encode_ppm,
+    "png": encode_png,
+    "jpeg": encode_jpeg,
+    "gif": encode_gif,
+}
 
 
 def decode_image(media_format: str, payload: bytes) -> np.ndarray:
@@ -353,16 +371,36 @@ def _video_features(payload: bytes) -> list[float]:
     return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
 
+def _gif_video_features(payload: bytes) -> list[float]:
+    """Animated-GIF video statistics, same layout as _video_features:
+    frame count, effective fps (from GCE delays), dims, global and
+    first/last-frame means, zero-padded to FEATURE_DIM."""
+    frames, delays = decode_gif_frames(payload)
+    x = frames.astype(np.float64)
+    n, h, w = frames.shape[:3]
+    total_ms = sum(delays)
+    fps = 1000.0 * n / total_ms if total_ms else 0.0
+    feats = [
+        float(n), float(fps), float(w), float(h),
+        float(x.mean()), float(x.std()),
+        float(x[0].mean()), float(x[-1].mean()),
+    ]
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
 #: Registered codecs: (modality, media_format) → feature fn.  PPM, PNG,
-#: and baseline JPEG are real pure-numpy/stdlib codecs (jpeg_codec.py —
-#: decoder validated against real-world files); production adds e.g.
-#: ("audio", "mp3") backed by ffmpeg here without touching any plan shape.
+#: GIF, and baseline JPEG are real pure-numpy/stdlib codecs
+#: (jpeg_codec.py / gif_codec.py — decoders validated against real-world
+#: files); production adds e.g. ("audio", "mp3") backed by ffmpeg here
+#: without touching any plan shape.
 _DECODERS = {
     ("image", "ppm"): lambda p: _pixel_features(decode_ppm(p)),
     ("image", "png"): lambda p: _pixel_features(decode_png(p)),
     ("image", "jpeg"): lambda p: _pixel_features(decode_jpeg(p)),
+    ("image", "gif"): lambda p: _pixel_features(decode_gif(p)),
     ("audio", "wav"): _audio_features,
     ("video", "rawv"): _video_features,
+    ("video", "gif"): _gif_video_features,
 }
 
 
@@ -455,7 +493,10 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            fmt = "png" if (i // 3) % 2 else "ppm"
+            fmt = ("ppm", "png", "gif")[(i // 3) % 3]
+            if fmt == "gif":
+                # palette-bound the gradient (GIF is <=256 colors by spec)
+                px = (px // 64) * 85
             rows.append((i, "image", fmt, _IMAGE_ENCODERS[fmt](px), w, h, None))
         elif modality == "audio":
             rate, dur_ms = 8000, 250 * ((i % 4) + 1)
@@ -516,19 +557,26 @@ def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     memory is O(batch × frames), independent of corpus size; the fan-out
     (one input row → many frame rows) happens inside the iterator, which
     is exactly how a 100 TB video corpus feeds per-frame models.
-    Non-RAWV videos raise (register an ffmpeg codec in _DECODERS's
-    deployment)."""
+    RAWV and animated GIF decode for real; other containers raise
+    (register an ffmpeg codec in _DECODERS's deployment)."""
     videos = assets.filter(F.col("modality") == "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                if (row["media_format"] or "") != "rawv":
-                    raise NotImplementedError(
-                        f"no video codec for {row['media_format']!r}"
+                fmt = row["media_format"] or ""
+                if fmt == "rawv":
+                    frames, fps = decode_rawv(bytes(row["payload"]))
+                elif fmt == "gif":
+                    frames, delays = decode_gif_frames(bytes(row["payload"]))
+                    total_ms = sum(delays)
+                    fps = max(
+                        round(1000 * frames.shape[0] / total_ms) if total_ms else 10,
+                        1,
                     )
-                frames, fps = decode_rawv(bytes(row["payload"]))
+                else:
+                    raise NotImplementedError(f"no video codec for {fmt!r}")
                 for idx in range(0, frames.shape[0], every_n):
                     out.append(
                         (
@@ -834,6 +882,8 @@ def probe_media(payload: bytes) -> dict | None:
     spending decode cycles; full decode only exists for the registered
     codecs).  Pure stdlib parsing of the documented grammars:
 
+    * GIF — header + block walk (dims, frame count, animation flag,
+      total duration from GCE delays) without LZW decode.
     * WAV — RIFF chunk walk (fmt: channels/rate/bits, data length).
     * MP3 — ID3v2 skip + MPEG-1 Layer III frame-header walk (sync
       0xFFE…, bitrate/sample-rate tables, per-frame length), duration
@@ -845,6 +895,9 @@ def probe_media(payload: bytes) -> dict | None:
     bytes — a probe that crashes the ingest scan is worse than an
     `unknown` row)."""
     try:
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return probe_gif(payload)
+
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             pos, meta = 12, {"format": "wav"}
             while pos + 8 <= len(payload):
@@ -1017,3 +1070,88 @@ WHERE octet_length(encode(text)) >= 2
 
 
 _register_inventory_query()
+
+
+def _register_gif_roundtrip_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    W = 16
+
+    oracle = f"""
+WITH p AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+d AS (
+  SELECT doc_id, hx, CAST(FLOOR(nb / {W}) AS BIGINT) AS h
+  FROM p WHERE nb >= {W}
+),
+b AS (
+  SELECT doc_id, h,
+         CAST('0x' || substring(hx, CAST(i * 2 + 1 AS BIGINT), 2) AS INT) AS v
+  FROM d, unnest(range(0, h * {W})) AS t(i)
+)
+SELECT doc_id, CAST({W} AS BIGINT) AS width, h AS height,
+       CAST(3 * SUM(v) AS BIGINT) AS pixel_sum
+FROM b GROUP BY doc_id, h
+"""
+
+    @query(
+        "multimodal_gif_roundtrip",
+        oracle=oracle,
+        tags=("pipeline", "multimodal", "pandas_udf"),
+    )
+    def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GIF codec proven lossless under the oracle: each document's
+        UTF-8 bytes become a grayscale index raster (width 16), run
+        through the REAL LZW encoder and decoder (gif_codec.py), and the
+        decoded pixel sum is emitted — which equals 3x the byte sum of
+        the raster iff every LZW code, color-table entry, and sub-block
+        boundary round-tripped exactly.  DuckDB replays the expected sum
+        arithmetically from the base table (hex slicing, no GIF code at
+        all), so a hash match is end-to-end conformance evidence for the
+        codec, not a self-comparison.
+
+        Scale: pure mapInPandas streaming (no shuffle); LZW cost is
+        linear in payload bytes, on the worker holding the payload."""
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("width", LongType(), False),
+                StructField("height", LongType(), False),
+                StructField("pixel_sum", LongType(), False),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from impala_avx2_parquet_scanner_spark.pipeline.gif_codec import (
+                decode_gif,
+                encode_gif,
+            )
+
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    b = bytes(payload)
+                    h = len(b) // W
+                    if h == 0:
+                        continue
+                    raster = np.frombuffer(b[: h * W], dtype=np.uint8).reshape(h, W)
+                    px = np.stack([raster] * 3, axis=2)
+                    decoded = decode_gif(encode_gif(px))
+                    rows.append((doc_id, W, h, int(decoded.sum(dtype=np.int64))))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "width", "height", "pixel_sum"]
+                )
+
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        return d.mapInPandas(run, schema=schema)
+
+
+_register_gif_roundtrip_query()

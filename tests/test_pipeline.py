@@ -305,7 +305,7 @@ def test_multimodal_resize_real(spark):
     images = assets.filter(F.col("modality") == "image").collect()
     assert len(out) == len(images)
     src = {r.asset_id: (r.media_format, bytes(r.payload)) for r in images}
-    assert {f for f, _ in src.values()} == {"ppm", "png"}  # both codecs exercised
+    assert {f for f, _ in src.values()} == {"ppm", "png", "gif"}  # all lossless codecs exercised
     for r in out:
         assert (r.width, r.height) == (8, 4)
         fmt, payload = src[r.asset_id]
@@ -780,7 +780,7 @@ def test_probe_media_never_raises_on_arbitrary_bytes():
     @given(data=st.binary(max_size=200))
     def prop(data):
         for prefix in (b"", b"RIFF", b"RIFF1234WAVE", b"ID3", b"\xff\xfb",
-                       b"\x00\x00\x00\x14ftypisom"):
+                       b"\x00\x00\x00\x14ftypisom", b"GIF89a", b"GIF87a\x10\x00\x10\x00\xf7"):
             out = probe_media(prefix + data)
             assert out is None or isinstance(out, dict)
 
@@ -860,3 +860,216 @@ def test_corrupt_payload_quarantined_not_fatal(spark):
     assert rows[1].payload_bytes == len(corrupt)  # identity kept for triage
     with _pytest.raises(Exception):
         extract_features(assets, require_codecs=True).collect()
+
+def test_gif_codec_roundtrip_lzw_reset_and_palette_limit():
+    """GIF encode→decode is LOSSLESS by design (palette codec): exact
+    round-trip on palette images, including a 60k-pixel 256-color noise
+    raster that forces the 4096-entry LZW table reset mid-stream; > 256
+    unique colors must raise (quantization is the caller's knob)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.pipeline.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(0)
+    pal = rng.randint(0, 256, (200, 3), dtype=np.uint8)
+    px = pal[rng.randint(0, 200, (37, 53))]
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+    one = np.full((5, 7, 3), 9, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(one)), one)
+
+    # 256-color noise at 200x300 drives next_code past 4096 → clear+reset
+    pal256 = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    noise = pal256[rng.randint(0, 256, (200, 300))]
+    assert np.array_equal(decode_gif(encode_gif(noise)), noise)
+
+    many = np.zeros((17, 17, 3), np.uint8)
+    many[:, :, 0] = np.arange(17)[:, None]
+    many[:, :, 1] = np.arange(17)[None, :]
+    with _pytest.raises(ValueError, match="256"):
+        encode_gif(many)
+
+
+def test_gif_interlaced_decode():
+    """The decoder must reverse the four-pass interlace row order — built
+    by hand here (our encoder emits non-interlaced), pixel-verified."""
+    import struct
+
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline import gif_codec as G
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    h, w = 29, 16
+    idx = (np.add.outer(np.arange(h), np.arange(w)) % 200).astype(np.uint8)
+    order = []
+    for start, step in G._INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    lzw = G._lzw_encode(idx[np.array(order)].reshape(-1).astype(np.int64), 8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0) + pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+    out.append(8)
+    for i in range(0, len(lzw), 255):
+        c = lzw[i : i + 255]
+        out.append(len(c))
+        out += c
+    out += b"\x00\x3b"
+    assert np.array_equal(G.decode_gif(bytes(out)), pal[idx])
+
+
+def test_gif_decoder_conformance_real_world_files():
+    """Spec conformance: the decoder must open GIFs produced by standard
+    tools — CPython's test stills and a real-world 640x421 multi-frame
+    animation — and probe_gif must walk their block structure without
+    decoding.  Each case skips individually if its file is absent."""
+    import os
+
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.pipeline.gif_codec import (
+        decode_gif,
+        decode_gif_frames,
+        probe_gif,
+    )
+
+    stills = {
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.gif": (16, 16),
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/idlelib/Icons/idle_48.gif": (48, 48),
+    }
+    ran = 0
+    for path, (h, w) in stills.items():
+        if not os.path.exists(path):
+            continue
+        payload = open(path, "rb").read()
+        img = decode_gif(payload)
+        assert img.shape == (h, w, 3), path
+        assert img.std() > 1.0  # real content, not a constant plane
+        meta = probe_gif(payload)
+        assert (meta["width"], meta["height"]) == (w, h)
+        ran += 1
+    anim = "/root/.pyenv/install_local_python.gif"
+    if os.path.exists(anim):
+        payload = open(anim, "rb").read()
+        meta = probe_gif(payload)
+        assert meta["animated"] and meta["n_frames"] > 100
+        assert meta["duration_ms"] == _pytest.approx(meta["n_frames"] * 100, rel=0.2)
+        frames, delays = decode_gif_frames(payload, max_frames=3)
+        assert frames.shape == (3, meta["height"], meta["width"], 3)
+        assert all(d > 0 for d in delays)
+        # animation actually animates: successive frames differ
+        assert (frames[0] != frames[2]).any()
+        ran += 1
+    if ran == 0:
+        _pytest.skip("no real-world GIFs present in this container")
+
+
+def test_gif_registered_in_multimodal_pipeline(spark):
+    """GIF assets must flow through extract_features (real decoded-pixel
+    stats), resize in-format, and animated GIFs must feed the video
+    frame sampler; probe_media must route GIF payloads."""
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        probe_media,
+        sample_video_frames,
+        decode_ppm,
+    )
+
+    # synthesize_assets now emits GIF stills: verify feature stats
+    assets = synthesize_assets(spark, n=12)
+    gif_assets = [r for r in assets.collect() if r.media_format == "gif"]
+    assert gif_assets, "expected gif assets in the synthetic table"
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    for a in gif_assets:
+        want = decode_gif(bytes(a.payload)).astype(float)
+        got = feats[a.asset_id]
+        assert got.features[0] == float(want.shape[1])
+        assert got.features[2] == pytest.approx(want[:, :, 0].mean())
+
+    # animated GIF as a VIDEO asset: build 4 distinct 8x6 frames by hand
+    import struct as _struct
+
+    pal = np.array([[i, 255 - i, (i * 37) % 256] for i in range(256)], np.uint8)
+    frames_idx = [
+        (np.full((6, 8), 10 * f, np.uint8)) for f in range(4)
+    ]
+    from impala_avx2_parquet_scanner_spark.pipeline import gif_codec as G
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 8, 6, 0x80 | 7, 0, 0) + pal.tobytes()
+    for fi in frames_idx:
+        out += b"\x21\xf9\x04\x00\x05\x00\x00\x00"  # GCE: delay 5cs
+        out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 8, 6, 0)
+        out.append(8)
+        lzw = G._lzw_encode(fi.reshape(-1).astype(np.int64), 8)
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            out.append(len(c))
+            out += c
+        out += b"\x00"
+    out += b"\x3b"
+    payload = bytes(out)
+
+    meta = probe_media(payload)
+    assert meta == {
+        "format": "gif", "width": 8, "height": 6,
+        "n_frames": 4, "animated": True, "duration_ms": 200,
+    }
+
+    vid = spark.createDataFrame(
+        [(77, "video", "gif", bytearray(payload), 8, 6, 200)], ASSET_SCHEMA
+    )
+    sampled = sample_video_frames(vid, every_n=2).collect()
+    assert [r.frame_idx for r in sorted(sampled, key=lambda r: r.frame_idx)] == [0, 2]
+    f0 = decode_ppm(bytes(sorted(sampled, key=lambda r: r.frame_idx)[0].payload))
+    assert np.array_equal(f0, np.broadcast_to(pal[0], (6, 8, 3)))
+
+    # feature extraction on the video/gif codec path
+    vfeats = extract_features(vid).collect()[0]
+    assert vfeats.features[0] == 4.0  # frame count
+    assert vfeats.features[1] == pytest.approx(20.0)  # 4 frames / 200 ms
+
+def test_gif_codec_property_roundtrip():
+    """Seeded property: arbitrary palette images of arbitrary dims and
+    palette sizes round-trip EXACTLY (GIF is lossless), across the LZW
+    width-growth boundaries (palette sizes straddling powers of two)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        ncolors=st.sampled_from([1, 2, 3, 4, 5, 15, 16, 17, 255, 256]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(h, w, ncolors, seed):
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+        px = pal[rng.randint(0, ncolors, (h, w))]
+        assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+    prop()

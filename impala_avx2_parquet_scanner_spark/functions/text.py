@@ -845,8 +845,10 @@ _BPE_PAIR_COUNT_SQL = """
   ) e GROUP BY 1, 2
 """
 
-_BPE_TRAIN_ORACLE = f"""
-WITH words AS (
+#: Shared CTE prefix: word-frequency table → 3 unrolled merge rounds
+#: (m1/m2/m3).  Used by both the training oracle and the encode oracle.
+_BPE_TRAIN_CTES = f"""
+words AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
     SELECT unnest(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS word
     FROM documents
@@ -866,6 +868,10 @@ m2 AS (SELECT x, y, pair_count FROM pc2 ORDER BY pair_count DESC, x, y LIMIT 1),
 w2 AS (SELECT wcount, replace(seq, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|') AS seq FROM w1, m2 m),
 pc3 AS ({_BPE_PAIR_COUNT_SQL.format(src='w2')}),
 m3 AS (SELECT x, y, pair_count FROM pc3 ORDER BY pair_count DESC, x, y LIMIT 1)
+"""
+
+_BPE_TRAIN_ORACLE = f"""
+WITH {_BPE_TRAIN_CTES}
 SELECT 1 AS step, x, y, x || y AS merged, pair_count FROM m1
 UNION ALL SELECT 2, x, y, x || y, pair_count FROM m2
 UNION ALL SELECT 3, x, y, x || y, pair_count FROM m3
@@ -913,6 +919,45 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back onto the vocabulary.  Rounds are unrolled like
     `ann_ivf_kmeans` / `graph_pagerank` — the fixed-iteration distributed-
     training loop pattern."""
+    merges = _bpe_learn_merges(spark, sf_dir)
+    out = None
+    for step, best in enumerate(merges, start=1):
+        m = best.select(
+            F.lit(step).alias("step"),
+            "x",
+            "y",
+            F.concat("x", "y").alias("merged"),
+            "pair_count",
+        )
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
+def _bpe_tokenize_expr(col):
+    """Word → `||`-separated initial symbol sequence (the convention the
+    merge-replace scans operate on)."""
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    return F.concat(F.lit("||"), F.array_join(chars, "||"), F.lit("||"))
+
+
+def _bpe_apply_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
+    """Rewrite every `seq` with one learned merge (1-row broadcast +
+    literal left-to-right non-overlapping replace — BPE's merge-scan
+    order in both engines)."""
+    return seq_df.crossJoin(F.broadcast(best.select("x", "y"))).select(
+        *[c for c in seq_df.columns if c != "seq"],
+        F.replace(
+            F.col("seq"),
+            F.concat(F.lit("|"), "x", F.lit("||"), "y", F.lit("|")),
+            F.concat(F.lit("|"), "x", "y", F.lit("|")),
+        ).alias("seq"),
+    )
+
+
+def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The BPE training loop: returns the per-round argmax-pair
+    DataFrames (each 1 row: x, y, pair_count), shared by the train and
+    encode queries."""
     toks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
@@ -926,32 +971,81 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
     )
-    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
-    vocab = words.select(
-        "wcount",
-        F.concat(F.lit("||"), F.array_join(chars, "||"), F.lit("||")).alias("seq"),
-    )
+    vocab = words.select("wcount", _bpe_tokenize_expr(F.col("word")).alias("seq"))
     merges = []
-    for step in range(1, BPE_TRAIN_ROUNDS + 1):
+    for _step in range(1, BPE_TRAIN_ROUNDS + 1):
         best = _bpe_pair_argmax(vocab)
-        merges.append(
-            best.select(
-                F.lit(step).alias("step"),
-                "x",
-                "y",
-                F.concat("x", "y").alias("merged"),
-                "pair_count",
-            )
+        merges.append(best)
+        vocab = _bpe_apply_merge(vocab, best)
+    return merges
+
+
+_BPE_ENCODE_ORACLE = f"""
+WITH {_BPE_TRAIN_CTES},
+docwords AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS word
+  FROM documents
+),
+dw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM docwords GROUP BY 1, 2),
+s0 AS (
+  SELECT word,
+         '||' || array_to_string(list_filter(string_split(word, ''), ch -> ch <> ''), '||') || '||' AS seq
+  FROM (SELECT DISTINCT word FROM dw)
+),
+s1 AS (SELECT word, replace(seq, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|') AS seq FROM s0, m1 m),
+s2 AS (SELECT word, replace(seq, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|') AS seq FROM s1, m2 m),
+s3 AS (SELECT word, replace(seq, '|'||m.x||'||'||m.y||'|', '|'||m.x||m.y||'|') AS seq FROM s2, m3 m),
+tokmap AS (
+  SELECT word, CAST(len(list_filter(string_split(seq, '||'), s -> s <> '')) AS BIGINT) AS ntok
+  FROM s3
+)
+SELECT dw.doc_id,
+       CAST(SUM(dw.c) AS BIGINT) AS n_words,
+       CAST(SUM(dw.c * t.ntok) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN tokmap t ON t.word = dw.word
+GROUP BY dw.doc_id
+"""
+
+
+@query("text_bpe_encode", oracle=_BPE_ENCODE_ORACLE, tags=("text", "pipeline", "tokenizer"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE at corpus scale — the apply half of `text_bpe_train`:
+    learn the top-3 merges, then tokenize every document with them and
+    emit per-doc word and BPE-token counts (what a training pipeline
+    runs to budget context windows with the *real* tokenizer, not the
+    regex approximation in `text_bpe_tokens`).  The oracle replays
+    training AND application round-for-round in DuckDB.
+
+    Scale: merges are applied on the DISTINCT-word table only
+    (vocabulary-sized), each round a 1-row broadcast + literal replace;
+    documents join the word→token-count map on the word key (AQE
+    broadcasts the vocabulary side when it fits), so the corpus is
+    scanned once and never carries symbol sequences through a shuffle."""
+    merges = _bpe_learn_merges(spark, sf_dir)
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    dw = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    seqs = dw.select("word").distinct().select(
+        "word", _bpe_tokenize_expr(F.col("word")).alias("seq")
+    )
+    for best in merges:
+        seqs = _bpe_apply_merge(seqs, best)
+    syms = F.filter(F.split(F.col("seq"), r"\|\|"), lambda s: s != F.lit(""))
+    tokmap = seqs.select("word", F.size(syms).cast("bigint").alias("ntok"))
+    return (
+        dw.join(tokmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("ntok")).cast("bigint").alias("n_bpe_tokens"),
         )
-        vocab = vocab.crossJoin(F.broadcast(best.select("x", "y"))).select(
-            "wcount",
-            F.replace(
-                F.col("seq"),
-                F.concat(F.lit("|"), "x", F.lit("||"), "y", F.lit("|")),
-                F.concat(F.lit("|"), "x", "y", F.lit("|")),
-            ).alias("seq"),
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    )

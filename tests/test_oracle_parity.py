@@ -81,6 +81,8 @@ SAMPLE = [
     "scan_custom_datasource_pushdown",
     "multimodal_inventory",
     "scan_profile_approx",
+    "multimodal_gif_roundtrip",
+    "text_bpe_encode",
 ]
 
 

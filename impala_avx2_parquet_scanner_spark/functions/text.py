@@ -954,23 +954,34 @@ def _bpe_apply_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+def _bpe_learn_merges(
+    spark: SparkSession, sf_dir: str, words: DataFrame | None = None
+) -> list[DataFrame]:
     """The BPE training loop: returns the per-round argmax-pair
     DataFrames (each 1 row: x, y, pair_count), shared by the train and
-    encode queries."""
-    toks = F.filter(
-        F.split(
-            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
-        ),
-        lambda t: t != F.lit(""),
-    )
-    words = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(toks).alias("word"))
-        .filter(F.length("word") <= BPE_TRAIN_MAX_WORD)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
-    )
+    encode queries.
+
+    The word-frequency table (vocabulary-sized, NOT corpus-sized) is
+    persisted so the unrolled rounds re-read the cache instead of
+    re-running the corpus scan+explode per round — the canonical Spark
+    pattern for iterative algorithms over an invariant input.  Callers
+    that already hold a word table (encode derives one from its per-doc
+    counts) pass it in, collapsing the corpus scans further."""
+    if words is None:
+        toks = F.filter(
+            F.split(
+                F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
+            ),
+            lambda t: t != F.lit(""),
+        )
+        words = (
+            table(spark, sf_dir, "documents")
+            .select(F.explode(toks).alias("word"))
+            .filter(F.length("word") <= BPE_TRAIN_MAX_WORD)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+        )
+    words = words.persist()
     vocab = words.select("wcount", _bpe_tokenize_expr(F.col("word")).alias("seq"))
     merges = []
     for _step in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -1016,12 +1027,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex approximation in `text_bpe_tokens`).  The oracle replays
     training AND application round-for-round in DuckDB.
 
-    Scale: merges are applied on the DISTINCT-word table only
-    (vocabulary-sized), each round a 1-row broadcast + literal replace;
-    documents join the word→token-count map on the word key (AQE
-    broadcasts the vocabulary side when it fits), so the corpus is
-    scanned once and never carries symbol sequences through a shuffle."""
-    merges = _bpe_learn_merges(spark, sf_dir)
+    Scale: the corpus is scanned ONCE into per-doc word counts (dw,
+    persisted); the training word-frequency table is derived from dw by
+    re-aggregation (never a second corpus pass) and itself persisted for
+    the unrolled rounds; merges are applied on the DISTINCT-word table
+    only (vocabulary-sized), each round a 1-row broadcast + literal
+    replace; documents join the word→token-count map on the word key
+    (AQE broadcasts the vocabulary side when it fits), so symbol
+    sequences never ride a corpus-sized shuffle."""
     toks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", " ")), " "
@@ -1033,7 +1046,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(toks).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).persist()
+    train_words = (
+        dw.filter(F.length("word") <= BPE_TRAIN_MAX_WORD)
+        .groupBy("word")
+        .agg(F.sum("c").cast("bigint").alias("wcount"))
     )
+    merges = _bpe_learn_merges(spark, sf_dir, words=train_words)
     seqs = dw.select("word").distinct().select(
         "word", _bpe_tokenize_expr(F.col("word")).alias("seq")
     )

@@ -47,6 +47,9 @@ BUDGETS = {
     "pipeline_curate": 1,
     "ann_ivf_topk": 3,
     "dedup_incremental": 4,
+    # unrolled-iteration training loops (persisted invariant input)
+    "text_bpe_train": 8,
+    "text_bpe_encode": 11,
 }
 
 

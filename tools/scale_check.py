@@ -58,6 +58,8 @@ CHECKED: list[tuple[str, str]] = [
     ("dedup_repeated_spans", "documents"),
     ("dedup_clusters", "documents"),
     ("text_bpe_train", "documents"),
+    ("text_bpe_encode", "documents"),
+    ("multimodal_gif_roundtrip", "documents"),
     ("text_tfidf_topk", "documents"),
     ("text_bm25_topk", "documents"),
     ("pipeline_curate", "documents"),

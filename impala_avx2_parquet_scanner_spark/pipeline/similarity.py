@@ -820,12 +820,16 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     action), so the whole build is 2 jobs of 2 shuffles regardless of
     scale.  Returns long-format centroids (centroid_id, pos, coord_q,
     coord, n_members) — the layout the oracle can replay exactly."""
+    # persist the quantized corpus: every Lloyd iteration (and the final
+    # size count) reads it, and identical parquet scans in one plan each
+    # execute separately — the cache is the canonical k-means input
+    # materialization (what MLlib's KMeans does with norms).
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             _dbl("embedding"), lambda x: F.floor(x * KMEANS_SCALE).cast("bigint")
         ).alias("xq"),
-    )
+    ).persist()
     cents = (
         e.filter(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))

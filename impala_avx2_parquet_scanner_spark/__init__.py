@@ -55,6 +55,7 @@ def load_all() -> None:
     )
     from impala_avx2_parquet_scanner_spark import sql  # noqa: F401
     from impala_avx2_parquet_scanner_spark.sources import (  # noqa: F401
+        avro_io,
         format_roundtrip,
         ppm_datasource,
     )

@@ -83,6 +83,7 @@ SAMPLE = [
     "scan_profile_approx",
     "multimodal_gif_roundtrip",
     "text_bpe_encode",
+    "scan_avro_roundtrip",
 ]
 
 

@@ -56,9 +56,100 @@ def test_json_nested_read(spark, tmp_path):
     assert n == 3  # two tags for id 1, one null row for id 2
 
 
-def test_avro_gated(spark, tmp_path):
-    """Avro requires the external spark-avro jar; absent here by design
-    (SURVEY §1.1 declares it out of scope for v1) — pin the clean error."""
+def test_avro_builtin_gated(spark, tmp_path):
+    """Spark's BUILT-IN avro format still needs the external spark-avro
+    jar (absent by design) — pin the clean error.  The engine's own Avro
+    surface is the pure-Python `avrodir` DataSource (sources/avro_io.py),
+    tested below and oracle-checked by `scan_avro_roundtrip`."""
     df = spark.range(3)
     with pytest.raises(Exception, match="avro|AVRO|Failed to find"):
         df.write.format("avro").save(str(tmp_path / "a"))
+
+
+def test_avro_codec_golden_bytes_and_roundtrip():
+    """Wire-format pin against the Avro 1.11 spec: a container file
+    hand-assembled byte-for-byte (magic, metadata map, zigzag varints,
+    IEEE doubles, sync markers, null codec) must decode to the expected
+    rows — so the decoder is checked against the SPEC, not against our
+    own encoder.  Then the encoder round-trips edge values through both
+    codecs across block boundaries."""
+    import hashlib as _h
+    import json as _json
+    import struct as _struct
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "double"]},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    sj = _json.dumps(schema).encode()
+    sync = b"0123456789abcdef"
+    # hand-built per spec: zigzag(2)=4 map entries follow
+    hdr = b"Obj\x01" + bytes([4])
+    for k, v in (("avro.codec", b"null"), ("avro.schema", sj)):
+        kb = k.encode()
+        hdr += bytes([len(kb) * 2]) + kb
+        # varint length of v (all < 2**13 here)
+        n = len(v) * 2
+        hdr += (bytes([n]) if n < 128 else bytes([(n & 0x7F) | 0x80, n >> 7])) + v
+    hdr += b"\x00" + sync
+    # one block, two records:
+    #   (5, 1.5, "ab")  →  zz(5)=0x0A, union branch 1 = 0x02, <d 1.5, zz(2)+"ab"
+    #   (-3, None, "")  →  zz(-3)=0x05, union branch 0 = 0x00, zz(0)
+    body = (
+        b"\x0a\x02" + _struct.pack("<d", 1.5) + b"\x04ab"
+        + b"\x05\x00\x00"
+    )
+    block = bytes([2 * 2]) + bytes([len(body) * 2]) + body + sync
+    got_schema, rows = decode_avro(hdr + block)
+    assert got_schema == schema
+    assert rows == [(5, 1.5, "ab"), (-3, None, "")]
+
+    edge = [
+        (2**62, 0.5, "x"),
+        (-(2**62), None, ""),
+        (0, -0.0, "émoji ✓ \u2603"),
+        (1, float("inf"), "y" * 300),
+    ]
+    for codec in ("null", "deflate"):
+        data = encode_avro(edge, schema, codec=codec, block_rows=3)
+        _, back = decode_avro(data)
+        assert back == edge, codec
+
+
+def test_avrodir_datasource_write_read(spark, tmp_path):
+    """The registered avrodir DataSource end-to-end on a Spark session:
+    custom writer (commit manifest) → schema discovery from the embedded
+    header → partition-parallel read — values and types intact."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroDataSource,
+    )
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "avro_out")
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", True), (2, None, "b", False), (3, -1.25, "", True)],
+        "k long, x double, s string, f boolean",
+    )
+    df.repartition(2).write.format("avrodir").option("path", out).mode(
+        "append"
+    ).save()
+    assert _os.path.exists(_os.path.join(out, "_DONE"))
+    back = spark.read.format("avrodir").option("path", out).load()
+    assert back.schema.simpleString() == "struct<k:bigint,x:double,s:string,f:boolean>"
+    got = {tuple(r) for r in back.collect()}
+    assert got == {(1, 2.5, "a", True), (2, None, "b", False), (3, -1.25, "", True)}

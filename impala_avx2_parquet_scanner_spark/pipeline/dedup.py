@@ -782,10 +782,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; DuckDB replays tokenize -> trigram shingles -> df cap ->
     inverted-index pair counts -> containment verbatim."""
     d = table(spark, sf_dir, "documents")
+    # persist: sh feeds the df histogram AND the rare-index build; rare
+    # feeds sizes and both self-join legs — one tokenize/explode pass
+    # each instead of re-deriving the scan+shingle lineage per consumer.
     sh = (
         d.select("doc_id", shingles(F.col("text")).alias("shs"))
         .filter(F.size("shs") >= 1)
         .select("doc_id", F.explode("shs").alias("s"))
+        .persist()
     )
     df_cap = (
         sh.groupBy("s")
@@ -793,7 +797,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= CONTAIN_DF_CAP)
         .select("s")
     )
-    rare = sh.join(df_cap, "s")
+    rare = sh.join(df_cap, "s").persist()
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
     a, b = rare.alias("a"), rare.alias("b")
     common = (

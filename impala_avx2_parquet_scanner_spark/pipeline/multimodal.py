@@ -1333,8 +1333,13 @@ def _register_phash_query() -> None:
                 )
 
         docs = table(spark, sf_dir, "documents").select("doc_id")
-        hashes = docs.mapInPandas(synth, synth_schema).mapInPandas(
-            hash_stage, hash_schema
+        # persist: the band table feeds BOTH sides of the self-join;
+        # without it Catalyst re-runs the encode+decode+hash Python
+        # stages once per side.
+        hashes = (
+            docs.mapInPandas(synth, synth_schema)
+            .mapInPandas(hash_stage, hash_schema)
+            .persist()
         )
         bands = hashes.select(
             "doc_id",

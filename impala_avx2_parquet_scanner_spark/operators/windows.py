@@ -513,8 +513,20 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EWMA_DEPTH} predecessors) normalize by the weights actually
     present, the standard adjusted-EWMA convention (pandas ewm
     adjust=True, public API semantics).  Ordering is total via the
-    (ts, event_id) tiebreak, so every LAG tap is deterministic."""
-    e = table(spark, sf_dir, "events").select(
+    (ts, event_id) tiebreak, so every LAG tap is deterministic.
+
+    Streaming twin: `streaming/ewma_stream.py` computes the identical
+    feature incrementally with applyInPandasWithState (state = the last
+    {EWMA_DEPTH}-1 quantized values per user); stream==batch equality is
+    pinned in tests/test_stateful_streaming.py."""
+    return ewma_features(table(spark, sf_dir, "events"))
+
+
+def ewma_features(e: DataFrame) -> DataFrame:
+    """Batch EWMA core over any (event_id, user_id, ts, value) frame —
+    factored out so the streaming twin's equality test can drive both
+    paths with the same input."""
+    e = e.select(
         "event_id",
         "user_id",
         "ts",

@@ -90,3 +90,69 @@ def test_stateful_output_schema(spark, event_stream_dir):
         "sum_value",
     ]
     assert sessions.isStreaming
+
+
+@pytest.fixture()
+def ewma_stream_dir(spark, tmp_path):
+    """Two micro-batch files, in (ts, event_id) order per user ACROSS
+    batches (the documented ingestion contract): enough events per user
+    to exercise ramp-up AND full-depth windows (depth 10)."""
+    base = pd.Timestamp("2024-02-01 00:00:00")
+    rows0, rows1, eid = [], [], 0
+    for user in (1, 2, 3):
+        for i in range(8):  # batch 0: ramp-up region
+            rows0.append(
+                (user, base + pd.Timedelta(minutes=i), eid, (user * 10 + i) * 1.25)
+            )
+            eid += 1
+        for i in range(8, 15):  # batch 1: crosses into full-depth EWMA
+            rows1.append(
+                (user, base + pd.Timedelta(minutes=i), eid, (user * 10 + i) * -0.75)
+            )
+            eid += 1
+    out = tmp_path / "ewma_in"
+    out.mkdir()
+    for rows in (rows0, rows1):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(out))
+    return str(out)
+
+
+def test_streaming_ewma_equals_batch(spark, ewma_stream_dir):
+    """stream==batch, bit-exact: the stateful incremental EWMA over two
+    micro-batches must equal the batch LAG-tap query on the union —
+    integer numerators/denominators AND the final double, for every
+    event, including rows whose window spans the batch boundary."""
+    from impala_avx2_parquet_scanner_spark.operators.windows import (
+        ewma_features,
+    )
+    from impala_avx2_parquet_scanner_spark.streaming.ewma_stream import (
+        ewma_stream,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    stream = spark.readStream.schema(schema).parquet(ewma_stream_dir)
+    q = (
+        ewma_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "ewma stream did not terminate"
+        got = {
+            r.event_id: (r.ewma_q, r.denom_q, r.ewma)
+            for r in spark.sql("SELECT * FROM ewma_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.schema(schema).parquet(ewma_stream_dir)
+    want = {
+        r.event_id: (r.ewma_q, r.denom_q, r.ewma)
+        for r in ewma_features(batch).collect()
+    }
+    assert len(got) == len(want) == 45
+    assert got == want  # exact integers + bit-identical doubles

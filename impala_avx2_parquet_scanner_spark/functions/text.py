@@ -723,8 +723,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 row, broadcast), and the scoring join, which needs NO join back
     to a separate length table because dl rides along.  (The round-4
     rewrite: the previous two-aggregation form re-ran the tokenize+
-    explode lineage once per consumer — measured 3.9x wall on the
-    10x-docs tail corpus vs 1.9x after.)  The final top-k is
+    explode lineage once per consumer — SCALING.md measured 2.12s at
+    sf0.1 and a 9.1x wall ratio on the 10x-docs tail corpus before,
+    0.53s and 1.0x after.)  The final top-k is
     orderBy+limit -> TakeOrderedAndProject (per-partition heaps, no
     global window); rank is then a window over the collected 10 rows
     only."""

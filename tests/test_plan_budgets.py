@@ -50,6 +50,14 @@ BUDGETS = {
     # unrolled-iteration training loops (persisted invariant input)
     "text_bpe_train": 9,  # 8 at sf0.01; join strategy shifts with stats
     "text_bpe_encode": 14,  # 11 at sf0.01; join strategy shifts with stats
+    # round-4 additions (persisted invariants; see PLANS.md)
+    "scan_avro_roundtrip": 1,
+    "multimodal_phash_neardup": 2,
+    "events_interpolate": 3,
+    "graph_triangles": 15,
+    "window_ewma": 1,
+    "dedup_containment": 4,
+    "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }
 
 

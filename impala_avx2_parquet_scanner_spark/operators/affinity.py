@@ -171,3 +171,77 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > F.lit(2.0))
         .select("event_id", "event_type", "value", z.alias("zscore"))
     )
+
+
+MAD_K = 3.0
+MAD_SCALE = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normals
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type,
+         ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 9) AS med9
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         ROUND(quantile_cont(ABS(e.value - m.med9), 0.5), 9) AS mad9
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med9
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - med.med9) / ({MAD_SCALE} * mad.mad9), 9) AS robust_z
+FROM events e
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+WHERE mad.mad9 > 0
+  AND ABS(ROUND((e.value - med.med9) / ({MAD_SCALE} * mad.mad9), 9)) > {MAD_K}
+"""
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=_MAD_ORACLE,
+    tags=("aggregate", "statistics", "outlier"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging by median absolute deviation — the
+    companion to `events_anomaly_zscore` for the case that matters at
+    100 TB: z-scores are poisoned by the very outliers they hunt (one
+    10^9 reading inflates sigma until nothing is anomalous), while the
+    median/MAD breakdown point is 50%.  Flags |x - med| > {MAD_K} *
+    {MAD_SCALE} * MAD (the normal-consistency scaling).
+
+    Plan: two (event_type)-keyed percentile aggregations (median, then
+    MAD of residuals against the broadcast median) and one broadcast
+    join back onto the detail rows — the per-type stats tables are
+    |types|-sized, so detail rows shuffle zero times.  Determinism:
+    interpolated medians differ by ulps between engines' (a+b)/2
+    association, so med and MAD are rounded to 9 dp BEFORE use and the
+    score is rounded to 9 dp (the zscore discipline); zero-MAD types
+    (constant-valued) are excluded on both sides rather than dividing
+    by zero."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.5)), 9).alias(
+            "med9"
+        )
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med9")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med9")), F.lit(0.5)), 9
+            ).alias("mad9")
+        )
+        .select("event_type", "mad9")
+    )
+    rz = F.round(
+        (F.col("value") - F.col("med9")) / (F.lit(MAD_SCALE) * F.col("mad9")), 9
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad9") > 0) & (F.abs(rz) > F.lit(MAD_K)))
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+    )

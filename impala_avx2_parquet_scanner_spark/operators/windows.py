@@ -554,3 +554,48 @@ def ewma_features(e: DataFrame) -> DataFrame:
         denom.cast("long").alias("denom_q"),
         (num.cast("double") / denom.cast("double")).alias("ewma"),
     )
+
+
+_WCD_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_distinct_types
+FROM events
+"""
+
+
+@query(
+    "window_count_distinct",
+    oracle=_WCD_ORACLE,
+    tags=("window", "distinct"),
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — the window shape Spark does
+    NOT support natively (`COUNT(DISTINCT) OVER` raises
+    UNSUPPORTED_EXPR_FOR_WINDOW), expressed through the standard
+    workaround: ``size(collect_set(...))`` over the same running frame.
+    collect_set's element order is nondeterministic but its SIZE is not,
+    so results are stable at any parallelism.
+
+    Scale: one (user_id)-keyed shuffle; the running set lives per
+    partition-frame and is bounded by the event-type cardinality (a few
+    dozen), NOT by history length, so state per row is O(|types|).  For
+    unbounded-cardinality columns the right tool is the KMV/HLL sketch
+    aggregate (`agg_kmv_distinct`) — this query is the exact-small-
+    domain form.  DuckDB supports the window natively, so the oracle is
+    the literal COUNT(DISTINCT) OVER — the workaround is verified
+    against the real semantics, not another workaround."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_distinct_types"),
+    )

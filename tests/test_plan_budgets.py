@@ -56,7 +56,7 @@ BUDGETS = {
     "events_interpolate": 3,
     "graph_triangles": 15,
     "window_ewma": 1,
-    "dedup_containment": 4,
+    "dedup_containment": 5,  # 4 at sf0.01; df-cap join strategy shifts with stats
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }
 

@@ -391,3 +391,118 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_dbl(F.col("l_quantity").cast("decimal(12,2)"), "sum_qty"),
         sum_dbl(F.col("l_extendedprice").cast("decimal(12,2)"), "sum_price"),
     )
+
+
+#: (table, columns) for the footer-integrity check — the documented
+#: fixture schema (TESTDATA.md); flat columns only (a list leaf's footer
+#: num_values counts elements, not rows, so embeddings is excluded).
+_FOOTER_TABLES: dict[str, tuple[str, ...]] = {
+    "lineitem": (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ),
+    "orders": (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+}
+
+_FOOTER_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, '{c}' AS column_name,\n"
+    f"       CAST(COUNT(*) AS BIGINT) AS n_values,\n"
+    f"       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls\n"
+    f"FROM {t}"
+    for t, cols in _FOOTER_TABLES.items()
+    for c in cols
+)
+
+
+@query(
+    "scan_footer_metadata",
+    oracle=_FOOTER_ORACLE,
+    tags=("scan", "metadata", "footer"),
+)
+def scan_footer_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-only statistics scan — the reference's footer/metadata
+    processing surface (§2A #2, hdfs-parquet-scanner.cc footer path; the
+    metadata-only count(*) of #3 generalized per column): for every flat
+    column of four fixture tables, read ONLY the parquet footers
+    (pyarrow metadata — no data pages touched) and report total value
+    and null counts summed across row groups and files.  The DuckDB
+    oracle recomputes both from the DATA (COUNT(*), COUNT(col)), so a
+    hash match certifies the footers agree with the rows they describe
+    — the integrity contract every stats-based skip (pred_between's
+    row-group skip, min/max pruning) silently relies on.
+
+    Scale: the work unit is a FILE, not a row — the file list
+    parallelizes across the cluster and each task reads a few KB of
+    footer regardless of data size (at 100 TB this is the planner's
+    metadata pass as a distributed job).  One tiny shuffle merges
+    per-file partials into per-(table, column) totals."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    files = []
+    for t in _FOOTER_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            files += [
+                (t, os.path.join(path, f))
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            ]
+        else:
+            files.append((t, path))
+    file_df = spark.createDataFrame(files, "table_name string, path string")
+
+    schema = StructType(
+        [
+            StructField("table_name", StringType(), False),
+            StructField("column_name", StringType(), False),
+            StructField("n_values", LongType(), False),
+            StructField("n_nulls", LongType(), False),
+        ]
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for t, path in zip(pdf["table_name"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for c in range(g.num_columns):
+                        col = g.column(c)
+                        if col.path_in_schema not in _FOOTER_TABLES[t]:
+                            continue  # nested leaf or unexpected column
+                        st = col.statistics
+                        rows.append(
+                            (
+                                t,
+                                col.path_in_schema,
+                                col.num_values,
+                                st.null_count if st is not None else 0,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["table_name", "column_name", "n_values", "n_nulls"]
+            )
+
+    partials = file_df.repartition("table_name").mapInPandas(
+        read_footers, schema=schema
+    )
+    return partials.groupBy("table_name", "column_name").agg(
+        F.sum("n_values").alias("n_values"), F.sum("n_nulls").alias("n_nulls")
+    )

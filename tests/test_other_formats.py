@@ -153,3 +153,55 @@ def test_avrodir_datasource_write_read(spark, tmp_path):
     assert back.schema.simpleString() == "struct<k:bigint,x:double,s:string,f:boolean>"
     got = {tuple(r) for r in back.collect()}
     assert got == {(1, 2.5, "a", True), (2, None, "b", False), (3, -1.25, "", True)}
+
+
+def test_avro_codec_property_roundtrip():
+    """Hypothesis: arbitrary rows over the supported type lattice
+    (nullable long/double/string/bytes/boolean, extreme ints, NaN-free
+    floats, unicode incl. surrogate-adjacent chars, odd block sizes)
+    round-trip byte-exactly through both codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": ["null", "bytes"]},
+            {"name": "f", "type": "boolean"},
+        ],
+    }
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    doubles = st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, width=64),
+    )
+    rows = st.lists(
+        st.tuples(
+            longs,
+            doubles,
+            st.text(max_size=50),
+            st.one_of(st.none(), st.binary(max_size=40)),
+            st.booleans(),
+        ),
+        max_size=30,
+    )
+
+    @given(rows=rows, codec=st.sampled_from(["null", "deflate"]),
+           block=st.integers(min_value=1, max_value=7))
+    @settings(max_examples=150, deadline=None)
+    def check(rows, codec, block):
+        data = encode_avro(rows, schema, codec=codec, block_rows=block)
+        got_schema, back = decode_avro(data)
+        assert got_schema == schema
+        assert back == rows
+
+    check()

@@ -21,8 +21,10 @@ Wire format implemented (Avro 1.11 spec, "Object Container Files" +
   ``["null", T]`` unions (zigzag branch index) for nullable fields.
 
 Scope (honest): record schemas over primitive / nullable-primitive
-fields — the relational subset a table scan needs.  Nested records,
-arrays, maps, enums, and the snappy codec raise NotImplementedError.
+fields plus the `date` and `timestamp-micros` logical types (Avro 1.11
+"Logical Types": int days / long micros since epoch) — the relational
+subset a table scan needs.  Nested records, arrays, maps, enums, and
+the snappy codec raise NotImplementedError.
 
 The wire format is pinned two ways in tests/test_sources.py: a golden
 byte-for-byte file hand-assembled from the spec, and the full
@@ -83,6 +85,19 @@ _MAGIC = b"Obj\x01"
 _SUPPORTED_PRIMITIVES = {
     "null", "boolean", "int", "long", "float", "double", "string", "bytes",
 }
+#: logical type -> required base primitive (Avro 1.11 "Logical Types")
+_SUPPORTED_LOGICAL = {"date": "int", "timestamp-micros": "long"}
+
+_EPOCH_DATE = __import__("datetime").date(1970, 1, 1)
+_EPOCH_DT = __import__("datetime").datetime(1970, 1, 1)
+
+
+def _base_logical(ftype) -> tuple[str, str | None]:
+    """A non-union field type (str or {'type','logicalType'} dict) →
+    (base primitive, logical type or None)."""
+    if isinstance(ftype, dict):
+        return ftype["type"], ftype.get("logicalType")
+    return ftype, None
 
 
 # ---------------------------------------------------------------------------
@@ -119,10 +134,21 @@ def _read_zz(buf: bytes, pos: int) -> tuple[int, int]:
 
 def _encode_value(ftype, v) -> bytes:
     if isinstance(ftype, list):  # union ["null", T]
+        null_ix = next(i for i, t in enumerate(ftype) if t == "null")
         if v is None:
-            return _zz(ftype.index("null"))
-        branch = 1 if ftype[0] == "null" else 0
+            return _zz(null_ix)
+        branch = 1 - null_ix
         return _zz(branch) + _encode_value(ftype[branch], v)
+    if isinstance(ftype, dict):  # logical type over a base primitive
+        base, logical = _base_logical(ftype)
+        if logical == "date":
+            return _zz((v - _EPOCH_DATE).days)
+        if logical == "timestamp-micros":
+            d = v - _EPOCH_DT
+            return _zz(
+                (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+            )
+        return _encode_value(base, v)  # unknown logical: raw base
     if ftype == "null":
         return b""
     if ftype == "boolean":
@@ -146,6 +172,16 @@ def _decode_value(ftype, buf: bytes, pos: int):
     if isinstance(ftype, list):
         branch, pos = _read_zz(buf, pos)
         return _decode_value(ftype[branch], buf, pos)
+    if isinstance(ftype, dict):
+        import datetime as _dt
+
+        base, logical = _base_logical(ftype)
+        raw, pos = _decode_value(base, buf, pos)
+        if logical == "date":
+            return _EPOCH_DATE + _dt.timedelta(days=raw), pos
+        if logical == "timestamp-micros":
+            return _EPOCH_DT + _dt.timedelta(microseconds=raw), pos
+        return raw, pos
     if ftype == "null":
         return None, pos
     if ftype == "boolean":
@@ -165,17 +201,28 @@ def _decode_value(ftype, buf: bytes, pos: int):
     raise NotImplementedError(f"avro type {ftype!r} not supported")
 
 
+def _simple_ok(t) -> bool:
+    """A non-union type is supported: a known primitive, or a known
+    logical type over its spec-required base primitive."""
+    if isinstance(t, str):
+        return t in _SUPPORTED_PRIMITIVES
+    if isinstance(t, dict):
+        base, logical = _base_logical(t)
+        return _SUPPORTED_LOGICAL.get(logical) == base
+    return False
+
+
 def _check_schema(schema: dict) -> list[tuple[str, object]]:
     if schema.get("type") != "record":
         raise NotImplementedError("only record schemas supported")
     fields = []
     for f in schema["fields"]:
         t = f["type"]
-        ok = (isinstance(t, str) and t in _SUPPORTED_PRIMITIVES) or (
+        ok = _simple_ok(t) or (
             isinstance(t, list)
             and len(t) == 2
             and "null" in t
-            and all(x in _SUPPORTED_PRIMITIVES for x in t)
+            and all(x == "null" or _simple_ok(x) for x in t)
         )
         if not ok:
             raise NotImplementedError(f"avro field type {t!r} not supported")
@@ -302,6 +349,8 @@ _SPARK_TO_AVRO = {
     "StringType()": "string",
     "BinaryType()": "bytes",
     "BooleanType()": "boolean",
+    "DateType()": {"type": "int", "logicalType": "date"},
+    "TimestampNTZType()": {"type": "long", "logicalType": "timestamp-micros"},
 }
 
 _AVRO_TO_DDL = {
@@ -312,6 +361,8 @@ _AVRO_TO_DDL = {
     "string": "string",
     "bytes": "binary",
     "boolean": "boolean",
+    ("int", "date"): "date",
+    ("long", "timestamp-micros"): "timestamp_ntz",
 }
 
 
@@ -332,7 +383,11 @@ def avro_schema_to_ddl(schema: dict) -> str:
     cols = []
     for name, t in _check_schema(schema):
         base = t if not isinstance(t, list) else next(x for x in t if x != "null")
-        cols.append(f"{name} {_AVRO_TO_DDL[base]}")
+        if isinstance(base, dict):
+            key: object = _base_logical(base)
+        else:
+            key = base
+        cols.append(f"{name} {_AVRO_TO_DDL[key]}")
     return ", ".join(cols)
 
 
@@ -498,3 +553,70 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # declared read schema must match the embedded one (planning check)
     assert [f.name for f in df.schema.fields] == [f.name for f in _LI_SCHEMA.fields]
     return _roundtrip_agg(df)
+
+
+_TEMPORAL_ORACLE = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       COUNT(*) AS n,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def _materialize_avro_temporal(spark: SparkSession, sf_dir: str) -> str:
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_formats", key, "lineitem_avro_temporal")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        try:
+            spark.dataSource.register(AvroDataSource)
+        except Exception:
+            pass
+        src = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+        src.repartition(4).write.format("avrodir").option("path", path).mode(
+            "append"
+        ).save()
+    return path
+
+
+@query(
+    "scan_avro_temporal",
+    oracle=_TEMPORAL_ORACLE,
+    tags=("scan", "avro", "format", "datasource"),
+)
+def scan_avro_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL-TYPE round-trip: lineitem's temporal column (a
+    TIMESTAMP_NTZ in the catalog) travels through the
+    `timestamp-micros` logical type (long micros since epoch per the
+    Avro 1.11 spec), written and read back by the avrodir DataSource
+    with the logical type recovered from the embedded schema, then
+    aggregated per ship year (count + min/max).  The DuckDB oracle
+    replays the aggregate on the parquet base table, so a hash match
+    proves the micros-since-epoch conversion is exactly invertible —
+    the temporal half of the codec the plain `scan_avro_roundtrip`
+    (numerics/strings) doesn't exercise.  (The `date` logical type is
+    pinned by the golden-bytes test and a Spark DateType round-trip in
+    tests/test_other_formats.py.)"""
+    if not DATASOURCE_API_AVAILABLE:
+        raise NotImplementedError("Python DataSource API requires Spark >= 4.0")
+    path = _materialize_avro_temporal(spark, sf_dir)
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    df = spark.read.format("avrodir").option("path", path).load()
+    assert df.schema["l_shipdate"].dataType.simpleString() == "timestamp_ntz"
+    from pyspark.sql import functions as F
+
+    return df.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

@@ -205,3 +205,104 @@ def test_avro_codec_property_roundtrip():
         assert back == rows
 
     check()
+
+
+def test_avro_logical_types_golden_and_roundtrip():
+    """Logical types pinned against the spec: a golden container with a
+    `date` (int days) and nullable `timestamp-micros` (long micros)
+    field hand-assembled byte-for-byte decodes to the expected Python
+    date/datetime values; then edge values (pre-1970 dates, microsecond
+    precision, None) round-trip through both codecs."""
+    import datetime as dt
+    import json as _json
+    import struct as _struct
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "t",
+                "type": [
+                    "null",
+                    {"type": "long", "logicalType": "timestamp-micros"},
+                ],
+            },
+        ],
+    }
+    sj = _json.dumps(schema).encode()
+    sync = b"fedcba9876543210"
+    hdr = b"Obj\x01" + bytes([4])
+    for k, v in (("avro.codec", b"null"), ("avro.schema", sj)):
+        kb = k.encode()
+        hdr += bytes([len(kb) * 2]) + kb
+        n = len(v) * 2
+        hdr += (
+            bytes([n]) if n < 128 else bytes([(n & 0x7F) | 0x80, n >> 7])
+        ) + v
+    hdr += b"\x00" + sync
+    # rec 1: 2024-01-01 = day 19723 -> zz = 39446; union branch 1;
+    #        1970-01-01T00:00:00.000001 -> 1 micro -> zz(1)=0x02
+    # rec 2: 1969-12-31 = day -1 -> zz(-1)=0x01; union branch 0 (null)
+    def zz(n):
+        u = (n << 1) ^ (n >> 63)
+        out = b""
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out += bytes([b | 0x80])
+            else:
+                return out + bytes([b])
+
+    body = zz(19723) + b"\x02" + zz(1) + zz(-1) + b"\x00"
+    block = zz(2) + zz(len(body)) + body + sync
+    got_schema, rows = decode_avro(hdr + block)
+    assert got_schema == schema
+    assert rows == [
+        (dt.date(2024, 1, 1), dt.datetime(1970, 1, 1, 0, 0, 0, 1)),
+        (dt.date(1969, 12, 31), None),
+    ]
+
+    edge = [
+        (dt.date(1, 1, 1), dt.datetime(2024, 6, 1, 12, 34, 56, 789012)),
+        (dt.date(9999, 12, 31), None),
+        (dt.date(1969, 12, 31), dt.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+    ]
+    for codec in ("null", "deflate"):
+        data = encode_avro(edge, schema, codec=codec, block_rows=2)
+        _, back = decode_avro(data)
+        assert back == edge, codec
+
+
+def test_avrodir_date_column_spark_roundtrip(spark, tmp_path):
+    """DateType survives the avrodir DataSource end-to-end with schema
+    discovery mapping the logical type back to Spark `date`."""
+    import datetime as dt
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroDataSource,
+    )
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "avro_dates")
+    df = spark.createDataFrame(
+        [(1, dt.date(1992, 1, 1)), (2, dt.date(1998, 12, 31)), (3, dt.date(1969, 7, 20))],
+        "k long, d date",
+    )
+    df.coalesce(1).write.format("avrodir").option("path", out).mode("append").save()
+    assert _os.path.exists(_os.path.join(out, "_DONE"))
+    back = spark.read.format("avrodir").option("path", out).load()
+    assert back.schema.simpleString() == "struct<k:bigint,d:date>"
+    got = {(r.k, r.d) for r in back.collect()}
+    assert got == {(1, dt.date(1992, 1, 1)), (2, dt.date(1998, 12, 31)), (3, dt.date(1969, 7, 20))}

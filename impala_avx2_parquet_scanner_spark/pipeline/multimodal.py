@@ -203,22 +203,50 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+#: PNG color type -> channels per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass layout: (x0, y0, dx, dy) per pass, PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_to_rgb(px: np.ndarray, ctype_n: int, plte: bytes | None) -> np.ndarray:
+    """(h, w, channels) decoded samples → (h, w, 3) RGB per color type:
+    palette lookup (3), grayscale replication (0/4), alpha dropped (4/6)."""
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return np.ascontiguousarray(pal[px[:, :, 0]])
+    if ctype_n in (0, 4):  # grayscale (+alpha): replicate luma
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Real PNG decode → (h, w, 3) uint8 array: chunk walk, zlib-inflate
     the IDAT stream, reverse scanline filters 0-4 (Sub/Up/Average/Paeth).
-    Supports the 8-bit truecolor subset (color type 2 RGB and 6 RGBA —
-    alpha dropped), non-interlaced; anything else raises, honestly."""
+    Supports every 8-bit color type — grayscale (0), truecolor (2),
+    palette (3, via PLTE lookup), gray+alpha (4), RGBA (6, alpha
+    dropped) — plain AND Adam7-interlaced (each of the 7 passes is an
+    independently filtered sub-image re-woven by strided placement).
+    Sub-8-bit depths and 16-bit raise, honestly."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = len(_PNG_SIG), [], None
+    pos, idat, ihdr, plte = len(_PNG_SIG), [], None, None
     while pos + 8 <= len(payload):
         size = struct.unpack(">I", payload[pos : pos + 4])[0]
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -227,16 +255,34 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
-    if depth != 8 or ctype_n not in (2, 6) or comp or filt or interlace:
+    if depth != 8 or ctype_n not in _PNG_CHANNELS or comp or filt or interlace > 1:
         raise NotImplementedError(
-            "only 8-bit non-interlaced truecolor PNG supported"
+            "only 8-bit depth PNG color types 0/2/3/4/6 supported"
         )
-    bpp = 3 if ctype_n == 2 else 4
+    bpp = _PNG_CHANNELS[ctype_n]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (1 + w * bpp):
-        raise ValueError("PNG raster size mismatch")
-    px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
-    return np.ascontiguousarray(px[:, :, :3])
+    if not interlace:
+        if raw.size != h * (1 + w * bpp):
+            raise ValueError("PNG raster size mismatch")
+        px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+        return _png_to_rgb(px, ctype_n, plte)
+    # Adam7: consume one filtered sub-image per pass, weave by stride
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        size = ph * (1 + pw * bpp)
+        sub = _png_unfilter(raw[off : off + size], ph, pw, bpp).reshape(
+            ph, pw, bpp
+        )
+        off += size
+        out[y0::dy, x0::dx] = sub
+    if off != raw.size:
+        raise ValueError("PNG interlaced raster size mismatch")
+    return _png_to_rgb(out, ctype_n, plte)
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -306,3 +306,73 @@ def test_avrodir_date_column_spark_roundtrip(spark, tmp_path):
     assert back.schema.simpleString() == "struct<k:bigint,d:date>"
     got = {(r.k, r.d) for r in back.collect()}
     assert got == {(1, dt.date(1992, 1, 1)), (2, dt.date(1998, 12, 31)), (3, dt.date(1969, 7, 20))}
+
+
+def test_avro_corrupt_payload_contracts():
+    """Corrupt containers fail CLEANLY (typed errors, no silent partial
+    rows): wrong magic, truncated header, flipped sync marker, block
+    byte-size lying about the decoded row count, unsupported codec."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    good = encode_avro([(1,), (2,), (3,)], schema, codec="null", block_rows=2)
+
+    with _pytest.raises(ValueError, match="not an Avro"):
+        decode_avro(b"NOPE" + good[4:])
+
+    with _pytest.raises((IndexError, ValueError)):
+        decode_avro(good[:10])  # truncated mid-header
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import _read_header
+
+    _schema, _codec, sync, data_start = _read_header(good)
+    header = good[:data_start]
+
+    # flip one byte of the final block's trailing sync marker
+    bad_sync = bytearray(good)
+    bad_sync[-1] ^= 0xFF
+    with _pytest.raises(ValueError, match="sync"):
+        decode_avro(bytes(bad_sync))
+
+    # block claims 2 rows but carries 3 values' worth of bytes
+    body = b"\x02\x04\x06"  # zigzag 1, 2, 3
+    lying = header + b"\x04" + bytes([len(body) * 2]) + body + sync
+    with _pytest.raises(ValueError, match="size mismatch"):
+        decode_avro(lying)
+
+    with _pytest.raises(NotImplementedError, match="codec"):
+        bad_codec = good.replace(b"null", b"lzma", 1)
+        decode_avro(bad_codec)
+
+    with _pytest.raises(NotImplementedError, match="codec"):
+        encode_avro([(1,)], schema, codec="snappy")
+
+    # unsupported schema shapes raise NotImplementedError, not garbage
+    with _pytest.raises(NotImplementedError):
+        encode_avro([], {"type": "record", "name": "r",
+                        "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}]})
+    enum_json = _json.dumps(
+        {"type": "enum", "name": "e", "symbols": ["A"]}
+    ).encode()
+    kb = b"avro.schema"
+    enum_hdr = (
+        b"Obj\x01"
+        + bytes([2])  # 1 metadata entry
+        + bytes([len(kb) * 2]) + kb
+        + bytes([len(enum_json) * 2]) + enum_json
+        + b"\x00"
+        + sync
+    )
+    with _pytest.raises(NotImplementedError, match="record"):
+        decode_avro(enum_hdr)

@@ -599,3 +599,49 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_distinct_types"),
     )
+
+
+_NULLS_ORDER_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id, v,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY v DESC NULLS LAST, event_id) AS rn_nulls_last,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY v ASC NULLS FIRST, event_id) AS rn_nulls_first
+FROM e
+"""
+
+
+@query("window_nulls_order", oracle=_NULLS_ORDER_ORACLE, tags=("window", "sort"))
+def window_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering semantics pinned across engines — the classic
+    cross-engine trap: Spark's default is NULLS FIRST for ascending
+    sorts while DuckDB's is NULLS LAST, so any rank over a nullable key
+    silently disagrees unless the null position is EXPLICIT.  Ranks each
+    user's events by a deliberately-nulled value (view events -> NULL)
+    under both explicit conventions (`desc_nulls_last`,
+    `asc_nulls_first`) with an event_id tiebreak for a total order;
+    row_number materializes the ordering into values so the
+    order-insensitive hash still proves the sort semantics.  One keyed
+    shuffle shared by both windows."""
+    v = F.when(F.col("event_type") != "view", F.col("value"))
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", v.alias("v")
+    )
+    w_last = W.partitionBy("user_id").orderBy(
+        F.col("v").desc_nulls_last(), "event_id"
+    )
+    w_first = W.partitionBy("user_id").orderBy(
+        F.col("v").asc_nulls_first(), "event_id"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.row_number().over(w_last).alias("rn_nulls_last"),
+        F.row_number().over(w_first).alias("rn_nulls_first"),
+    )

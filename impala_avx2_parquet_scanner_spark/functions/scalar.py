@@ -508,3 +508,64 @@ def fn_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(d, "yyyy-MM").alias("ym"),
         )
     )
+
+
+_IEEE_ORACLE = """
+WITH v AS (
+  SELECT CASE event_type
+           WHEN 'view' THEN 'NaN'::DOUBLE
+           WHEN 'click' THEN 'Infinity'::DOUBLE
+           WHEN 'purchase' THEN '-Infinity'::DOUBLE
+           ELSE value END AS x
+  FROM events
+),
+cls AS (
+  SELECT CASE WHEN isnan(x) THEN 'nan'
+              WHEN x = 'Infinity'::DOUBLE THEN 'posinf'
+              WHEN x = '-Infinity'::DOUBLE THEN 'neginf'
+              ELSE 'finite' END AS cls, x
+  FROM v
+)
+SELECT cls,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct,
+       isnan(MAX(x)) AS max_is_nan
+FROM cls GROUP BY cls
+"""
+
+
+@query("fn_ieee_specials", oracle=_IEEE_ORACLE, tags=("function", "double", "edge"))
+def fn_ieee_specials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-754 special-value semantics pinned across engines: NaN
+    collapses to ONE group-by key and ONE distinct value (both engines
+    normalize NaN for grouping), +/-Infinity compare and classify
+    consistently, and NaN sorts greatest (max_is_nan proves MAX prefers
+    NaN over +Infinity wherever a NaN exists).  At 100 TB a divide-by-
+    zero upstream WILL reach the aggregate layer; an engine whose
+    grouping semantics differ from the oracle's would silently split or
+    merge those groups.  Specials are derived deterministically from
+    event_type; outputs are counts and booleans only (raw NaN/Inf never
+    enters the value hash)."""
+    x = (
+        F.when(F.col("event_type") == "view", F.lit(float("nan")))
+        .when(F.col("event_type") == "click", F.lit(float("inf")))
+        .when(F.col("event_type") == "purchase", F.lit(float("-inf")))
+        .otherwise(F.col("value"))
+    )
+    cls = (
+        F.when(F.isnan(F.col("x")), F.lit("nan"))
+        .when(F.col("x") == F.lit(float("inf")), F.lit("posinf"))
+        .when(F.col("x") == F.lit(float("-inf")), F.lit("neginf"))
+        .otherwise(F.lit("finite"))
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(x.alias("x"))
+        .select(cls.alias("cls"), "x")
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("x").alias("n_distinct"),
+            F.isnan(F.max("x")).alias("max_is_nan"),
+        )
+    )

@@ -569,3 +569,53 @@ def fn_ieee_specials(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.isnan(F.max("x")).alias("max_is_nan"),
         )
     )
+
+
+_UNICODE_ORDER_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT
+         CASE lang
+           WHEN 'zh' THEN '中文'
+           WHEN 'de' THEN 'straße'
+           WHEN 'fr' THEN 'café'
+           WHEN 'es' THEN 'niño'
+           ELSE 'Ascii'
+         END || '·' || source AS tok
+  FROM documents
+)
+SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS rk FROM toks
+"""
+
+
+@query(
+    "fn_unicode_order",
+    oracle=_UNICODE_ORDER_ORACLE,
+    tags=("function", "string", "sort"),
+)
+def fn_unicode_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary UTF-8 string ordering pinned across engines: uppercase
+    ASCII < lowercase < Latin-1 accents (2-byte) < CJK (3-byte) — both
+    Spark (UTF8String byte compare) and DuckDB order by raw UTF-8
+    bytes, NOT locale collation, and any engine swap that introduced
+    ICU collation would silently reorder every string sort and
+    string-keyed range boundary.  Multi-byte tokens are derived
+    deterministically from the lang column; row_number materializes
+    the global order into values (bounded domain: |langs| x |sources|
+    rows)."""
+    tok = F.concat(
+        F.when(F.col("lang") == "zh", F.lit("中文"))
+        .when(F.col("lang") == "de", F.lit("straße"))
+        .when(F.col("lang") == "fr", F.lit("café"))
+        .when(F.col("lang") == "es", F.lit("niño"))
+        .otherwise(F.lit("Ascii")),
+        F.lit("·"),
+        F.col("source"),
+    )
+    from pyspark.sql import Window as W
+
+    toks = (
+        table(spark, sf_dir, "documents").select(tok.alias("tok")).distinct()
+    )
+    return toks.select(
+        "tok", F.row_number().over(W.orderBy("tok")).alias("rk")
+    )

@@ -755,3 +755,43 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     )
+
+
+_GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query(
+    "agg_grouping_id",
+    oracle=_GROUPING_ID_ORACLE,
+    tags=("aggregate", "rollup"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / GROUPING_ID() disambiguation over a rollup — the
+    classic super-aggregate trap: in rollup output a NULL grouping
+    column means EITHER "this level grouped the column out" OR "the
+    data value was NULL", and only the grouping flags tell them apart
+    (a BI layer that renders subtotals off bare NULLs double-counts any
+    genuinely-NULL key).  Emits both per-column flags and the packed
+    grouping id for every rollup level; bit layout (left operand =
+    high bit) is pinned engine-identical by the oracle."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "gid", "n"
+        )
+    )

@@ -229,11 +229,14 @@ def _png_to_rgb(px: np.ndarray, ctype_n: int, plte: bytes | None) -> np.ndarray:
 def decode_png(payload: bytes) -> np.ndarray:
     """Real PNG decode → (h, w, 3) uint8 array: chunk walk, zlib-inflate
     the IDAT stream, reverse scanline filters 0-4 (Sub/Up/Average/Paeth).
-    Supports every 8-bit color type — grayscale (0), truecolor (2),
-    palette (3, via PLTE lookup), gray+alpha (4), RGBA (6, alpha
-    dropped) — plain AND Adam7-interlaced (each of the 7 passes is an
-    independently filtered sub-image re-woven by strided placement).
-    Sub-8-bit depths and 16-bit raise, honestly."""
+    Supports every 8- and 16-bit color type — grayscale (0), truecolor
+    (2), palette (3, 8-bit only per spec, via PLTE lookup), gray+alpha
+    (4), RGBA (6, alpha dropped) — plain AND Adam7-interlaced (each of
+    the 7 passes is an independently filtered sub-image re-woven by
+    strided placement).  16-bit samples are rendered by their high byte
+    (the standard 8-bit presentation; PNG filters operate on BYTES, so
+    unfiltering is depth-agnostic at 2 bytes/sample).  Sub-8-bit depths
+    raise, honestly."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -255,17 +258,29 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
-    if depth != 8 or ctype_n not in _PNG_CHANNELS or comp or filt or interlace > 1:
+    ok = (
+        ctype_n in _PNG_CHANNELS
+        and (depth == 8 or (depth == 16 and ctype_n != 3))
+        and not comp and not filt and interlace <= 1
+    )
+    if not ok:
         raise NotImplementedError(
-            "only 8-bit depth PNG color types 0/2/3/4/6 supported"
+            "only 8/16-bit depth PNG color types 0/2/3/4/6 supported"
         )
-    bpp = _PNG_CHANNELS[ctype_n]
+    ch = _PNG_CHANNELS[ctype_n]
+    bpp = ch * (depth // 8)  # filter unit is BYTES per pixel
+
+    def finish(arr: np.ndarray) -> np.ndarray:
+        arr = arr.reshape(h, w, bpp)
+        if depth == 16:  # big-endian sample pairs -> high byte
+            arr = arr.reshape(h, w, ch, 2)[:, :, :, 0]
+        return _png_to_rgb(arr.reshape(h, w, ch), ctype_n, plte)
+
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if not interlace:
         if raw.size != h * (1 + w * bpp):
             raise ValueError("PNG raster size mismatch")
-        px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
-        return _png_to_rgb(px, ctype_n, plte)
+        return finish(_png_unfilter(raw, h, w, bpp))
     # Adam7: consume one filtered sub-image per pass, weave by stride
     out = np.zeros((h, w, bpp), dtype=np.uint8)
     off = 0
@@ -282,7 +297,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y0::dy, x0::dx] = sub
     if off != raw.size:
         raise ValueError("PNG interlaced raster size mismatch")
-    return _png_to_rgb(out, ctype_n, plte)
+    return finish(out)
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -317,6 +332,42 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     return np.frombuffer(data, dtype="<i2"), rate
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """General PCM WAV decode → ((n, channels) int16 samples, rate):
+    any channel count, 16-bit signed or 8-bit unsigned PCM (8-bit is
+    centered and scaled to int16 by the standard <<8 mapping).  The
+    strict mono-PCM16 contract stays in `decode_wav_pcm16` (the
+    oracle-checked audio-window path); this is the ingest-side reader a
+    real corpus needs, where stereo is the norm."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits not in (8, 16) or channels < 1:
+                raise NotImplementedError(
+                    "only integer PCM (8/16-bit) WAV supported"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        flat = np.frombuffer(data[: len(data) - len(data) % (2 * channels)],
+                             dtype="<i2")
+    else:  # 8-bit WAV is UNSIGNED, center then scale
+        raw8 = np.frombuffer(data[: len(data) - len(data) % channels],
+                             dtype=np.uint8)
+        flat = ((raw8.astype(np.int16) - 128) << 8).astype("<i2")
+    return flat.reshape(-1, channels), rate
 
 
 def encode_rawv(frames: np.ndarray, fps: int) -> bytes:

@@ -26,8 +26,10 @@ fields plus the `date` and `timestamp-micros` logical types (Avro 1.11
 subset a table scan needs.  Nested records, arrays, maps, enums, and
 the snappy codec raise NotImplementedError.
 
-The wire format is pinned two ways in tests/test_sources.py: a golden
-byte-for-byte file hand-assembled from the spec, and the full
+The wire format is pinned in tests/test_other_formats.py: a golden
+byte-for-byte file hand-assembled from the spec (plus logical-type
+goldens, a hypothesis property round-trip, and corrupt-container
+error contracts), and the full
 write→read round-trip behind the oracle-checked `scan_avro_roundtrip`
 registry query (DuckDB replays the aggregate from the parquet base, so
 a hash match proves the codec is value-lossless).

@@ -969,6 +969,8 @@ _register_frame_dedup_query()
 
 #: MPEG-1 Layer III bitrate (kbps) and sample-rate tables.
 _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+#: MPEG-2/2.5 Layer III bitrate table (kbps) — ISO 11172-3 Annex tables.
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 _MP3_RATES = (44100, 48000, 32000)
 
 
@@ -1018,30 +1020,42 @@ def probe_media(payload: bytes) -> dict | None:
         if payload[:3] == b"ID3":
             sz = payload[6:10]
             pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
-        if (
-            pos + 4 <= len(payload)
-            and payload[pos] == 0xFF
-            and (payload[pos + 1] & 0xFA) == 0xFA  # MPEG-1 Layer III, no CRC bit constraint
-        ):
-            frames, rate = 0, None
+        if pos + 4 <= len(payload) and payload[pos] == 0xFF and (
+            payload[pos + 1] & 0xE0
+        ) == 0xE0:
+            # version-aware Layer III walk: MPEG-1 (1152 samples/frame),
+            # MPEG-2 and 2.5 (576, halved/quartered sample rates, own
+            # bitrate table) — real-world files are routinely MPEG-2
+            frames, rate, dur_us = 0, None, 0
             while pos + 4 <= len(payload):
-                if payload[pos] != 0xFF or (payload[pos + 1] & 0xFA) != 0xFA:
+                b1 = payload[pos + 1]
+                if payload[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
                     break
-                br = _MP3_BITRATES[payload[pos + 2] >> 4]
-                sr = _MP3_RATES[(payload[pos + 2] >> 2) & 0x3] if ((payload[pos + 2] >> 2) & 0x3) < 3 else None
-                if not br or sr is None:
+                ver = (b1 >> 3) & 0x3  # 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5
+                layer = (b1 >> 1) & 0x3
+                if ver == 1 or layer != 1:  # reserved version / not Layer III
                     break
+                sr_ix = (payload[pos + 2] >> 2) & 0x3
+                if sr_ix >= 3:
+                    break
+                sr = _MP3_RATES[sr_ix] // {3: 1, 2: 2, 0: 4}[ver]
+                br_tab = _MP3_BITRATES if ver == 3 else _MP3_BITRATES_V2
+                br = br_tab[payload[pos + 2] >> 4]
+                if not br:
+                    break
+                spf = 1152 if ver == 3 else 576
                 pad = (payload[pos + 2] >> 1) & 1
-                flen = 144 * br * 1000 // sr + pad
+                flen = (spf // 8) * br * 1000 // sr + pad
                 rate = sr
                 frames += 1
+                dur_us += 1_000_000 * spf // sr
                 pos += flen
             if frames:
                 return {
                     "format": "mp3",
                     "sample_rate": rate,
                     "n_frames": frames,
-                    "duration_ms": 1000 * frames * 1152 // rate,
+                    "duration_ms": dur_us // 1000,
                 }
 
         # MP4 / ISO BMFF: size-prefixed box walk

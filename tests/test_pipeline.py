@@ -1504,3 +1504,27 @@ def test_uncompressed_codec_property_roundtrips():
     ppm()
     rawv()
     wav()
+
+
+def test_probe_media_real_world_mpeg2_mp3():
+    """A genuine MP3 shipped in the container (gsutil test asset:
+    ID3v2.4 tag + MPEG-2 Layer III frames) must probe: version-aware
+    frame walk, halved sample rate, 576-sample frames.  Internal
+    consistency: duration == n_frames * 576 / rate."""
+    import os
+
+    from impala_avx2_parquet_scanner_spark.pipeline.multimodal import (
+        probe_media,
+    )
+
+    path = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("gsutil test mp3 not present")
+    meta = probe_media(open(path, "rb").read())
+    assert meta is not None and meta["format"] == "mp3"
+    assert meta["sample_rate"] == 22050  # MPEG-2: 44100 / 2
+    assert meta["n_frames"] >= 40
+    want_ms = meta["n_frames"] * 576 * 1000 // meta["sample_rate"]
+    assert abs(meta["duration_ms"] - want_ms) <= meta["n_frames"]  # per-frame floor rounding

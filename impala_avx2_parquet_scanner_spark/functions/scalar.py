@@ -619,3 +619,59 @@ def fn_unicode_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "tok", F.row_number().over(W.orderBy("tok")).alias("rk")
     )
+
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/' || doc_id
+           || '?ref=' || lang || '&page=' || (doc_id % 7) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       'https' AS protocol,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+       regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param
+FROM u
+"""
+
+
+@query("fn_url_parse", oracle=_URL_ORACLE, tags=("function", "string", "url"))
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction — `parse_url` (PROTOCOL / HOST / PATH /
+    QUERY with a key), the log-analytics workhorse the reference's
+    string-function surface implies (string-functions.h scope; Impala
+    ships parse_url with the same part names).  URLs are synthesized
+    deterministically from document metadata so the inputs cover every
+    (source, lang) shape; the oracle replays each component with an
+    anchored regexp — pinning that Spark's java.net-based parser and a
+    plain regex agree on well-formed http(s) URLs (host stops at the
+    first '/', path stops at '?', query params split on '&').  Pure
+    row-local JVM expressions: scan -> project, zero shuffles at any
+    scale."""
+    u = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="),
+            F.col("lang"),
+            F.lit("&page="),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )

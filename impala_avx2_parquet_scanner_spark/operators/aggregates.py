@@ -795,3 +795,67 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_linestatus", "g_rf", "g_ls", "gid", "n"
         )
     )
+
+
+@query(
+    "agg_hll_native",
+    oracle="""
+WITH per AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, exact_orders,
+       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS corpus_exact,
+       TRUE AS hll_group_ok,
+       TRUE AS hll_merge_ok
+FROM per
+""",
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL through Spark's NATIVE sketch surface —
+    `hll_sketch_agg` builds a per-group binary sketch, `hll_union_agg`
+    merges the group sketches into a corpus sketch WITHOUT re-touching
+    the raw rows, and `hll_sketch_estimate` reads both out.  This is the
+    other half of the sketch story next to `agg_approx`
+    (approx_count_distinct = HLL++ estimate only) and `agg_kmv_merge`
+    (hand-rolled mergeable KMV): here the sketch itself is a first-class
+    column you can persist to a rollup table and re-merge at any later
+    grain — the 100 TB incremental-distinct contract.  Sketch bytes are
+    engine-specific, so the oracle pins the CONTRACT: exact distinct
+    counts at both grains (computed by both engines) plus booleans that
+    each estimate lands within 5% — DataSketches HLL is deterministic
+    for a fixed input, so a regression flips the hash.  Plan: one
+    partial-aggregatable group-by, then a 3-row re-agg; the merge stage
+    moves only sketch bytes (lgConfigK=12 -> 4 KB/sketch), never data."""
+    l = table(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("_sk"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_merge_est")
+    )
+    corpus = l.agg(F.count_distinct("l_orderkey").alias("corpus_exact"))
+    return (
+        per.select(
+            "l_returnflag",
+            "exact_orders",
+            F.hll_sketch_estimate("_sk").alias("_group_est"),
+        )
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "corpus_exact",
+            (
+                F.abs(F.col("_group_est") - F.col("exact_orders"))
+                <= F.col("exact_orders") * 0.05
+            ).alias("hll_group_ok"),
+            (
+                F.abs(F.col("_merge_est") - F.col("corpus_exact"))
+                <= F.col("corpus_exact") * 0.05
+            ).alias("hll_merge_ok"),
+        )
+    )

@@ -246,3 +246,157 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts", "value", "asof_ts", "asof_event_id"
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'): for
+    each left row, the single right row with the same key whose time is
+    CLOSEST in absolute distance; an exact backward/forward distance tie
+    breaks backward (matching pandas).  The backward candidate uses the
+    <= contract, the forward candidate the strict > contract, so an
+    equal-time right row is credited to the backward side exactly once.
+
+    Still ONE shuffle: both directional candidates come out of the same
+    tagged union — right rows sort before left rows at equal time, so a
+    backward `last(ignorenulls)` over (unboundedPreceding, currentRow)
+    sees equal-time right rows while a forward `first(ignorenulls)` over
+    (currentRow, unboundedFollowing) does not.  The nearest pick is then
+    a row-local CASE on the two carried timestamps — no second shuffle,
+    no join.  Callers that need deterministic results must ensure right
+    rows are unique per (key, time) (dedupe first); the carry itself is
+    then total-ordered."""
+    lhs = left.withColumn("__origin", F.lit(1)).withColumn("__t", F.col(left_time))
+    rhs_cols = [F.col(key), F.col(right_time).alias("__t"), F.lit(0).alias("__origin")]
+    rhs = right.select(*rhs_cols, *[F.col(c).alias(f"__r_{c}") for c in right_values])
+    for c in left.columns:
+        if c not in (key,):
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_values:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    unioned = lhs.select(rhs.columns).unionByName(rhs.select(rhs.columns))
+    wb = (
+        W.partitionBy(key)
+        .orderBy("__t", "__origin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(key)
+        .orderBy("__t", "__origin")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.last(f"__r_{right_time}", ignorenulls=True).over(wb).alias("__b_t"),
+        F.first(f"__r_{right_time}", ignorenulls=True).over(wf).alias("__f_t"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in right_values
+        ],
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in right_values
+        ],
+    ).filter(F.col("__origin") == 1)
+    # distances in exact integer microseconds; tie -> backward (<=)
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    take_b = F.col("__f_t").isNull() | (
+        F.col("__b_t").isNotNull()
+        & (_us(left_time) - _us("__b_t") <= _us("__f_t") - _us(left_time))
+    )
+    out_cols = [c for c in left.columns] + [
+        F.when(take_b, F.col(f"__b_{c}"))
+        .otherwise(F.col(f"__f_{c}"))
+        .alias(f"nearest_{c}")
+        for c in right_values
+    ] + [
+        F.when(F.col("__b_t").isNull() & F.col("__f_t").isNull(), F.lit(None))
+        .when(take_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .cast("string")
+        .alias("direction")
+    ]
+    return carried.select(*out_cols)
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, MIN(event_id) AS event_id FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts),
+b AS (
+  SELECT p.event_id, v.ts AS bts, v.event_id AS bid,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC) AS rn
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+),
+f AS (
+  SELECT p.event_id, v.ts AS fts, v.event_id AS fid,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts ASC) AS rn
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts > p.ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+            WHEN fts IS NULL THEN bts
+            WHEN bts IS NULL THEN fts
+            WHEN epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts)
+            THEN bts ELSE fts END AS nearest_ts,
+       CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+            WHEN fts IS NULL THEN bid
+            WHEN bts IS NULL THEN fid
+            WHEN epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts)
+            THEN bid ELSE fid END AS nearest_event_id,
+       CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+            WHEN fts IS NULL THEN 'backward'
+            WHEN bts IS NULL THEN 'forward'
+            WHEN epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts)
+            THEN 'backward' ELSE 'forward' END AS direction
+FROM p
+JOIN (SELECT * FROM b WHERE rn = 1) b USING (event_id)
+JOIN (SELECT * FROM f WHERE rn = 1) f USING (event_id)
+"""
+
+
+@query("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("join", "asof"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the view by the same user CLOSEST in time in
+    either direction (merge_asof direction='nearest'), with the emitted
+    `direction` column pinning the tie rule (equal distance -> backward,
+    pandas semantics).  Completes the as-of family: backward
+    (`join_asof_events`), forward (`join_asof_forward`), bounded
+    (`join_asof_tolerance`), nearest.  Views are deduped to one per
+    (user_id, ts) (min event_id) on BOTH engines so the nearest pick is
+    a total order.  The oracle replays both directional candidates with
+    explicit window formulations and the same integer-microsecond
+    distance CASE."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    return asof_join_nearest(
+        purchases,
+        views,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["ts", "event_id"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("nearest_ts"),
+        F.col("nearest_event_id"),
+        "direction",
+    )

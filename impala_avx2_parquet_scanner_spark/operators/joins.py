@@ -321,3 +321,96 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderkey") != F.col("b_orderkey"))
     )
     return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_nearby"))
+
+
+def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotently materialize lineitem and orders as BUCKETED tables
+    (8 buckets on the orderkey, bucket-sorted) in the session warehouse
+    and return their names.  Write-once per fixture: subsequent calls see
+    the catalog entries and reuse the layout, so the registry query's
+    steady-state plan is the pure co-located read."""
+    import hashlib
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    names = []
+    for tbl, col, nm in (
+        ("lineitem", "l_orderkey", "li_bkt"),
+        ("orders", "o_orderkey", "ord_bkt"),
+    ):
+        name = f"{nm}_{key}"
+        path = _os.path.join("/tmp/spark_graft_bucketed", key, tbl)
+        if not spark.catalog.tableExists(name):
+            if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+                # Layout already on disk from an earlier session (session
+                # catalogs are in-memory): re-register the EXTERNAL
+                # bucketed table over it — bucket spec in the DDL is what
+                # lets the planner trust the files' hash layout.
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in table(spark, sf_dir, tbl).schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({col}) SORTED BY ({col}) INTO 8 BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            else:
+                (
+                    table(spark, sf_dir, tbl)
+                    .write.bucketBy(8, col)
+                    .sortBy(col)
+                    .option("path", path)
+                    .mode("overwrite")
+                    .saveAsTable(name)
+                )
+        names.append(name)
+    return names[0], names[1]
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=_BUCKETED_ORACLE,
+    tags=("join", "bucketing", "layout"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on CO-LOCATED bucketed layouts — the 100 TB
+    lever when neither side broadcasts: lineitem and orders are stored
+    bucketed 8-ways on the orderkey (hash-pre-shuffled at WRITE time),
+    so the sort-merge join consumes both bucket layouts directly and
+    the join itself needs ZERO exchanges — the only shuffle left in the
+    plan is the final priority rollup (asserted: budget 2 in
+    tests/test_plan_budgets.py, join-side exchange-freedom pinned in
+    tests/test_bucketing.py).  The `merge` hint pins the SMJ path so the
+    plan shape doesn't flip with the broadcast threshold.  The DuckDB
+    oracle replays the identical join/rollup on the UNBUCKETED base
+    tables — layout is a physical property; values must be unchanged.
+    Exact-decimal revenue keeps the sum order-independent.  Reference
+    parity: partitioned-hash-join + clustered-layout scope
+    (descriptors.h:154-262), SURVEY §2B joins/partition machinery."""
+    li, od = bucketed_orderkey_tables(spark, sf_dir)
+    from impala_avx2_parquet_scanner_spark.exprs import disc_price, sum_dbl
+
+    j = (
+        spark.table(li)
+        .hint("merge")
+        .join(spark.table(od), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        sum_dbl(disc_price(), "revenue"),
+    )

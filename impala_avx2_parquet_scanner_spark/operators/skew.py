@@ -104,3 +104,66 @@ def _register_salted_query() -> None:
 
 
 _register_salted_query()
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT s_nationkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def _register_salted_join_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.exprs import dec_price
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    @query(
+        "join_skew_salted",
+        oracle=_SALTED_JOIN_ORACLE,
+        tags=("join", "skew"),
+    )
+    def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Skew-proof replicated join: the dimension side is replicated
+        n_salts× with an explicit salt column, the fact side salts each
+        row, and the equi-join runs on (key, salt) — so a hot join key's
+        rows land on n_salts reducers instead of one straggler.  The
+        `shuffle_hash` hint forces the shuffled path (otherwise AQE
+        broadcasts this small dimension and the salt never exercises a
+        reducer) — at 100 TB this is the pattern for a dimension too big
+        to broadcast joined to a fact with hot keys AQE's skew-join
+        splitting can't fix (e.g. partitioned producers).  Salting is a
+        pure physical rewrite: the join's LOGICAL result is salt-
+        independent, so the unsalted single-threaded oracle replays the
+        revenue-per-nation rollup bit-for-bit (exact DECIMAL partials).
+        Complements `agg_sum_salted` (same trick for aggregation).
+        Reference parity: runtime filter + partitioned-hash-join scope,
+        SURVEY §2B joins."""
+        l = table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_suppkey", "suppkey"
+        )
+        s = table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+        )
+        joined = replicate_broadcast_join(
+            l.hint("shuffle_hash"), s, "suppkey", n_salts=8
+        )
+        return (
+            joined.groupBy("s_nationkey")
+            .agg(
+                F.sum(dec_price("l_extendedprice")).alias("__rev"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+            .select(
+                "s_nationkey",
+                F.col("__rev").cast("double").alias("revenue"),
+                "n_items",
+            )
+        )
+
+
+_register_salted_join_query()

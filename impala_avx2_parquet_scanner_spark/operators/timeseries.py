@@ -537,3 +537,98 @@ def interpolate_daily(e: DataFrame) -> DataFrame:
         .otherwise(F.lit("interp"))
         .alias("src"),
     )
+
+
+_INTERVAL_UNION_ORACLE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (60 + CAST(FLOOR(value) AS BIGINT) % 1800) * 1000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+), spans AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS span_us
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(span_us) AS BIGINT) AS covered_us,
+       CAST(MAX(span_us) AS BIGINT) AS longest_us,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM spans GROUP BY user_id
+"""
+
+
+@query(
+    "events_interval_union",
+    oracle=_INTERVAL_UNION_ORACLE,
+    tags=("events", "timeseries", "interval"),
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per user across OVERLAPPING activity intervals
+    — the interval-union aggregate (union length of [start, end) spans:
+    billable uptime, listening time, connected time).  Naive
+    sessionization double-counts overlaps; the classic fix is the
+    sweep-line: order each user's intervals by start, carry the running
+    MAX of interval ends over all PRIOR rows, open a new island exactly
+    when the next start clears every end seen so far, then one
+    aggregation per island and one per user.
+
+    Scale shape: a single (user_id)-keyed shuffle feeds both windows
+    (same partition + order), then two keyed aggregations — no self
+    join, no explode of the time axis (a per-second explode would be
+    O(total duration); this is O(rows)).  All arithmetic is exact
+    integer MICROSECONDS (`unix_micros`), and the interval length is a
+    deterministic function of the row (60s + floor(value) mod 1800), so
+    the DuckDB oracle (epoch_us, same windows) replays bit-for-bit.
+    Reference parity: analytic-eval window scope, SURVEY §2B windows."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        us.alias("s"),
+        (us + (F.lit(60) + F.floor("value").cast("long") % 1800) * 1000000).alias(
+            "e"
+        ),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return spans.groupBy("user_id").agg(
+        F.sum("span_us").cast("long").alias("covered_us"),
+        F.max("span_us").cast("long").alias("longest_us"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )

@@ -645,3 +645,56 @@ def window_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_last).alias("rn_nulls_last"),
         F.row_number().over(w_first).alias("rn_nulls_first"),
     )
+
+
+_SLIDING_MEDIAN_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(FLOOR(value) AS BIGINT) AS v FROM events
+)
+SELECT event_id, user_id, v,
+       median(v) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+FROM e
+"""
+
+
+@query(
+    "window_sliding_median",
+    oracle=_SLIDING_MEDIAN_ORACLE,
+    tags=("window", "percentile"),
+)
+def window_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median over a sliding 5-row frame per user — the robust
+    rolling statistic every feature pipeline wants next to the rolling
+    mean (`window_trailing_features`) and EWMA (`window_ewma`).  Spark
+    refuses ordered-set aggregates over a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC on `median(...) OVER`), so
+    the frame is materialized with `collect_list` over the same 5-row
+    frame, sorted, and the midpoint picked positionally — sound ONLY
+    because the frame is BOUNDED (5 elements per row, independent of
+    history length; an unbounded-preceding variant would be the
+    quadratic trap, and the right tool there is a sketch).  Values are
+    floored to BIGINT first so the even-count midpoint is exactly
+    representable ((a+b)/2 yields x.0/x.5) and the engines'
+    interpolation conventions cannot diverge in ulps.  event_id is the
+    frame order — a total order, so every frame's population is
+    engine-independent.  One keyed shuffle.  Reference parity:
+    AggregateFunctions percentile scope, SURVEY §2B aggregation."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("v")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("v").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "v",
+        ((lo + hi) / F.lit(2.0)).alias("med5"),
+    )

@@ -785,10 +785,32 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: sh feeds the df histogram AND the rare-index build; rare
     # feeds sizes and both self-join legs — one tokenize/explode pass
     # each instead of re-deriving the scan+shingle lineage per consumer.
+    #
+    # Shingles come from the codegen path (posexplode + lead window, the
+    # minhash_signatures trick), NOT the array-HOF `shingles()` helper:
+    # `transform(sequence, lambda)` re-evaluates the embedded tokenize
+    # subtree per element interpreted, which made THIS query the one
+    # super-linear row in SCALING.md (40.9 s in the shingle stage alone
+    # at sf0.1; 0.9 s on this path).  The window's doc_id shuffle also
+    # spreads the regex+hash CPU across the cluster regardless of input
+    # file count.  `.distinct()` replaces array_distinct — containment
+    # counts each shared shingle once per doc pair.
+    toks = F.filter(
+        F.split(F.trim(normalize_text(F.col("text"))), " "),
+        lambda t: t != F.lit(""),
+    )
+    tp = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nexts = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_WORDS)]
     sh = (
-        d.select("doc_id", shingles(F.col("text")).alias("shs"))
-        .filter(F.size("shs") >= 1)
-        .select("doc_id", F.explode("shs").alias("s"))
+        tp.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *nexts).alias("s"),
+            nexts[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
         .persist()
     )
     df_cap = (

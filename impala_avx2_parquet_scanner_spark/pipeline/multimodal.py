@@ -403,17 +403,84 @@ from impala_avx2_parquet_scanner_spark.pipeline.jpeg_codec import (  # noqa: E40
 )
 
 #: Image decoders by format — each returns (h, w, 3) uint8.
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    BI_RGB).  BMP stores rows BOTTOM-UP in BGR order, each row padded to a
+    4-byte boundary — the three classic traps this codec pins."""
+    import struct
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # RGB -> BGR, flip to bottom-up, pad each row
+    bgr = pixels[::-1, :, ::-1].astype(np.uint8)
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        raster = rows.tobytes()
+    else:
+        raster = bgr.tobytes()
+    data_offset = 14 + 40
+    file_size = data_offset + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + info + raster
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24/32-bit uncompressed (BI_RGB) BMP → (h, w, 3) uint8 RGB array.
+    Handles bottom-up AND top-down (negative height) rasters, BGR(A)
+    channel order, and 4-byte row padding.  Compressed (RLE/bitfields)
+    or palette BMPs raise NotImplementedError — same honest-gate
+    discipline as the other codecs."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) not supported"
+        )
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported (24/32 only)")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    raster = payload[data_offset : data_offset + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB, drop alpha
+
+
 _IMAGE_DECODERS = {
     "ppm": decode_ppm,
     "png": decode_png,
     "jpeg": decode_jpeg,
     "gif": decode_gif,
+    "bmp": decode_bmp,
 }
 _IMAGE_ENCODERS = {
     "ppm": encode_ppm,
     "png": encode_png,
     "jpeg": encode_jpeg,
     "gif": encode_gif,
+    "bmp": encode_bmp,
 }
 
 
@@ -495,6 +562,7 @@ _DECODERS = {
     ("image", "png"): lambda p: _pixel_features(decode_png(p)),
     ("image", "jpeg"): lambda p: _pixel_features(decode_jpeg(p)),
     ("image", "gif"): lambda p: _pixel_features(decode_gif(p)),
+    ("image", "bmp"): lambda p: _pixel_features(decode_bmp(p)),
     ("audio", "wav"): _audio_features,
     ("video", "rawv"): _video_features,
     ("video", "gif"): _gif_video_features,

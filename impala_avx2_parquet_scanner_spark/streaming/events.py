@@ -551,3 +551,109 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z_stat"),
     )
+
+
+_RFM_ORACLE = """
+WITH p AS (SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS v
+           FROM events WHERE event_type = 'purchase'),
+agg AS (SELECT user_id, MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS frequency, SUM(v) AS mon
+        FROM p GROUP BY user_id),
+mx AS (SELECT MAX(ts) AS m FROM p),
+s AS (SELECT user_id,
+             CAST(date_diff('day', CAST(last_ts AS DATE), CAST(mx.m AS DATE))
+                  AS BIGINT) AS recency_days,
+             frequency, CAST(mon AS DOUBLE) AS monetary
+      FROM agg, mx),
+th AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+              quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS fq,
+              quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS mq
+       FROM s)
+SELECT s.user_id, s.recency_days, s.frequency, s.monetary,
+       CAST(CASE WHEN recency_days <= rq[1] THEN 4
+                 WHEN recency_days <= rq[2] THEN 3
+                 WHEN recency_days <= rq[3] THEN 2 ELSE 1 END AS INT) AS r_score,
+       CAST(CASE WHEN frequency >= fq[3] THEN 4 WHEN frequency >= fq[2] THEN 3
+                 WHEN frequency >= fq[1] THEN 2 ELSE 1 END AS INT) AS f_score,
+       CAST(CASE WHEN monetary >= mq[3] THEN 4 WHEN monetary >= mq[2] THEN 3
+                 WHEN monetary >= mq[1] THEN 2 ELSE 1 END AS INT) AS m_score
+FROM s, th
+"""
+
+
+@query("events_rfm", oracle=_RFM_ORACLE, tags=("events", "segmentation"))
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile scores
+    per purchasing user) — the classic customer-analytics rollup.  The
+    textbook formulation is `NTILE(4)` over each metric, but NTILE is a
+    GLOBAL window: one ordering over every user, a single-partition sort
+    that grows with the user base — the exact shape this engine bans at
+    100 TB.  Instead the quartile THRESHOLDS are computed (exact
+    interpolated `percentile` over the per-user aggregate, 9 doubles)
+    and broadcast; scoring is then a map-side CASE — no global sort at
+    any scale, and user counts per bucket stay within one of NTILE's
+    (ties land in one bucket rather than splitting).  Interpolated
+    boundaries stay bit-identical across engines because the metrics
+    are integers/exact decimals and the interp fractions are exact
+    binary (.25/.5/.75).  Recency is whole days from each user's last
+    purchase to the corpus' last purchase (a 1-row broadcast, not
+    `now()` — deterministic).  Plan: one user-keyed aggregation, a
+    3-row threshold agg, two broadcasts."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    agg = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("v").alias("mon"),
+    )
+    mx = p.agg(F.max("ts").alias("m"))
+    s = (
+        agg.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("m"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            F.col("mon").cast("double").alias("monetary"),
+        )
+        # s feeds the threshold agg AND the scoring pass; without a
+        # materialization point the purchase aggregation runs twice.
+        .persist()
+    )
+    qs = [0.25, 0.5, 0.75]
+    th = s.agg(
+        F.percentile("recency_days", qs).alias("rq"),
+        F.percentile("frequency", qs).alias("fq"),
+        F.percentile("monetary", qs).alias("mq"),
+    )
+
+    def score_low_good(col, q):
+        return (
+            F.when(F.col(col) <= F.element_at(q, 1), 4)
+            .when(F.col(col) <= F.element_at(q, 2), 3)
+            .when(F.col(col) <= F.element_at(q, 3), 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    def score_high_good(col, q):
+        return (
+            F.when(F.col(col) >= F.element_at(q, 3), 4)
+            .when(F.col(col) >= F.element_at(q, 2), 3)
+            .when(F.col(col) >= F.element_at(q, 1), 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    return s.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score_low_good("recency_days", F.col("rq")).alias("r_score"),
+        score_high_good("frequency", F.col("fq")).alias("f_score"),
+        score_high_good("monetary", F.col("mq")).alias("m_score"),
+    )

@@ -56,7 +56,16 @@ BUDGETS = {
     "events_interpolate": 3,
     "graph_triangles": 15,
     "window_ewma": 1,
-    "dedup_containment": 5,  # 4 at sf0.01; df-cap join strategy shifts with stats
+    "dedup_containment": 7,  # codegen shingle path: window + distinct + df/agg
+    # joins; 5 when stats let the df-cap join broadcast, 7 when it shuffles
+    # round-4 session-3 additions
+    "join_skew_salted": 3,  # salted shuffle join + two-phase agg
+    "join_asof_nearest": 2,  # view dedup agg + one union window shuffle
+    "window_sliding_median": 1,
+    "events_interval_union": 1,  # one keyed shuffle feeds both windows + aggs
+    "agg_hll_native": 6,  # exact count_distinct beside the sketch doubles each grain
+    "events_rfm": 3,  # user agg + two tiny broadcast-side aggs
+    "join_bucketed_colocated": 1,  # co-located SMJ: only the final rollup shuffles
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }
 

@@ -53,6 +53,8 @@ CHECKED: list[tuple[str, str]] = [
     ("merge_cdc_snapshot", "events"),
     ("graph_triangles", "lineitem"),
     ("window_ewma", "events"),
+    ("dedup_containment", "documents"),
+    ("multimodal_phash_neardup", "documents"),
     ("dedup_exact", "documents"),
     ("dedup_minhash_lsh", "documents"),
     ("dedup_simhash", "documents"),

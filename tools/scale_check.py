@@ -84,7 +84,15 @@ CHECKED: list[tuple[str, str]] = [
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these
 #: get the extra decade on the synthetic 10x-documents corpus.
-TAIL_STRESS = ["dedup_winnowing", "pipeline_curate", "text_bm25_topk"]
+#: dedup_containment joined the list after its round-4 quadratic (the
+#: interpreted-HOF shingle stage, 67x at 10x data) was rewritten onto the
+#: codegen posexplode+lead path — the extra decade proves the fix holds.
+TAIL_STRESS = [
+    "dedup_winnowing",
+    "pipeline_curate",
+    "text_bm25_topk",
+    "dedup_containment",
+]
 
 
 def _run(spark, name: str, sf_dir: str) -> float:

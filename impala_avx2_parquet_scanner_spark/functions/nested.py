@@ -137,3 +137,77 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(doubled, F.lit("okey")).alias("okey_doubled"),
         )
     )
+
+
+_VARIANT_ORACLE = """
+WITH j AS (
+  SELECT doc_id,
+         '{"meta":{"lang":"' || lang || '","source":"' || source ||
+         '"},"n":' || n_chars || ',"tags":[' || (doc_id % 3) || ',' ||
+         (doc_id % 5) || ']}' AS payload
+  FROM documents
+)
+SELECT doc_id,
+       json_extract_string(payload, '$.meta.lang') AS lang,
+       json_extract_string(payload, '$.meta.source') AS source,
+       CAST(json_extract(payload, '$.n') AS BIGINT) AS n_chars,
+       CAST(json_extract(payload, '$.tags[1]') AS INTEGER) AS tag1,
+       json_extract_string(payload, '$.absent') AS missing_path
+FROM j
+"""
+
+
+def _register_variant_query() -> None:
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.registry import query
+
+    @query(
+        "fn_variant_path",
+        oracle=_VARIANT_ORACLE,
+        tags=("function", "nested", "variant", "json"),
+    )
+    def fn_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark 4 VARIANT — the open-format semi-structured type (binary
+        JSON with typed access, the modern replacement for
+        string-JSON + get_json_object): `parse_json` ingests a JSON
+        payload once into VARIANT, then `variant_get(v, path, type)`
+        reads typed fields without re-parsing per extraction — at 100 TB
+        the parse-once property is the difference between one and N
+        passes over every payload byte (and VARIANT columns shred into
+        parquet for pushdown).  Pins: nested object paths, array
+        subscripts ('$.tags[1]'), typed extraction (string/bigint/int),
+        and a missing path returning NULL rather than erroring.  The
+        JSON payload is CONSTRUCTED by identical string concatenation on
+        both engines (keys without spaces, integer values — no
+        serialization ambiguity), and the DuckDB oracle reads the same
+        paths with its native json_extract family.  Row-local
+        expressions only: scan -> project, zero shuffles.  Reference
+        parity: string/JSON function scope (SURVEY §2A #21 adjacent);
+        complements `events_json_props` (string-JSON path) by pinning
+        the TYPED variant access path."""
+        d = table(spark, sf_dir, "documents")
+        payload = F.concat(
+            F.lit('{"meta":{"lang":"'),
+            F.col("lang"),
+            F.lit('","source":"'),
+            F.col("source"),
+            F.lit('"},"n":'),
+            F.col("n_chars").cast("string"),
+            F.lit(',"tags":['),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(","),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("]}"),
+        )
+        v = F.parse_json(payload)
+        return d.select(
+            "doc_id",
+            F.variant_get(v, "$.meta.lang", "string").alias("lang"),
+            F.variant_get(v, "$.meta.source", "string").alias("source"),
+            F.variant_get(v, "$.n", "bigint").alias("n_chars"),
+            F.variant_get(v, "$.tags[1]", "int").alias("tag1"),
+            F.variant_get(v, "$.absent", "string").alias("missing_path"),
+        )
+
+
+_register_variant_query()

@@ -859,3 +859,125 @@ def agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_merge_ok"),
         )
     )
+
+
+_KMV_INTERSECT_K = 256
+
+_KMV_INTERSECT_ORACLE = f"""
+WITH a AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT
+        CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h
+      FROM orders WHERE o_orderpriority = '2-HIGH'),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_INTERSECT_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_INTERSECT_K}),
+u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+      ORDER BY h LIMIT {_KMV_INTERSECT_K}),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth_hash,
+                 CAST(ROUND(((COUNT(*) - 1) * 1152921504606846976.0) / MAX(h),
+                            0) AS BIGINT) AS est_union
+          FROM u),
+rho AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM u
+        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect
+       FROM (SELECT h FROM a INTERSECT SELECT h FROM b) t)
+SELECT k_used, kth_hash, est_union, n_both,
+       CAST(ROUND(CAST(n_both AS DOUBLE) / k_used * est_union, 0) AS BIGINT)
+         AS est_intersect,
+       exact_intersect,
+       ABS(CAST(ROUND(CAST(n_both AS DOUBLE) / k_used * est_union, 0)
+                AS BIGINT) - exact_intersect)
+         <= CAST(0.3 * exact_intersect AS BIGINT) AS within_tolerance
+FROM stats, rho, ex
+"""
+
+
+@query(
+    "agg_kmv_intersect",
+    oracle=_KMV_INTERSECT_ORACLE,
+    tags=("aggregate", "sketch"),
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION estimate from two KMV sketches (Beyer et al.
+    2007) — the audience-overlap question ("how many customers placed
+    both URGENT and HIGH orders?") answered from two k-minimum-values
+    sketches without re-scanning either input: the union sketch is the k
+    smallest of the combined hash sets, the overlap fraction rho = (union
+    -sketch hashes present in BOTH per-set sketches)/k, and
+    |A∩B| ~= rho * est(|A∪B|).  Completes the sketch algebra next to
+    `agg_kmv_distinct` (NDV) and `agg_kmv_merge` (union): with
+    distinct/union/intersect, any set expression over pre-aggregated
+    sketch columns is answerable at 100 TB from k-row state.  KMV is
+    fully deterministic given the portable h64, so the DuckDB oracle
+    replays every hash, the three top-k sets, rho, and both estimates;
+    the exact intersection and a 30% accuracy boolean are computed by
+    BOTH engines (k=256 -> rsd ~6% on the union, compounded through the
+    ratio estimator).  Plan: per-set distinct + ordered LIMIT k compiles
+    to per-partition top-k merges (TakeOrderedAndProject) — never a full
+    shuffle of the distinct domain; everything after is k-row joins.
+    Reference parity: hashing role hash-util.h:44-65; sketch surface is
+    north-star scope (SURVEY §2B aggregation)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import h64
+
+    o = table(spark, sf_dir, "orders")
+
+    def sketch_src(pri: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == pri)
+            .select(h64(F.col("o_custkey").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    # each distinct hash set feeds three consumers (its own sketch, the
+    # union sketch, the exact-intersection check) — persist so the
+    # scan+distinct runs once per set, not once per consumer
+    a, b = sketch_src("1-URGENT").persist(), sketch_src("2-HIGH").persist()
+    k = _KMV_INTERSECT_K
+    ka = a.orderBy("h").limit(k)
+    kb = b.orderBy("h").limit(k)
+    u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    stats = u.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        F.round(
+            ((F.col("k_used") - 1) * F.lit(1152921504606846976.0))
+            / F.col("kth_hash"),
+            0,
+        )
+        .cast("bigint")
+        .alias("est_union"),
+    )
+    n_both = (
+        u.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    exact = (
+        a.join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    est_i = F.round(
+        F.col("n_both").cast("double") / F.col("k_used") * F.col("est_union"), 0
+    ).cast("bigint")
+    return (
+        stats.crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "k_used",
+            "kth_hash",
+            "est_union",
+            "n_both",
+            est_i.alias("est_intersect"),
+            "exact_intersect",
+            (
+                F.abs(est_i - F.col("exact_intersect"))
+                <= (F.lit(0.3) * F.col("exact_intersect")).cast("bigint")
+            ).alias("within_tolerance"),
+        )
+    )

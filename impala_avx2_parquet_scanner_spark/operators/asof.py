@@ -273,11 +273,19 @@ def asof_join_nearest(
     rows are unique per (key, time) (dedupe first); the carry itself is
     then total-ordered."""
     lhs = left.withColumn("__origin", F.lit(1)).withColumn("__t", F.col(left_time))
-    rhs_cols = [F.col(key), F.col(right_time).alias("__t"), F.lit(0).alias("__origin")]
+    rhs_cols = [
+        F.col(key),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__origin"),
+        # the right time rides along under its own name so the distance
+        # CASE works even when callers don't list it in right_values
+        F.col(right_time).alias("__rt"),
+    ]
     rhs = right.select(*rhs_cols, *[F.col(c).alias(f"__r_{c}") for c in right_values])
     for c in left.columns:
         if c not in (key,):
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    lhs = lhs.withColumn("__rt", F.lit(None).cast(dict(right.dtypes)[right_time]))
     for c in right_values:
         lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
     unioned = lhs.select(rhs.columns).unionByName(rhs.select(rhs.columns))
@@ -293,8 +301,8 @@ def asof_join_nearest(
     )
     carried = unioned.select(
         "*",
-        F.last(f"__r_{right_time}", ignorenulls=True).over(wb).alias("__b_t"),
-        F.first(f"__r_{right_time}", ignorenulls=True).over(wf).alias("__f_t"),
+        F.last("__rt", ignorenulls=True).over(wb).alias("__b_t"),
+        F.first("__rt", ignorenulls=True).over(wf).alias("__f_t"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
             for c in right_values

@@ -844,3 +844,71 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_MIN)
     )
+
+
+EDIT_PREFIX = 48
+
+_EDIT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         substr(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')),
+                1, {EDIT_PREFIX}) AS t
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.t, b.t) AS INTEGER) AS edit_dist,
+       1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+           / greatest(length(a.t), length(b.t)) AS edit_sim
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_edit_distance", oracle=_EDIT_ORACLE, tags=("dedup", "pipeline"))
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification under metadata BLOCKING: pairs
+    are generated only within (lang, source) blocks — the classic record-
+    linkage move that turns the O(N^2) corpus cross join into
+    sum-over-blocks work; at bigger corpora the block key simply grows
+    (add a length bucket, a fingerprint band) to hold block sizes
+    constant, which changes recall policy but never plan shape.  Within a
+    block, Levenshtein distance over the first {EDIT_PREFIX} chars of the
+    normalized text scores EVERY candidate pair (emitting all distances
+    rather than only sub-threshold ones pins the DP itself on thousands
+    of value pairs; a production dedup adds the `edit_dist <= tau`
+    filter, which subsets this result without changing the plan).
+
+    Cross-engine trap pinned: DuckDB's levenshtein counts BYTES while
+    Spark's counts CHARACTERS — they disagree on any multi-byte
+    codepoint ('cafe' vs 'café' is 1 in Spark, 2 in DuckDB).  The
+    [^A-Za-z0-9] normalization maps the comparison text into pure ASCII
+    first, where the two definitions provably coincide — the oracle
+    match certifies exactly that.  The distance itself is the O(len^2)
+    dynamic program on a BOUNDED prefix, so per-pair cost is a constant,
+    JVM-side (no Python).  Reference parity: string-functions scope
+    (SURVEY §2A #21); blocking policy mirrors `dedup_ngram_jaccard`'s
+    bounded verify stage."""
+    t = F.substring(F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]+", " ")), 1, EDIT_PREFIX)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", t.alias("t")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    lev = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - lev.cast("double")
+                / F.greatest(F.length("a.t"), F.length("b.t"))
+            ).alias("edit_sim"),
+        )
+    )

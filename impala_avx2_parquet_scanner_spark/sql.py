@@ -110,3 +110,31 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_ITERATIONS."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PORTABLE_RECURSIVE)
+
+
+_SQL_LATERAL_TOPK = """
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c_custkey <= 200
+"""
+
+
+@query("sql_lateral_topk", oracle=_SQL_LATERAL_TOPK, tags=("sql", "lateral"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the top-N-per-
+    key shape written the way SQL users write it (a dependent subquery
+    per outer row) instead of the window-function rewrite
+    (`window_topk_per_group`).  Catalyst decorrelates the lateral into a
+    joined window plan — per-outer-row re-execution would be O(rows)
+    subqueries and is exactly what a 100 TB plan must never do — so this
+    pin certifies the DECORRELATION preserves semantics: identical SQL
+    text runs on both engines (DuckDB evaluates laterals natively) and
+    the inner (price DESC, orderkey) total order makes the picked rows
+    engine-independent.  Customers with no orders are dropped (inner
+    lateral join) on both.  Reference parity: SQL front-door scope
+    (SURVEY §3); complements `subq_correlated_exists`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPK)

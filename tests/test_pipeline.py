@@ -1570,3 +1570,40 @@ def test_bmp_codec_roundtrip_and_contracts():
     if real:  # BI_BITFIELDS — honestly gated, not silently misdecoded
         with pytest.raises(NotImplementedError, match="compressed BMP"):
             decode_bmp(open(real[0], "rb").read())
+
+
+def test_levenshtein_cross_engine_ascii_and_unicode_divergence(spark, duck):
+    """The dedup_edit_distance contract in one place: on ASCII inputs
+    Spark's (character) and DuckDB's (byte) levenshtein agree exactly —
+    checked on 60 seeded random string pairs including empties and
+    prefixes — while a multi-byte codepoint makes them DIVERGE by
+    design (1 char edit vs 2 byte edits), which is why the query
+    normalizes to ASCII before scoring."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdef 0123"
+    pairs = [("", ""), ("", "abc"), ("kitten", "sitting"), ("abc", "abc")]
+    for _ in range(56):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 24)))
+        b = (
+            a[: rng.randint(0, len(a))]
+            + "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        )
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.a, r.b): r.d
+        for r in df.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    for a, b in pairs:
+        want = duck.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b)
+
+    spark_uni = df.limit(1).select(
+        F.levenshtein(F.lit("café"), F.lit("cafe")).alias("d")
+    ).collect()[0].d
+    duck_uni = duck.execute("SELECT levenshtein('café', 'cafe')").fetchone()[0]
+    assert spark_uni == 1 and duck_uni == 2  # char vs byte — the pinned trap

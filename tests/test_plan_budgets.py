@@ -66,6 +66,10 @@ BUDGETS = {
     "agg_hll_native": 6,  # exact count_distinct beside the sketch doubles each grain
     "events_rfm": 3,  # user agg + two tiny broadcast-side aggs
     "join_bucketed_colocated": 1,  # co-located SMJ: only the final rollup shuffles
+    "agg_kmv_intersect": 6,  # persisted per-set distincts + k-row top-k merges
+    "dedup_edit_distance": 2,  # 0 when the block self-join broadcasts
+    "sql_lateral_topk": 1,  # decorrelated to one windowed shuffle
+    "fn_variant_path": 0,
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }
 

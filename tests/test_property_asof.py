@@ -133,3 +133,40 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, seed, tol):
     for lid in want:
         w = want[lid]
         assert got[lid] == (None if pd.isna(w) else int(w)), f"lid={lid} tol={tol}"
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_asof_nearest_matches_bruteforce(spark, seed):
+    """direction='nearest' semantics: minimal |t_right - t_left|, an
+    exact backward/forward distance tie breaks BACKWARD (pandas rule).
+    Verified against a brute-force scan per left row on the deduplicated
+    right set (the query-level contract also dedupes)."""
+    from impala_avx2_parquet_scanner_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    sl, sr, left, right = _frames(spark, seed, n_left=40, n_right=30)
+    got = {
+        r.lid: (r.nearest_payload, r.direction)
+        for r in asof_join_nearest(
+            sl, sr, key="k", left_time="t", right_time="t",
+            right_values=["payload"],
+        ).collect()
+    }
+    for row in left.itertuples():
+        cand = right[right.k == row.k]
+        if cand.empty:
+            assert got[row.lid] == (None, None), f"lid={row.lid}"
+            continue
+        back = cand[cand.t <= row.t]
+        fwd = cand[cand.t > row.t]
+        bdist = (row.t - back.t.max()) if not back.empty else None
+        fdist = (fwd.t.min() - row.t) if not fwd.empty else None
+        if fdist is None or (bdist is not None and bdist <= fdist):
+            expect = int(back[back.t == back.t.max()].payload.iloc[0])
+            expect_dir = "backward"
+        else:
+            expect = int(fwd[fwd.t == fwd.t.min()].payload.iloc[0])
+            expect_dir = "forward"
+        assert got[row.lid] == (expect, expect_dir), f"lid={row.lid}"

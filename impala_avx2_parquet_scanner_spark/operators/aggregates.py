@@ -9,7 +9,7 @@ partial/final split produces the same exact values as a single thread
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from impala_avx2_parquet_scanner_spark.catalog import table
@@ -980,4 +980,75 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= (F.lit(0.3) * F.col("exact_intersect")).cast("bigint")
             ).alias("within_tolerance"),
         )
+    )
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH vw AS (
+  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(12,2)) AS val,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+grouped AS (SELECT flag, val, SUM(w) AS vw_sum FROM vw GROUP BY flag, val),
+cum AS (
+  SELECT flag, val,
+         SUM(vw_sum) OVER (PARTITION BY flag ORDER BY val
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         SUM(vw_sum) OVER (PARTITION BY flag) AS totw
+  FROM grouped
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN val END) AS DOUBLE)
+         AS weighted_median,
+       CAST(MAX(totw) AS BIGINT) AS total_weight
+FROM cum GROUP BY flag
+"""
+
+
+@query(
+    "agg_weighted_median",
+    oracle=_WEIGHTED_MEDIAN_ORACLE,
+    tags=("aggregate", "percentile"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group — the lower weighted median (smallest
+    value v whose cumulative weight reaches half the total), the
+    robust center for weighted populations (price weighted by quantity,
+    latency weighted by request count) that neither engine ships as a
+    builtin.  Composition: pre-aggregate weight per (group, value) —
+    map-side combinable, and it collapses the window input to DISTINCT
+    values — then one cumulative-weight window per group and a
+    min-satisfying-value argmin.  The selected value is deterministic
+    WITHOUT a tiebreak column: the predicate 2*cumw >= totw is monotone
+    along the value order and values are unique after the pre-agg.  All
+    arithmetic is integer weights + exact DECIMAL values (the only
+    double is the final surfacing cast), so the oracle replays
+    bit-for-bat.  Scale: two keyed shuffles; per-group window state is
+    one running sum over distinct values — at pathological distinct
+    cardinality the equidepth-histogram route (`agg_histogram_equidepth`)
+    is the approximation path.  Reference parity: AggregateFunctions
+    percentile scope, SURVEY §2B aggregation."""
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("val"),
+        F.floor("l_quantity").cast("long").alias("w"),
+    )
+    grouped = l.groupBy("flag", "val").agg(F.sum("w").alias("vw_sum"))
+    w_cum = (
+        W.partitionBy("flag")
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grouped.select(
+        "flag",
+        "val",
+        F.sum("vw_sum").over(w_cum).alias("cumw"),
+        F.sum("vw_sum").over(W.partitionBy("flag")).alias("totw"),
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("val")))
+        .cast("double")
+        .alias("weighted_median"),
+        F.max("totw").cast("long").alias("total_weight"),
     )

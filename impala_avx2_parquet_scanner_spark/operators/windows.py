@@ -683,10 +683,20 @@ def window_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.floor("value").cast("long").alias("v")
     )
+    return sliding_median_features(e)
+
+
+#: Frame width of the rolling median (rows, current inclusive).
+MEDIAN_WINDOW = 5
+
+
+def sliding_median_features(e: DataFrame) -> DataFrame:
+    """(event_id, user_id, v:long) -> + med5.  Shared by the batch query
+    above and the stream==batch test of `streaming/median_stream.py`."""
     w = (
         W.partitionBy("user_id")
         .orderBy("event_id")
-        .rowsBetween(-4, W.currentRow)
+        .rowsBetween(-(MEDIAN_WINDOW - 1), W.currentRow)
     )
     arr = F.sort_array(F.collect_list("v").over(w))
     n = F.size(arr)

@@ -70,6 +70,7 @@ BUDGETS = {
     "dedup_edit_distance": 2,  # 0 when the block self-join broadcasts
     "sql_lateral_topk": 1,  # decorrelated to one windowed shuffle
     "fn_variant_path": 0,
+    "agg_weighted_median": 2,  # (group,value) pre-agg + group window
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }
 

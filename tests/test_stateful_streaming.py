@@ -156,3 +156,59 @@ def test_streaming_ewma_equals_batch(spark, ewma_stream_dir):
     }
     assert len(got) == len(want) == 45
     assert got == want  # exact integers + bit-identical doubles
+
+
+def test_streaming_sliding_median_equals_batch(spark, tmp_path):
+    """stream==batch, bit-exact: the stateful rolling median over two
+    micro-batches must equal the batch collect_list+sort query on the
+    union — including ramp-up rows and rows whose 5-row window spans
+    the micro-batch boundary."""
+    from impala_avx2_parquet_scanner_spark.operators.windows import (
+        sliding_median_features,
+    )
+    from impala_avx2_parquet_scanner_spark.streaming.median_stream import (
+        median_stream,
+    )
+
+    rows0, rows1, eid = [], [], 0
+    for user in (1, 2):
+        for i in range(7):  # batch 0: ramp-up + first full windows
+            rows0.append((eid, user, (user * 13 + i * 7) % 29 - 5))
+            eid += 1
+        for i in range(7, 13):  # batch 1: windows span the boundary
+            rows1.append((eid, user, (user * 17 + i * 11) % 31 - 8))
+            eid += 1
+    out = tmp_path / "median_in"
+    out.mkdir()
+    for rows in (rows0, rows1):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "v"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(out)
+        )
+
+    schema = "event_id long, user_id long, v long"
+    stream = spark.readStream.schema(schema).parquet(str(out))
+    q = (
+        median_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("median_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "median stream did not terminate"
+        got = {
+            r.event_id: (r.v, r.med5)
+            for r in spark.sql("SELECT * FROM median_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.schema(schema).parquet(str(out))
+    want = {
+        r.event_id: (r.v, r.med5)
+        for r in sliding_median_features(batch).collect()
+    }
+    assert len(got) == len(want) == 26
+    assert got == want  # exact integers + bit-identical midpoint doubles

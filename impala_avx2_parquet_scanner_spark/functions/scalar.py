@@ -675,3 +675,45 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
     )
+
+
+_B64HEX_ORACLE = """
+SELECT p_partkey,
+       to_base64(CAST(p_name AS BLOB)) AS b64,
+       hex(p_name) AS hx,
+       CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR) = p_name
+         AS b64_roundtrip,
+       unhex(hex(p_name)) = CAST(p_name AS BLOB) AS hex_roundtrip
+FROM part WHERE p_partkey <= 400
+"""
+
+
+@query(
+    "fn_base64_hex",
+    oracle=_B64HEX_ORACLE,
+    tags=("function", "string", "encoding"),
+)
+def fn_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-to-text encodings — base64 (RFC 4648 with padding) and hex
+    — plus both decode round-trips, pinned value-for-value across
+    engines: the encodings every export/ingest boundary leans on
+    (opaque payload columns, URL-safe keys, checksum surfacing).  Spark
+    and DuckDB must agree on alphabet, padding, and casing for the
+    emitted strings to hash-match; the round-trip booleans additionally
+    certify decode(encode(x)) == x byte-for-byte in EACH engine.  Pure
+    row-local JVM expressions, zero shuffles.  Reference parity: string
+    function scope (string-functions.h; Impala ships base64encode/
+    decode + hex)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("b64"),
+        F.hex(F.col("p_name")).alias("hx"),
+        (
+            F.unbase64(F.base64(F.col("p_name").cast("binary"))).cast("string")
+            == F.col("p_name")
+        ).alias("b64_roundtrip"),
+        (
+            F.unhex(F.hex(F.col("p_name"))) == F.col("p_name").cast("binary")
+        ).alias("hex_roundtrip"),
+    )

@@ -310,3 +310,45 @@ def pred_cast_coercion(spark, sf_dir):
         )
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+_LIKE_ADVANCED_ORACLE = """
+SELECT p_partkey, p_name,
+       p_name ILIKE '%CoLd%' AS cold_ci,
+       p_name LIKE '%cold%' AS cold_cs,
+       p_name NOT LIKE '%bolt%' AS not_bolt,
+       (p_name || '_x') LIKE '%!_x' ESCAPE '!' AS esc_literal_underscore,
+       p_name LIKE '_____________%' AS at_least_13_chars
+FROM part WHERE p_partkey <= 400
+"""
+
+
+@query(
+    "pred_like_advanced",
+    oracle=_LIKE_ADVANCED_ORACLE,
+    tags=("predicate", "like"),
+)
+def pred_like_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the LIKE family beyond `pred_like`'s prefix/suffix/
+    contains: case-INSENSITIVE ILIKE vs case-sensitive LIKE on the same
+    needle (pinning that they genuinely differ), NOT LIKE, LIKE ...
+    ESCAPE (a literal '_' matched through an explicit escape character —
+    without it '_' is a wildcard and everything matches), and a
+    wildcard-arity pattern (13 consecutive '_' = length >= 13).  Every
+    verdict is emitted as a boolean column so the hash pins each
+    matcher's semantics row-by-row.  All five run as codegen'd
+    LIKE/RLIKE kernels in one scan projection — zero shuffles, and the
+    non-prefix patterns intentionally DON'T push down (residual-eval
+    territory, reference simple-predicates.h vs residual split)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_name").ilike("%CoLd%").alias("cold_ci"),
+        F.col("p_name").like("%cold%").alias("cold_cs"),
+        (~F.col("p_name").like("%bolt%")).alias("not_bolt"),
+        F.expr("(p_name || '_x') LIKE '%!_x' ESCAPE '!'").alias(
+            "esc_literal_underscore"
+        ),
+        F.col("p_name").like("_____________%").alias("at_least_13_chars"),
+    )

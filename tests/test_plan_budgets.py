@@ -71,6 +71,8 @@ BUDGETS = {
     "sql_lateral_topk": 1,  # decorrelated to one windowed shuffle
     "fn_variant_path": 0,
     "agg_weighted_median": 2,  # (group,value) pre-agg + group window
+    "fn_base64_hex": 0,
+    "pred_like_advanced": 0,
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }
 

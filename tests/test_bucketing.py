@@ -66,3 +66,31 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
     li, _ = bucketed_tables
     agg = spark.table(li).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     assert exchange_count(agg) == 0
+
+
+def test_bucketed_registry_query_reregisters_external_layout(spark, sf_dir):
+    """join_bucketed_colocated's write-once layout survives catalog loss
+    (a fresh driver session has an empty in-memory catalog while the
+    /tmp layout persists): dropping the catalog entries and re-invoking
+    must re-register the EXTERNAL bucketed tables over the existing
+    files via DDL — same values, and the join still plans with only the
+    final rollup exchange."""
+    from impala_avx2_parquet_scanner_spark.operators.joins import (
+        bucketed_orderkey_tables,
+        join_bucketed_colocated,
+    )
+
+    li, od = bucketed_orderkey_tables(spark, sf_dir)
+    before = {
+        r.o_orderpriority: (r.n_lines, r.revenue)
+        for r in join_bucketed_colocated(spark, sf_dir).collect()
+    }
+    # simulate the fresh-session state: catalog gone, files still there
+    spark.sql(f"DROP TABLE {li}")
+    spark.sql(f"DROP TABLE {od}")
+    df = join_bucketed_colocated(spark, sf_dir)
+    assert exchange_count(df) == 1  # join itself still exchange-free
+    after = {
+        r.o_orderpriority: (r.n_lines, r.revenue) for r in df.collect()
+    }
+    assert after == before

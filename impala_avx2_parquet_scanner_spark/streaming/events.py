@@ -657,3 +657,96 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_high_good("frequency", F.col("fq")).alias("f_score"),
         score_high_good("monetary", F.col("mq")).alias("m_score"),
     )
+
+
+_FUNNEL_WINDOWED_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       (p.t_purchase IS NOT NULL) AS converted
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=_FUNNEL_WINDOWED_ORACLE,
+    tags=("events", "funnel"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-WINDOW funnel: view→click→purchase where each next
+    step must land within 6 hours of the previous one — the
+    time-bounded form every product-analytics funnel actually uses (an
+    unbounded funnel credits a purchase months after the view;
+    `events_funnel` is that upper bound).  Same single-exchange plan as
+    the unbounded funnel: three stacked whole-partition window MINs
+    over one user_id shuffle, each step's window expression adding the
+    per-step deadline as an integer-microsecond bound (exact on both
+    engines; DuckDB's INTERVAL arithmetic at µs precision matches
+    unix_micros + 6*3600e6).  Dropping the deadline from a step NULLs
+    every later step — the chained `> t_prev` conditions propagate
+    NULL, matching the oracle's join chain."""
+    steps = ("view", "click", "purchase")
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin(*steps))
+    )
+    w = W.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts")
+    us = F.unix_micros(ts.cast("timestamp"))
+    bound_us = 6 * 3600 * 1_000_000
+
+    def prev_us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    staged = (
+        e.withColumn("t_view", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (typ == "click")
+                    & (ts > F.col("t_view"))
+                    & (us <= prev_us("t_view") + bound_us),
+                    ts,
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (typ == "purchase")
+                    & (ts > F.col("t_click"))
+                    & (us <= prev_us("t_click") + bound_us),
+                    ts,
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.filter(F.col("t_view").isNotNull())
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+        .distinct()
+    )

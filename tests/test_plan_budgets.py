@@ -72,6 +72,7 @@ BUDGETS = {
     "fn_variant_path": 0,
     "agg_weighted_median": 2,  # (group,value) pre-agg + group window
     "fn_base64_hex": 0,
+    "events_funnel_windowed": 1,  # one user_id shuffle feeds all three windows
     "pred_like_advanced": 0,
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }

@@ -750,3 +750,144 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_MULTITOUCH_ORACLE = """
+WITH pv AS (
+  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts, v.event_id) AS touch_pos,
+         CAST(COUNT(*) OVER (PARTITION BY p.event_id) AS BIGINT) AS n_touches
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON v.user_id = p.user_id
+   AND v.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+)
+SELECT purchase_id, view_id, CAST(touch_pos AS INTEGER) AS touch_pos,
+       n_touches,
+       CASE WHEN n_touches = 1 THEN 1.0
+            WHEN n_touches = 2 THEN 0.5
+            WHEN touch_pos = 1 OR touch_pos = n_touches THEN 0.4
+            ELSE 0.2 / (n_touches - 2) END AS credit
+FROM pv
+"""
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle=_MULTITOUCH_ORACLE,
+    tags=("events", "attribution"),
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every view in
+    the 6 h window before a purchase earns credit — 40% to the first
+    touch, 40% to the last, 20% split across the middles (degenerating
+    to 1.0 / 0.5+0.5 for 1- and 2-touch paths) — the credit model
+    marketing analytics uses when last-touch (`events_attribution`)
+    over-rewards the final click.  Credits are rational in integer
+    counts, so the single int/int->double division is bit-identical
+    across engines and each purchase's credits sum to exactly 1.0 in
+    exact arithmetic.  Plan: one user-keyed interval join (time bound
+    residual, linear output), then one purchase-keyed window for
+    position/count — two keyed shuffles, no data-sized global state.
+    Reference parity: interval-join scope (SURVEY §2B events); the
+    streaming twin eviction argument is `events_attribution`'s."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    pv = p.join(v, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOUR"))
+    )
+    w = W.partitionBy("purchase_id").orderBy("v_ts", "view_id")
+    staged = pv.select(
+        "purchase_id",
+        "view_id",
+        F.row_number().over(w).alias("touch_pos"),
+        F.count(F.lit(1)).over(W.partitionBy("purchase_id")).alias("n_touches"),
+    )
+    n, pos = F.col("n_touches"), F.col("touch_pos")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return staged.select(
+        "purchase_id",
+        "view_id",
+        pos.cast("int").alias("touch_pos"),
+        n.cast("long").alias("n_touches"),
+        credit.alias("credit"),
+    )
+
+
+_ENTROPY_GINI_ORACLE = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt*cnt) AS BIGINT) AS sumc2,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM c GROUP BY user_id),
+e AS (SELECT c.user_id,
+             ROUND(-SUM((CAST(cnt AS DOUBLE) / t.n)
+                        * log2(CAST(cnt AS DOUBLE) / t.n)), 9) AS entropy9
+      FROM c JOIN tot t USING (user_id) GROUP BY c.user_id)
+SELECT t.user_id, t.n, t.n_types,
+       1.0 - CAST(t.sumc2 AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n) AS gini,
+       e.entropy9
+FROM tot t JOIN e USING (user_id)
+"""
+
+
+@query(
+    "agg_entropy_gini",
+    oracle=_ENTROPY_GINI_ORACLE,
+    tags=("aggregate", "profiling", "events"),
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profiling per user: Shannon entropy and Gini
+    impurity of each user's event-type mix — the diversity statistics a
+    data-quality/profiling pass reports next to NDV (`scan_profile`).
+    Exactness split by construction: Gini = 1 - sum(c^2)/n^2 is computed
+    ENTIRELY in integer counts with ONE final double division — bit-
+    identical across engines with no rounding escape hatch; entropy
+    needs log2 (transcendental, engine libm may differ in ulps), so it
+    follows the repo's 9-dp rounding convention (`events_anomaly_mad`).
+    Plan: one (user, type)-keyed partial-aggregatable count, then
+    user-keyed rollups — the per-user state is the type histogram (a few
+    entries), never the event list.  Reference parity: AggregateFunctions
+    scope, SURVEY §2B aggregation/profiling."""
+    # the (user, type) histogram feeds both the totals rollup and the
+    # entropy pass — persist so the event scan+count runs once
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    tot = c.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sumc2"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p_frac = F.col("cnt").cast("double") / F.col("n")
+    ent = (
+        c.join(tot.select("user_id", "n"), "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(p_frac * F.log2(p_frac)), 9).alias("entropy9"))
+    )
+    gini = F.lit(1.0) - F.col("sumc2").cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return tot.join(ent, "user_id").select(
+        "user_id", "n", "n_types", gini.alias("gini"), "entropy9"
+    )

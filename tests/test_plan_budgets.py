@@ -73,6 +73,8 @@ BUDGETS = {
     "agg_weighted_median": 2,  # (group,value) pre-agg + group window
     "fn_base64_hex": 0,
     "events_funnel_windowed": 1,  # one user_id shuffle feeds all three windows
+    "events_attribution_multitouch": 1,  # user-keyed interval join reused by the window
+    "agg_entropy_gini": 4,  # persisted (user,type) histogram + rollup/entropy joins
     "pred_like_advanced": 0,
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
 }

@@ -1052,3 +1052,90 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median"),
         F.max("totw").cast("long").alias("total_weight"),
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"SUM(CAST({c} AS DECIMAL(12,2))) AS s_{c}")
+    for a, b in _CORR_PAIRS + [(c, c) for c in _CORR_COLS]:
+        moments.append(
+            f"SUM(CAST({a} AS DECIMAL(12,2)) * CAST({b} AS DECIMAL(12,2)))"
+            f" AS s_{a}_{b}"
+        )
+    rows = []
+    for a, b in _CORR_PAIRS:
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"  ROUND((n * CAST(s_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))\n"
+            f"  / sqrt((n * CAST(s_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))\n"
+            f"       * (n * CAST(s_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 9)"
+            f" AS corr9\nFROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ",\n       ".join(moments) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    tags=("aggregate", "profiling", "stats"),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX over the lineitem numeric
+    columns in ONE pass — the profiling rollup a warehouse ANALYZE or a
+    feature-selection pass wants (`agg_stats_exact` pins one pair; this
+    is all 6 from a single scan).  Every moment (sums, squares, cross
+    products) accumulates in exact DECIMAL — associative, so map-side
+    partials at any parallelism reproduce the single-threaded oracle —
+    and each correlation is then a fixed double expression over those
+    exact moments (sqrt is IEEE correctly-rounded; ROUND(..,9) guards
+    the last ulp by repo convention).  The moments row is ONE global
+    aggregate (a few dozen numbers, no per-group state); the matrix
+    unpivot is driver-free `stack`.  At 100 TB this is the pattern for
+    any number of columns: one pass, O(k^2) accumulators, zero extra
+    scans.  Reference parity: AggregateFunctions moment scope
+    (SURVEY §2B aggregation)."""
+    l = table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(12,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(dec[c]).alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [
+        F.sum(dec[a] * dec[b]).alias(f"s_{a}_{b}")
+        for a, b in _CORR_PAIRS + [(c, c) for c in _CORR_COLS]
+    ]
+    m = l.agg(*aggs)
+
+    def corr9(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        saa = F.col(f"s_{a}_{a}").cast("double")
+        sbb = F.col(f"s_{b}_{b}").cast("double")
+        return F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            9,
+        )
+
+    stack_args = []
+    for a, b in _CORR_PAIRS:
+        stack_args += [F.lit(a), F.lit(b), corr9(a, b)]
+    return m.select(
+        F.stack(F.lit(len(_CORR_PAIRS)), *stack_args).alias(
+            "col_a", "col_b", "corr9"
+        )
+    )

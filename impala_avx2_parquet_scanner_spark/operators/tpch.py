@@ -392,3 +392,63 @@ for _k in (1, 5, 10, 15, 25, 40, 50):
     _pct = _k * 2
     query(f"selectivity_{_pct:03d}", oracle=_SEL_ORACLE.format(k=_k),
           tags=("scan", "selectivity"), bench=True)(_selectivity_query(_k, _pct))
+
+
+def _materialize_sorted_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once rewrite of lineitem range-partitioned + sorted on
+    l_quantity through the engine's own sorted sink (write_sorted_parquet
+    — dictionary encoding + tight per-file/row-group min-max stats), the
+    Spark-native analog of the reference's predicate-on-encoded-sorted-
+    data headline claim (README.md:15-22, dict-encoding.h:393-406)."""
+    import hashlib
+    import os
+
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        write_sorted_parquet,
+    )
+
+    ensure_runtime_confs(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_sorted", key, "lineitem_qty")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_sorted_parquet(
+            table(spark, sf_dir, "lineitem"), path, ("l_quantity",),
+            num_files=16,
+        )
+    return path
+
+
+def _selectivity_sorted_query(threshold: int, pct: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        path = _materialize_sorted_lineitem(spark, sf_dir)
+        l = spark.read.parquet(os.path.join(path, "*.parquet"))
+        return l.filter(F.col("l_quantity") <= threshold).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            sum_dbl(dec_price("l_extendedprice"), "sum_price"),
+        )
+
+    fn.__name__ = f"selectivity_sorted_{pct}"
+    fn.__doc__ = (
+        "Selectivity sweep over the SORTED dictionary-encoded lineitem "
+        f"rewrite: the same pushed l_quantity <= {threshold} range "
+        f"predicate (~{pct}% selective) now lands on data whose row-group/"
+        "page min-max stats are disjoint in the filter column, so the "
+        "reader skips whole row groups — the layout half of the "
+        "reference's predicate-on-encoded-data claim (README.md:15-22).  "
+        "The oracle replays the aggregate on the stock lineitem: the "
+        "rewrite is value-identical, so a hash match ALSO certifies the "
+        "sorted sink round-trip."
+    )
+    return fn
+
+
+# Three sweep points bracket the curve: the 2% point is where row-group
+# skipping pays (most files pruned), 20% mid-curve, 100% shows the rewrite
+# costs nothing when nothing can be skipped.
+for _k, _pct in ((1, 2), (10, 20), (50, 100)):
+    query(f"selectivity_sorted_{_pct:03d}", oracle=_SEL_ORACLE.format(k=_k),
+          tags=("scan", "selectivity", "sorted", "layout"), bench=True)(
+        _selectivity_sorted_query(_k, _pct))

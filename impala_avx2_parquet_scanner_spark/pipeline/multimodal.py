@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -580,13 +581,18 @@ def _features(
         return None  # unsupported codec → null features (see extract_features)
     try:
         return fn(bytes(payload))
-    except Exception:
+    except (ValueError, NotImplementedError, struct.error, IndexError,
+            KeyError, EOFError, zlib.error) as exc:
         # Corrupt payload: a 100 TB corpus always contains some — one bad
         # file must not kill the scan.  Lenient mode quarantines it as
         # features=NULL (payload_bytes/sha still identify the row for
         # triage); require_codecs=True keeps the strict fail-fast contract.
+        # Only the decode-failure types the codecs actually raise are
+        # quarantined — a TypeError/NameError is a codec BUG and must
+        # surface, not silently null out a column.
         if strict:
             raise
+        del exc
         return None
 
 
@@ -1172,17 +1178,36 @@ def _register_inventory_query() -> None:
     from impala_avx2_parquet_scanner_spark.registry import query
 
     RATE = 8000
+    # MPEG-1 Layer III @ 44100 Hz, 128 kbps, no padding: frame length
+    # = 144 * 128000 // 44100 = 417 bytes; per-frame duration
+    # = 1_000_000 * 1152 // 44100 = 26122 µs (both exactly the probe's
+    # integer arithmetic, so the oracle replays them in SQL).
+    MP3_SR, MP3_FLEN, MP3_US = 44100, 417, 26122
 
     oracle = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 AS route,
+         octet_length(encode(text)) AS len
+  FROM documents
+  WHERE octet_length(encode(text)) >= 2
+)
 SELECT doc_id,
-       'wav' AS media_format,
-       CAST({RATE} AS BIGINT) AS sample_rate,
-       CAST(1 AS BIGINT) AS channels,
-       CAST((octet_length(encode(text)) // 2) * 2 AS BIGINT) AS data_bytes,
-       CAST(1000 * ((octet_length(encode(text)) // 2) * 2) // {RATE * 2} AS BIGINT)
-         AS duration_ms
-FROM documents
-WHERE octet_length(encode(text)) >= 2
+       CASE route WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' ELSE 'mp4' END
+         AS media_format,
+       CAST(CASE route WHEN 0 THEN {RATE} WHEN 1 THEN {MP3_SR} END AS BIGINT)
+         AS sample_rate,
+       CAST(CASE route WHEN 0 THEN 1 END AS BIGINT) AS channels,
+       CAST(CASE route WHEN 0 THEN (len // 2) * 2 END AS BIGINT) AS data_bytes,
+       CAST(CASE route
+              WHEN 0 THEN 1000 * ((len // 2) * 2) // {RATE * 2}
+              WHEN 1 THEN ((1 + (len % 7)) * {MP3_US}) // 1000
+              ELSE len
+            END AS BIGINT) AS duration_ms,
+       CAST(CASE route WHEN 1 THEN 1 + (len % 7) END AS BIGINT) AS n_frames,
+       CAST(CASE route WHEN 2 THEN (len % 1920) + 16 END AS BIGINT) AS width,
+       CAST(CASE route WHEN 2 THEN (len % 1080) + 16 END AS BIGINT) AS height
+FROM d
 """
 
     @query(
@@ -1191,15 +1216,20 @@ WHERE octet_length(encode(text)) >= 2
         tags=("pipeline", "multimodal", "probe", "pandas_udf"),
     )
     def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Media-inventory pass, value-verified end-to-end: each document's
-        bytes are wrapped as a REAL PCM16 WAV payload (text bytes become
-        samples) inside the Arrow batch, then `probe_media` parses the
-        container it just built — format identification, fmt-chunk fields,
-        data length, duration — exactly what the ingest inventory does
-        before routing assets to decoders.  Because the payload derives
-        from the text, DuckDB replays every probed field arithmetically
-        from the base table: a hash match proves the RIFF writer AND the
-        probe's chunk walk agree with the spec'd layout byte-for-byte.
+        """Media-inventory pass, value-verified end-to-end across all
+        three container probes: each document's bytes are wrapped —
+        routed by `doc_id % 3` — as a REAL PCM16 WAV payload (text bytes
+        become samples), a spec-exact MPEG-1 Layer III frame train, or an
+        ISO BMFF mp4 (`ftyp` + `moov`/`mvhd`/`trak`/`tkhd` boxes with
+        timescale, duration and 16.16 fixed-point dims derived from the
+        text length), all inside the Arrow batch; then `probe_media`
+        parses the container it just built — format identification,
+        fmt-chunk fields / frame walk / box walk — exactly what the
+        ingest inventory does before routing assets to decoders.
+        Because every payload derives from the text, DuckDB replays every
+        probed field arithmetically from the base table: a hash match
+        proves the three container writers AND the probe's walks agree
+        with the spec'd layouts byte-for-byte.
 
         Scale: pure mapInPandas streaming (no shuffle at all); probe cost
         is header-bounded per payload regardless of media size."""
@@ -1211,36 +1241,68 @@ WHERE octet_length(encode(text)) >= 2
                 StructField("channels", LongType(), True),
                 StructField("data_bytes", LongType(), True),
                 StructField("duration_ms", LongType(), True),
+                StructField("n_frames", LongType(), True),
+                StructField("width", LongType(), True),
+                StructField("height", LongType(), True),
             ]
         )
+        cols = [f.name for f in schema.fields]
+
+        def box(btype: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+        def make_mp3(n_frames: int) -> bytes:
+            # sync 0xFFFB = MPEG-1 Layer III; 0x90 = bitrate idx 9
+            # (128 kbps), sample-rate idx 0 (44100), no padding
+            frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (MP3_FLEN - 4)
+            return frame * n_frames
+
+        def make_mp4(duration_ms: int, width: int, height: int) -> bytes:
+            ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00")
+            mvhd = box(
+                b"mvhd",
+                b"\x00\x00\x00\x00" + b"\x00" * 8  # v0 + ctime/mtime
+                + struct.pack(">II", 1000, duration_ms),  # timescale, dur
+            )
+            tkhd = box(
+                b"tkhd",
+                b"\x00" * 76 + struct.pack(">II", width << 16, height << 16),
+            )
+            return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     b = bytes(payload)
-                    n = (len(b) // 2) * 2
-                    if n < 2:
+                    if len(b) < 2:
                         continue
-                    samples = np.frombuffer(b[:n], dtype="<i2")
-                    meta = probe_media(encode_wav_pcm16(samples, RATE))
+                    route = doc_id % 3
+                    if route == 0:
+                        n = (len(b) // 2) * 2
+                        samples = np.frombuffer(b[:n], dtype="<i2")
+                        media = encode_wav_pcm16(samples, RATE)
+                    elif route == 1:
+                        media = make_mp3(1 + (len(b) % 7))
+                    else:
+                        media = make_mp4(
+                            len(b), (len(b) % 1920) + 16, (len(b) % 1080) + 16
+                        )
+                    meta = probe_media(media)
                     rows.append(
                         (
                             doc_id,
                             meta["format"],
-                            meta["sample_rate"],
-                            meta["channels"],
-                            meta["data_bytes"],
-                            meta["duration_ms"],
+                            meta.get("sample_rate"),
+                            meta.get("channels"),
+                            meta.get("data_bytes"),
+                            meta.get("duration_ms"),
+                            meta.get("n_frames"),
+                            meta.get("width"),
+                            meta.get("height"),
                         )
                     )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "doc_id", "media_format", "sample_rate",
-                        "channels", "data_bytes", "duration_ms",
-                    ],
-                )
+                yield pd.DataFrame(rows, columns=cols)
 
         d = table(spark, sf_dir, "documents").select(
             "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")

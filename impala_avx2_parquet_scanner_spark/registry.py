@@ -43,17 +43,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: prefix so they sort into the driver's window.  Every other query keeps
 #: its plain name and remains covered by tools/parity.py + pytest.
 #:
-#: ROUND-4 ROTATION: rounds 1-3 held a fixed representative window; with
-#: that set three-times green, round 4 swaps in 35 never-driver-checked
-#: queries (the derived-partsupp TPC-H quartet + q16/q21, the pred_le/ge/
-#: is_null SimplePredicates twins, the window/text/dedup/events/sampling
-#: families, and the new partition-pruned scan) while keeping 15 sentinels
-#: from the round-3 window (one per §2 family, including every query that
-#: was driver-red in rounds 1-2) so regressions in already-proven paths
-#: stay visible.  Over rounds this converts parity-green into driver-green
-#: across the whole registry.
+#: ROUND-5 ROTATION: keeps the same 15 sentinels as round 4 (one per §2
+#: family, including every query that was ever driver-red) and swaps in 35
+#: never-driver-hashed queries: the 13 session-3 additions (bucketed/skew/
+#: asof-nearest joins, sliding median, interval union, RFM, URL/VARIANT
+#: functions, native-HLL / KMV-intersect / weighted-median aggregates,
+#: blocked edit distance, LATERAL top-k), dedup_containment (plan rewritten
+#: in round 4 — hash-grade re-verification due), agg_corr_matrix (never
+#: hashed), the six remaining window-function queries, the format round-trip
+#: family (CSV/JSON/ORC/Avro/sorted-sink/custom-DSv2-pushdown), recursive
+#: SQL + UDTF, fn_regex / fn_nested_array, TF-IDF + chunking, stratified
+#: sampling, and the multimodal inventory.  Over rounds this converts
+#: parity-green into driver-green across the whole registry (ROTATION.md is
+#: the ledger).
 CORE_WINDOW: tuple[str, ...] = (
-    # ---- 15 sentinels retained from the round-3 window ----
+    # ---- 15 sentinels retained from the round-4 window ----
     "tpch_q1",
     "tpch_q6",
     "pred_eq",
@@ -70,54 +74,53 @@ CORE_WINDOW: tuple[str, ...] = (
     "multimodal_features",
     "udf_pandas_scalar",
     # ---- 35 rotated in for first driver-hash signal ----
-    # TPC-H shapes added in round 3 (derived partsupp + not-exists/anti)
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    # the literal SimplePredicates contract rows (simple-predicates.h:30-205)
-    "pred_le",
-    "pred_ge",
-    "pred_is_null",
-    # window family breadth (frames, IGNORE NULLS, gaps-islands, features)
-    "window_lag_lead",
-    "window_ignore_nulls",
-    "window_gaps_islands",
-    "window_trailing_features",
-    # set ops / subqueries
-    "set_intersect_all",
-    "subq_not_in",
-    # scalar-function families (decimal arithmetic, date arith, try_/ANSI)
-    "fn_decimal",
-    "fn_datearith",
-    "fn_try",
-    # text pipeline heavy-hitters
-    "text_bpe_train",
-    "text_bm25_topk",
-    # dedup scale paths (winnowing fingerprints, semantic/SemDeDup)
-    "dedup_winnowing",
-    "dedup_semantic",
-    # aggregation: OLS moments, mergeable KMV sketch, grouping sets
-    "agg_ols_regression",
-    "agg_kmv_merge",
-    "agg_grouping_sets",
-    # events / time-series family
-    "events_ohlc",
-    "events_ab_lift",
-    "events_path_transitions",
-    # CDC / SCD2 / point-in-time
-    "merge_cdc_snapshot",
-    "join_scd2_pit",
-    # pipeline: multimodal frame hashing, weighted sampling, PQ-ADC ANN,
-    # pagerank fixed-point
-    "multimodal_frame_dedup",
-    "sample_weighted",
-    "ann_pq_adc_topk",
-    "graph_pagerank",
-    # partition-pruned scan layout (new in round 4)
-    "scan_partition_pruned",
+    # session-3 joins: zero-exchange co-located bucketed SMJ, salted skew
+    # join, nearest-direction as-of
+    "join_bucketed_colocated",
+    "join_skew_salted",
+    "join_asof_nearest",
+    # session-3 windows / events / functions / aggregates / dedup / SQL
+    "window_sliding_median",
+    "events_interval_union",
+    "events_rfm",
+    "fn_url_parse",
+    "fn_variant_path",
+    "agg_hll_native",
+    "agg_kmv_intersect",
+    "agg_weighted_median",
+    "dedup_edit_distance",
+    "sql_lateral_topk",
+    # plan rewritten in round 4 (posexplode+lead codegen shingles) → re-hash
+    "dedup_containment",
+    # registered after round 4's final verification pass → first hash
+    "agg_corr_matrix",
+    # window-function breadth: the six never-hashed window queries
+    "window_count_distinct",
+    "window_nulls_order",
+    "window_dist_functions",
+    "window_value_functions",
+    "window_ewma",
+    "window_ntile_share",
+    # multi-format layout round-trips (lossy/round-trip paths where local
+    # failure would be least visible)
+    "scan_avro_roundtrip",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_json_roundtrip",
+    "sink_sorted_roundtrip",
+    "scan_custom_datasource_pushdown",
+    # SQL surface: recursive CTE + table-function lateral
+    "sql_recursive",
+    "udtf_split_words",
+    # scalar-function families: regex + nested array HOFs
+    "fn_regex",
+    "fn_nested_array",
+    # text pipeline: TF-IDF ranking + overlapping chunker
+    "text_tfidf_topk",
+    "text_chunk_overlap",
+    # stratified sampling + multimodal inventory (mp3/mp4 probes)
+    "sample_stratified",
+    "multimodal_inventory",
 )
 
 _EXPORT_PREFIX = "a0_"

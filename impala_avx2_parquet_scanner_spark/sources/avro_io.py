@@ -416,9 +416,18 @@ class AvroDirReader(DataSourceReader):
         self.n_parts = int(options.get("numPartitions", "8"))
 
     def partitions(self):
-        files = sorted(
-            f for f in os.listdir(self.dir) if f.endswith(".avro")
-        )
+        # A committed directory is sealed by the _DONE manifest: read only
+        # the files it lists, so stray parts from a crashed earlier write
+        # attempt are invisible (parquet _SUCCESS visibility semantics).
+        # An unmanifested directory (user-populated) falls back to *.avro.
+        done = os.path.join(self.dir, "_DONE")
+        if os.path.exists(done):
+            with open(done) as fh:
+                files = sorted(f for f in fh.read().split("\n") if f)
+        else:
+            files = sorted(
+                f for f in os.listdir(self.dir) if f.endswith(".avro")
+            )
         batches: list[list[str]] = [
             [] for _ in range(min(self.n_parts, max(len(files), 1)))
         ]
@@ -488,13 +497,27 @@ class AvroDataSource(DataSource):
         return "avrodir"
 
     def schema(self):
-        # planning-time schema discovery: read the first file's header
+        # planning-time schema discovery: parse the first file's header,
+        # growing the probe window until the header parses completely (a
+        # schema JSON can exceed any fixed prefix size).
         d = self.options.get("path")
         files = sorted(f for f in os.listdir(d) if f.endswith(".avro"))
         if not files:
             raise ValueError(f"avrodir: no .avro files under {d}")
-        with open(os.path.join(d, files[0]), "rb") as fh:
-            return avro_schema_to_ddl(read_avro_schema(fh.read(4096)))
+        path = os.path.join(d, files[0])
+        size, probe = os.path.getsize(path), 4096
+        with open(path, "rb") as fh:
+            while True:
+                fh.seek(0)
+                payload = fh.read(probe)
+                try:
+                    return avro_schema_to_ddl(read_avro_schema(payload))
+                except (IndexError, ValueError):
+                    if probe >= size:
+                        raise ValueError(
+                            f"avrodir: cannot parse container header of {path}"
+                        )
+                    probe *= 4
 
     def reader(self, schema):
         return AvroDirReader(self.options)
@@ -510,6 +533,17 @@ class AvroDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 
+def _clear_unsealed(path: str) -> None:
+    """A cache directory without the `_DONE` manifest is a crashed prior
+    write attempt: remove its stray part files so the re-materialization
+    starts clean (the reader also ignores unmanifested parts, but leaving
+    them would grow the directory on every retry)."""
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_DONE")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _materialize_avro(spark: SparkSession, sf_dir: str) -> str:
     from impala_avx2_parquet_scanner_spark.catalog import table
     from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
@@ -518,6 +552,7 @@ def _materialize_avro(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join("/tmp/spark_graft_formats", key, "lineitem_avro")
     if not os.path.exists(os.path.join(path, "_DONE")):
+        _clear_unsealed(path)
         try:
             spark.dataSource.register(AvroDataSource)
         except Exception:  # already registered on this session
@@ -575,6 +610,7 @@ def _materialize_avro_temporal(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join("/tmp/spark_graft_formats", key, "lineitem_avro_temporal")
     if not os.path.exists(os.path.join(path, "_DONE")):
+        _clear_unsealed(path)
         try:
             spark.dataSource.register(AvroDataSource)
         except Exception:

@@ -290,3 +290,48 @@ def test_nested_schema_pruning_and_predicate_pushdown(spark, sf_dir):
     assert "lang" in schema and "source" in schema
     filters = " ".join(pushed_filters(df))
     assert "meta.lang" in filters  # nested predicate reached the scan
+
+
+def test_sorted_rewrite_enables_row_group_skipping(spark, sf_dir):
+    """The sorted lineitem rewrite (selectivity_sorted_* sweep) must (a)
+    keep the range predicate pushed to the scan and (b) produce a layout
+    whose row-group min/max statistics on l_quantity are tight enough that
+    the 2%-selective predicate can skip most row groups — the layout half
+    of the reference's predicate-on-encoded-sorted-data headline
+    (README.md:15-22, dict-encoding.h:393-406).  Skippability is asserted
+    from the parquet footers themselves (the same stats Spark's reader
+    uses for row-group filtering)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from impala_avx2_parquet_scanner_spark.operators.tpch import (
+        _materialize_sorted_lineitem,
+    )
+    from impala_avx2_parquet_scanner_spark.plans import pushed_filters
+
+    path = _materialize_sorted_lineitem(spark, sf_dir)
+    df = spark.read.parquet(os.path.join(path, "*.parquet")).filter(
+        F.col("l_quantity") <= 1
+    )
+    filters = " ".join(pushed_filters(df))
+    assert "l_quantity" in filters and ("LessThanOrEqual" in filters or "<=" in filters)
+
+    total, skippable = 0, 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_quantity"
+            )
+            total += 1
+            assert col.statistics is not None and col.statistics.has_min_max
+            if col.statistics.min > 1:
+                skippable += 1
+    # 16 range-partitioned files over quantity 1..50: all but the lowest
+    # band must be skippable for the <=1 predicate.
+    assert total >= 8
+    assert skippable >= total * 3 // 4, (skippable, total)

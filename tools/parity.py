@@ -145,6 +145,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        finally:
+            # Several queries persist() intermediates that only unpersist
+            # with the session; over a 255-query sweep those cached blocks
+            # accumulate (driver ADVICE r4) — drop them once the terminal
+            # action has materialized the result.
+            spark.catalog.clearCache()
         if spec.oracle is None:
             print(f"okNA {name}: rows={len(spark_pdf)} (no oracle) {time.time()-t0:.1f}s")
             if len(spark_pdf) == 0 and "empty_ok" not in spec.tags:

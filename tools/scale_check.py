@@ -154,6 +154,52 @@ def _synth_documents_10x(spark, base_sf: str) -> str:
     return out_dir
 
 
+#: embeddings-table stress: dedup_semantic's codebook k = N/64 grows WITH
+#: the corpus, so its in-cell assignment term is the one to watch (VERDICT
+#: r4 #6) — a 16x synthesized decade makes the growth visible.
+EMB_STRESS = ["dedup_semantic", "ann_ivf_topk"]
+
+
+def _synth_embeddings_16x(spark, base_sf: str) -> str:
+    """Materialize a corpus with 16x the embeddings of `base_sf` under
+    /tmp (write-once) and return a dir usable as an sf_dir: embeddings is
+    the replicated table, every other table symlinks to the base.
+
+    Replicas get disjoint vec_id ranges and a small deterministic
+    per-replica scale perturbation (cosine-invariant per vector, so
+    replicas are semantic near-duplicates of the originals — the
+    realistic growth mode SemDeDup exists for)."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import TABLES, table
+
+    out_dir = "/tmp/spark_graft_scale_emb16"
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        os.makedirs(out_dir, exist_ok=True)
+        base = table(spark, base_sf, "embeddings")
+        n = base.count()
+        replicas = None
+        for i in range(16):
+            scale = F.lit(float(1.0 + 0.001 * i)).cast("float")
+            r = base.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                F.transform(F.col("embedding"), lambda x: (x * scale).cast("float")).alias(
+                    "embedding"
+                ),
+                "label",
+            )
+            replicas = r if replicas is None else replicas.unionByName(r)
+        replicas.repartition(32).write.mode("overwrite").parquet(emb_path)
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(base_sf, f"{t}.parquet"), link)
+    return out_dir
+
+
 def main() -> int:
     if len(sys.argv) >= 3:
         sf_a, sf_b = sys.argv[1], sys.argv[2]
@@ -229,6 +275,37 @@ def main() -> int:
         print(f"Tail super-linear (investigate): {', '.join(tail_flagged)}")
     else:
         print("Tail queries stay at or below input growth across the extra decade.")
+
+    # ---- embeddings decade: synthetic 16x vectors for the growing-codebook
+    # queries (dedup_semantic's k = N/64 grows with the corpus)
+    print()
+    print("## Embeddings stress — 16x vectors (sf0.1 embeddings × 16, synthetic)")
+    print()
+    print("dedup_semantic's centroid count k = N/64 grows with the corpus, so")
+    print("its in-cell assignment term is the one to watch; ann_ivf_topk rides")
+    print("along as the fixed-k control.  Replicas are cosine-preserving")
+    print("near-duplicates with disjoint vec_ids.")
+    print()
+    print("| query | sf0.1 s | 16x-emb s | time x (data 16x) |")
+    print("|---|---|---|---|")
+    emb_dir = _synth_embeddings_16x(spark, sf_b)
+    _warm_tables(spark, [emb_dir])
+    emb_flagged: list[str] = []
+    for name in EMB_STRESS:
+        _run(spark, name, emb_dir)  # warm plan at the big scale, untimed
+        tb = _run(spark, name, sf_b)
+        tc = _run(spark, name, emb_dir)
+        r = tc / tb if tb > 0 else float("inf")
+        mark = ""
+        if r > 16:
+            mark = " ⚠"
+            emb_flagged.append(name)
+        print(f"| {name} | {tb:.2f} | {tc:.2f} | {r:.1f}x{mark} |")
+    print()
+    if emb_flagged:
+        print(f"Embeddings super-linear (investigate): {', '.join(emb_flagged)}")
+    else:
+        print("Embeddings queries stay at or below input growth across the 16x decade.")
     spark.stop()
     return 0
 

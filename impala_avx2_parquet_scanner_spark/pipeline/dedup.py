@@ -912,3 +912,98 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate-segment removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+#: Segment width in tokens — the "paragraph" unit for cross-doc boilerplate
+#: counting (CCNet removes duplicated *lines* across shards; this corpus is
+#: unpunctuated, so fixed 16-token windows stand in for lines).
+BOILER_SEG_W = 16
+#: A segment present in >= this many DISTINCT documents is boilerplate.
+BOILER_MIN_DOCS = 2
+
+_BOILER_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS seg_ix,
+         array_to_string(
+           toks[CAST(j*{BOILER_SEG_W}+1 AS BIGINT):CAST(j*{BOILER_SEG_W}+{BOILER_SEG_W} AS BIGINT)],
+           ' ') AS seg_text
+  FROM d, LATERAL unnest(range(0, CAST(ceil(len(toks)/{BOILER_SEG_W}.0) AS BIGINT))) AS t(j)
+),
+c AS (SELECT seg_text, COUNT(DISTINCT doc_id) AS ndocs FROM seg GROUP BY 1)
+SELECT seg.doc_id,
+       COALESCE(string_agg(CASE WHEN c.ndocs < {BOILER_MIN_DOCS} THEN seg.seg_text END,
+                           ' ' ORDER BY seg.seg_ix), '') AS clean_text,
+       COUNT(*) FILTER (c.ndocs < {BOILER_MIN_DOCS}) AS n_kept,
+       COUNT(*) FILTER (c.ndocs >= {BOILER_MIN_DOCS}) AS n_dropped
+FROM seg JOIN c USING (seg_text)
+GROUP BY seg.doc_id
+"""
+
+
+@query(
+    "dedup_boilerplate_segments",
+    oracle=_BOILER_ORACLE,
+    tags=("dedup", "text", "pipeline"),
+)
+def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet, Wenzek et al. 2020,
+    public): count each fixed-width token segment's distinct-document
+    frequency across the WHOLE corpus, drop segments that appear in
+    >= BOILER_MIN_DOCS documents (headers/footers/licence blocks — the
+    stuff exact- and near-dup dedup both miss because the *documents*
+    differ), and re-emit each document's cleaned text in original
+    segment order plus kept/dropped counts.
+
+    Plan shape for 100 TB: segmentation is posexplode + integer-division
+    grouping (whole-stage codegen, no interpreted HOF over the token
+    array — the dedup_containment lesson, MICROBENCH.md); the global
+    frequency table is a hash groupBy keyed on the segment text, exactly
+    as partition-parallel as the corpus; the segment->count join is
+    shuffle-on-segment (both sides already keyed); document rebuild is
+    one groupBy(doc_id) with an in-group sort of O(doc segments).  No
+    broadcast of anything corpus-sized, no driver-side state, 3 keyed
+    shuffles total.  Reference parity: none (no text pipeline in the
+    reference) — north-star training-data scope (SURVEY §7 phase 5)."""
+    toks = F.split(F.col("text"), " ")
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    seg = (
+        t.withColumn("seg_ix", (F.col("pos") / BOILER_SEG_W).cast("long"))
+        .groupBy("doc_id", "seg_ix")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("seg_text")
+        )
+    )
+    counts = seg.groupBy("seg_text").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    keep = F.col("ndocs") < BOILER_MIN_DOCS
+    flagged = seg.join(counts, "seg_text").select(
+        "doc_id",
+        "seg_ix",
+        F.when(keep, F.col("seg_text")).alias("kept_seg"),
+        keep.cast("int").alias("is_kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_ix", "kept_seg"))),
+                lambda s: s.kept_seg,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("is_kept").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("is_kept")).alias("n_dropped"),
+    )

@@ -393,6 +393,59 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_METADATA_COLS_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_orderkey) AS min_okey,
+       MAX(l_orderkey) AS max_okey,
+       TRUE AS path_has_partition_token,
+       TRUE AS files_named_like_parts
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_metadata_cols",
+    oracle=_METADATA_COLS_ORACLE,
+    tags=("scan", "metadata", "partition"),
+)
+def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file-provenance columns: every row of the
+    partitioned lineitem layout is read together with the FILE it came
+    from (`_metadata.file_path` / `file_name` — Spark's per-file analog
+    of the reference's scan-range → partition-descriptor plumbing,
+    hdfs-parquet-scanner.cc:111-115, descriptors.h:154-262).
+
+    Oracle discipline: file names are layout-dependent, so the
+    hash-checked columns are (a) per-partition row counts and key spans
+    (derivable from the base table) and (b) two INVARIANTS computed from
+    the metadata columns on every row — each row's file_path contains
+    its own partition's directory token (`l_returnflag=<v>`), and every
+    file_name matches Spark's `part-*.parquet` naming.  A single
+    misrouted row (provenance pointing at the wrong partition file)
+    flips a boolean and fails the hash.  The per-file row distribution
+    itself is asserted against a directory listing in
+    tests/test_pushdown_plans.py."""
+    path = partitioned_lineitem_path(spark, sf_dir)
+    rows = spark.read.parquet(path).select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_name").alias("fn"),
+    )
+    token = F.concat(F.lit("/l_returnflag="), F.col("l_returnflag"), F.lit("/"))
+    return rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_okey"),
+        F.max("l_orderkey").alias("max_okey"),
+        F.every(F.col("fp").contains(token)).alias("path_has_partition_token"),
+        F.every(F.col("fn").rlike(r"^part-.*\.parquet$")).alias(
+            "files_named_like_parts"
+        ),
+    )
+
+
 #: (table, columns) for the footer-integrity check — the documented
 #: fixture schema (TESTDATA.md); flat columns only (a list leaf's footer
 #: num_values counts elements, not rows, so embeddings is excluded).

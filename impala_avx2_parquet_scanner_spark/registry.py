@@ -51,7 +51,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: blocked edit distance, LATERAL top-k), dedup_containment (plan rewritten
 #: in round 4 — hash-grade re-verification due), agg_corr_matrix (never
 #: hashed), the six remaining window-function queries, the format round-trip
-#: family (CSV/JSON/ORC/Avro/sorted-sink/custom-DSv2-pushdown), recursive
+#: family (JSON/ORC/Avro/sorted-sink/custom-DSv2-pushdown; CSV deferred to
+#: round 6 for the FLE kernel pipeline), recursive
 #: SQL + UDTF, fn_regex / fn_nested_array, TF-IDF + chunking, stratified
 #: sampling, and the multimodal inventory.  Over rounds this converts
 #: parity-green into driver-green across the whole registry (ROTATION.md is
@@ -104,7 +105,6 @@ CORE_WINDOW: tuple[str, ...] = (
     # multi-format layout round-trips (lossy/round-trip paths where local
     # failure would be least visible)
     "scan_avro_roundtrip",
-    "scan_csv_roundtrip",
     "scan_orc_roundtrip",
     "scan_json_roundtrip",
     "sink_sorted_roundtrip",
@@ -121,6 +121,10 @@ CORE_WINDOW: tuple[str, ...] = (
     # stratified sampling + multimodal inventory (mp3/mp4 probes)
     "sample_stratified",
     "multimodal_inventory",
+    # the FLE bit-sliced kernel pipeline (round-5 flagship addition;
+    # scan_csv_roundtrip deferred to round 6 — the format family stays
+    # represented by the avro/orc/json/sorted round-trips)
+    "scan_fle_kernels",
 )
 
 _EXPORT_PREFIX = "a0_"

@@ -402,6 +402,10 @@ SELECT l_returnflag,
        CAST(COUNT(*) FILTER (l_quantity < 2) AS BIGINT) AS n_lt2,
        CAST(COUNT(*) FILTER (l_quantity >= 49) AS BIGINT) AS n_ge49,
        CAST(COUNT(*) FILTER (l_quantity IN (1, 5, 10)) AS BIGINT) AS n_in,
+       CAST(COUNT(*) FILTER (NULLIF(l_quantity, 10) <= 25) AS BIGINT)
+         AS n_le25_nullable,
+       CAST(COUNT(*) FILTER (NULLIF(l_quantity, 10) IS NULL) AS BIGINT)
+         AS n_null,
        l_returnflag <= 'N' AS rf_le_n
 FROM lineitem
 GROUP BY l_returnflag
@@ -426,10 +430,17 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fle-encoding.h:7962-8313); group membership itself comes from
     dictionary-code Eq kernels, and the dictionary RANGE translation
     (binary-search literal → integer compare on codes, dict-encoding.h:
-    461-541) is pinned by the rf_le_n column.  Per-batch bitset
-    popcounts roll up through one map-side-combinable groupBy; the
-    DuckDB oracle recomputes every count from the raw rows — one wrong
-    bit in pack, kernel walk, or dictionary remap flips the hash.
+    461-541) is pinned by the rf_le_n column.  NULL semantics run
+    through the FLE definition-level path: a validity word per block
+    (pack_validity — the reference packs def levels with the same
+    encoder) is ANDed into every kernel, so a NULL row never satisfies
+    a predicate; the n_le25_nullable / n_null columns evaluate a
+    derived nullable column (NULLIF(l_quantity, 10)) kernel-side and
+    the oracle replays the SQL three-valued semantics.  Per-batch
+    bitset popcounts roll up through one map-side-combinable groupBy;
+    the DuckDB oracle recomputes every count from the raw rows — one
+    wrong bit in pack, kernel walk, dictionary remap, or def-level
+    mask flips the hash.
 
     Scale: encode+kernel work is embarrassingly per-batch (numpy word
     ops ≈ the AVX2 lanes), the only shuffle carries a few counter rows
@@ -444,12 +455,14 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         code_bound,
         fle_pack,
         order_preserving_codes,
+        pack_validity,
         popcount,
     )
 
     out_schema = (
         "l_returnflag string, n_rows long, n_le25 long, n_eq25 long, "
-        "n_gt40 long, n_lt2 long, n_ge49 long, n_in long, rf_le_n boolean"
+        "n_gt40 long, n_lt2 long, n_ge49 long, n_in long, "
+        "n_le25_nullable long, n_null long, rf_le_n boolean"
     )
 
     def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
@@ -457,6 +470,9 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
             qty = pdf["l_quantity"].to_numpy().astype(np.uint64)
             qplanes, qn = fle_pack(qty, 6)
             qk = FleKernels(qplanes, 6, qn)
+            # def-level path: NULLIF(l_quantity, 10) — validity words
+            # mask the NULL lanes out of every kernel
+            nk = FleKernels(qplanes, 6, qn, validity=pack_validity(qty != 10))
             preds = {
                 "n_le25": qk.le(25),
                 "n_eq25": qk.eq(25),
@@ -464,6 +480,8 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_lt2": qk.lt(2),
                 "n_ge49": qk.ge(49),
                 "n_in": qk.in_((1, 5, 10)),
+                "n_le25_nullable": nk.le(25),
+                "n_null": nk.is_null(),
             }
             rf = pdf["l_returnflag"].to_numpy()
             dictionary, codes = order_preserving_codes(rf)
@@ -489,7 +507,7 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
                         popcount(mask),
                         *(popcount(mask & preds[c]) for c in (
                             "n_le25", "n_eq25", "n_gt40", "n_lt2",
-                            "n_ge49", "n_in",
+                            "n_ge49", "n_in", "n_le25_nullable", "n_null",
                         )),
                         popcount(le_n) == popcount(mask),
                     )
@@ -498,7 +516,8 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "l_returnflag", "n_rows", "n_le25", "n_eq25", "n_gt40",
-                    "n_lt2", "n_ge49", "n_in", "rf_le_n",
+                    "n_lt2", "n_ge49", "n_in", "n_le25_nullable", "n_null",
+                    "rf_le_n",
                 ],
             )
 
@@ -509,7 +528,8 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = [
         F.sum(c).cast("long").alias(c)
-        for c in ("n_rows", "n_le25", "n_eq25", "n_gt40", "n_lt2", "n_ge49", "n_in")
+        for c in ("n_rows", "n_le25", "n_eq25", "n_gt40", "n_lt2",
+                  "n_ge49", "n_in", "n_le25_nullable", "n_null")
     ]
     return partials.groupBy("l_returnflag").agg(
         *sums, F.every("rf_le_n").alias("rf_le_n")

@@ -48,6 +48,8 @@ __all__ = [
     "fle_unpack",
     "fle_skip",
     "FleKernels",
+    "pack_validity",
+    "popcount",
     "order_preserving_codes",
     "code_bound",
 ]
@@ -121,16 +123,57 @@ class FleKernels:
     64b+i — computed with word-parallel boolean algebra only (no
     unpack).  `n` masks the final block's padding lanes to 0."""
 
-    def __init__(self, planes: np.ndarray, bit_width: int, n: int):
+    def __init__(
+        self,
+        planes: np.ndarray,
+        bit_width: int,
+        n: int,
+        validity: np.ndarray | None = None,
+    ):
+        """`validity` is the definition-level word array (one uint64 per
+        block, bit i = row 64b+i is non-NULL) — the FLE form of parquet
+        def levels (row 17/1 of the inventory; the reference packs them
+        with the same encoder, fle-encoding.h def-level path).  When
+        given, every comparison kernel ANDs it in: SQL comparison
+        semantics, a NULL row never satisfies any predicate."""
         self.planes = np.asarray(planes, dtype=_U64)
         self.bit_width = bit_width
         self.n = n
+        self.validity = (
+            None if validity is None else np.asarray(validity, dtype=_U64)
+        )
 
     def _tail_mask(self, bitset: np.ndarray) -> np.ndarray:
+        if self.validity is not None:
+            bitset = bitset & self.validity
         rem = self.n % _BLOCK
         if self.planes.shape[0] and rem:
             bitset[-1] &= (_U64(1) << _U64(rem)) - _U64(1)
         return bitset
+
+    def is_null(self) -> np.ndarray:
+        """IS NULL bitset from the validity words alone (no data planes
+        touched — the def-level-only read path)."""
+        nb = self.planes.shape[0]
+        base = (
+            np.zeros(nb, dtype=_U64)
+            if self.validity is None else ~self.validity
+        )
+        rem = self.n % _BLOCK
+        if nb and rem:
+            base[-1] &= (_U64(1) << _U64(rem)) - _U64(1)
+        return base
+
+    def is_not_null(self) -> np.ndarray:
+        nb = self.planes.shape[0]
+        base = (
+            np.full(nb, _ALL_ONES, dtype=_U64)
+            if self.validity is None else self.validity.copy()
+        )
+        rem = self.n % _BLOCK
+        if nb and rem:
+            base[-1] &= (_U64(1) << _U64(rem)) - _U64(1)
+        return base
 
     def _cmp(self, value: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One MSB→LSB plane walk producing (eq, lt, gt) word masks —
@@ -182,6 +225,21 @@ class FleKernels:
             e, _, _ = self._cmp(int(v))
             out |= e
         return self._tail_mask(out)
+
+
+def pack_validity(valid: np.ndarray) -> np.ndarray:
+    """Boolean validity vector → one uint64 word per 64-value block
+    (bit i of word b = row 64b+i is non-NULL): the def-level words
+    :class:`FleKernels` consumes.  Padding lanes pack as 0 (NULL), which
+    the kernels' tail mask already excludes."""
+    v = np.asarray(valid, dtype=bool).astype(_U64)
+    pad = (-v.size) % _BLOCK
+    if pad:
+        v = np.concatenate([v, np.zeros(pad, dtype=_U64)])
+    positions = np.arange(_BLOCK, dtype=_U64)
+    return np.bitwise_or.reduce(
+        v.reshape(-1, _BLOCK) << positions[None, :], axis=1
+    ).astype(_U64)
 
 
 def popcount(bitset: np.ndarray) -> int:

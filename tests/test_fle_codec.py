@@ -101,3 +101,35 @@ def test_order_preserving_dictionary_range_translation():
     d2, _ = order_preserving_codes(np.array([10, 30, 20, 10]))
     assert code_bound(d2, "gt", 20) == ("ge", 2)
     assert code_bound(d2, "le", 25) == ("le", 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n=st.integers(min_value=0, max_value=200),
+)
+def test_validity_mask_gives_sql_null_semantics(w, seed, n):
+    """Def-level (validity) words ANDed into every kernel = SQL
+    three-valued comparison semantics: NULL rows satisfy no predicate
+    and only is_null."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        pack_validity,
+    )
+
+    rng = np.random.default_rng(seed)
+    hi = (1 << w) - 1
+    v = rng.integers(0, hi + 1, size=n, dtype=np.uint64)
+    valid = rng.random(n) < 0.7
+    planes, nn = fle_pack(v, w)
+    k = FleKernels(planes, w, nn, validity=pack_validity(valid))
+    lit = int(rng.integers(0, hi + 1))
+    assert popcount(k.le(lit)) == int(((v <= lit) & valid).sum())
+    assert popcount(k.eq(lit)) == int(((v == lit) & valid).sum())
+    assert popcount(k.gt(lit)) == int(((v > lit) & valid).sum())
+    assert popcount(k.is_null()) == int((~valid).sum())
+    assert popcount(k.is_not_null()) == int(valid.sum())
+    # no-validity kernels treat every lane as defined
+    k2 = FleKernels(planes, w, nn)
+    assert popcount(k2.is_null()) == 0
+    assert popcount(k2.is_not_null()) == n

@@ -452,3 +452,55 @@ for _k, _pct in ((1, 2), (10, 20), (50, 100)):
     query(f"selectivity_sorted_{_pct:03d}", oracle=_SEL_ORACLE.format(k=_k),
           tags=("scan", "selectivity", "sorted", "layout"), bench=True)(
         _selectivity_sorted_query(_k, _pct))
+
+
+_ZORDER_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 5 AND l_discount >= 0.08
+"""
+
+
+@query(
+    "scan_zorder_pruned",
+    oracle=_ZORDER_ORACLE,
+    tags=("scan", "selectivity", "zorder", "layout"),
+)
+def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional range predicate over a Z-ORDERED lineitem rewrite:
+    the Morton-key layout (write_zordered_parquet — the 2-D
+    generalization of the reference's order-preserving dictionary trick,
+    dict-encoding.h:393-406) gives BOTH l_quantity and l_discount
+    spatial locality, so each file/row-group has a ~sqrt-sized min/max
+    span in each dimension and the conjunctive range predicate
+    (quantity <= 5 AND discount >= 0.08, ~2% selective) skips row groups
+    on either column — where a single-column sort helps only its own
+    column.  Both filters reach the scan as PushedFilters; the DuckDB
+    oracle replays the aggregate on the stock lineitem, so a hash match
+    also certifies the z-layout rewrite is value-lossless."""
+    import hashlib
+    import os
+
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        write_zordered_parquet,
+    )
+
+    ensure_runtime_confs(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_sorted", key, "lineitem_zorder")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_zordered_parquet(
+            table(spark, sf_dir, "lineitem"), path,
+            "l_quantity", "l_discount", num_files=16,
+        )
+    l = spark.read.parquet(os.path.join(path, "*.parquet"))
+    return l.filter(
+        (F.col("l_quantity") <= 5) & (F.col("l_discount") >= 0.08)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        sum_dbl(dec_price("l_extendedprice"), "sum_price"),
+        sum_dbl(F.col("l_quantity").cast("decimal(12,2)"), "sum_qty"),
+    )

@@ -363,3 +363,44 @@ def test_metadata_file_provenance_matches_directory(spark, sf_dir):
         for f in glob.glob(os.path.join(path, "*", "*.parquet"))
     }
     assert got == want and len(want) >= 3
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
+    """The Z-ordered rewrite must make row-group min/max spans tight in
+    BOTH interleaved columns: for the 2%-selective conjunctive predicate
+    (l_quantity <= 5 AND l_discount >= 0.08) a majority of row groups
+    must be skippable using either column's footer stats — the 2-D
+    pruning a single-column sort cannot give."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from impala_avx2_parquet_scanner_spark.operators.tpch import (
+        scan_zorder_pruned,
+    )
+    from impala_avx2_parquet_scanner_spark.plans import pushed_filters
+
+    df = scan_zorder_pruned(spark, sf_dir)  # also materializes the layout
+    filters = " ".join(pushed_filters(df))
+    assert "l_quantity" in filters and "l_discount" in filters
+
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_sorted", key, "lineitem_zorder")
+    total, skippable = 0, 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            stats = {}
+            for i in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(i)
+                if col.path_in_schema in ("l_quantity", "l_discount"):
+                    assert col.statistics is not None
+                    stats[col.path_in_schema] = col.statistics
+            total += 1
+            if stats["l_quantity"].min > 5 or stats["l_discount"].max < 0.08:
+                skippable += 1
+    assert total >= 8
+    assert skippable >= total // 2, (skippable, total)

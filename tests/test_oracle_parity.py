@@ -84,6 +84,13 @@ SAMPLE = [
     "multimodal_gif_roundtrip",
     "text_bpe_encode",
     "scan_avro_roundtrip",
+    # round-5 additions
+    "agg_corr_matrix",
+    "dedup_boilerplate_segments",
+    "scan_metadata_cols",
+    "scan_fle_kernels",
+    "selectivity_sorted_002",
+    "scan_zorder_pruned",
 ]
 
 

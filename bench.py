@@ -157,17 +157,22 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # Two timed executions per query, keep the faster: a single reading
-    # occasionally eats a GC pause / page-cache miss blip (observed +3x on
-    # one query in an otherwise idle run), and min-of-2 is the standard
-    # steady-state estimator.  Both runs execute the full plan.
+    # Min-of-N timed executions per query: a single reading occasionally
+    # eats a GC pause / page-cache miss blip (observed +3x on one query in
+    # an otherwise idle run).  Two reps baseline; queries living on the
+    # sub-half-second job floor get up to four more, because there a
+    # single scheduler hiccup IS the measurement (round-5's
+    # selectivity_080 ratio jumped 9.9->16.5 on an unchanged plan from
+    # exactly this noise).  Every rep executes the full plan.
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _rep in range(2):
+        reps = 0
+        while reps < 2 or (best < 0.5 and reps < 6):
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).collect()
             best = min(best, time.time() - t0)
+            reps += 1
         times[name] = round(best, 4)
 
     out = {
@@ -228,7 +233,34 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 out["scaled10x_error"] = str(exc)[:200]
 
+    # The driver records only the last ~2000 chars of stdout and parses
+    # the FINAL line as the round's JSON — r4/r5's single ever-growing
+    # line outgrew that buffer and front-truncated (BENCH_r05.json
+    # "parsed": null).  So: full detail goes to a file + the first line;
+    # the LAST line is a compact contract (metric/value/queries/floor/
+    # duckdb totals) that stays comfortably inside the buffer.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(out, fh)
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "spark_floor_sec": out.get("spark_floor_sec"),
+        "duckdb_total_sec": out.get("duckdb_total_sec"),
+        "scaled10x_ratio_vs_duckdb": out.get("scaled10x", {}).get(
+            "ratio_vs_duckdb"
+        ),
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never regress the tail-buffer contract
+        compact.pop("scaled10x_ratio_vs_duckdb", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
 from impala_avx2_parquet_scanner_spark.catalog import table
 from impala_avx2_parquet_scanner_spark.registry import query
 
@@ -787,7 +788,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("c_sum").cast("double").alias("bm25"), "c_sum")
     )
     rank = F.row_number().over(W.orderBy(F.desc("c_sum"), "doc_id"))
-    return top.withColumn("rank", rank).select("doc_id", "bm25", "rank")
+    out = top.withColumn("rank", rank).select("doc_id", "bm25", "rank")
+    return tie_unpersist(out, per_doc)
 
 
 _ENTROPY_ORACLE = """
@@ -932,7 +934,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back onto the vocabulary.  Rounds are unrolled like
     `ann_ivf_kmeans` / `graph_pagerank` — the fixed-iteration distributed-
     training loop pattern."""
-    merges = _bpe_learn_merges(spark, sf_dir)
+    merges, words = _bpe_learn_merges(spark, sf_dir)
     out = None
     for step, best in enumerate(merges, start=1):
         m = best.select(
@@ -943,7 +945,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count",
         )
         out = m if out is None else out.unionAll(m)
-    return out
+    return tie_unpersist(out, words)
 
 
 def _bpe_tokenize_expr(col):
@@ -969,10 +971,12 @@ def _bpe_apply_merge(seq_df: DataFrame, best: DataFrame) -> DataFrame:
 
 def _bpe_learn_merges(
     spark: SparkSession, sf_dir: str, words: DataFrame | None = None
-) -> list[DataFrame]:
-    """The BPE training loop: returns the per-round argmax-pair
-    DataFrames (each 1 row: x, y, pair_count), shared by the train and
-    encode queries.
+) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE training loop: returns (per-round argmax-pair DataFrames
+    — each 1 row: x, y, pair_count —, the persisted word table), shared
+    by the train and encode queries.  The caller ties the persisted word
+    table to its result's lifetime (`tie_unpersist`) so the cache is
+    released at the query boundary.
 
     The word-frequency table (vocabulary-sized, NOT corpus-sized) is
     persisted so the unrolled rounds re-read the cache instead of
@@ -1001,7 +1005,7 @@ def _bpe_learn_merges(
         best = _bpe_pair_argmax(vocab)
         merges.append(best)
         vocab = _bpe_apply_merge(vocab, best)
-    return merges
+    return merges, words
 
 
 _BPE_ENCODE_ORACLE = f"""
@@ -1065,7 +1069,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.sum("c").cast("bigint").alias("wcount"))
     )
-    merges = _bpe_learn_merges(spark, sf_dir, words=train_words)
+    merges, train_cached = _bpe_learn_merges(spark, sf_dir, words=train_words)
     seqs = dw.select("word").distinct().select(
         "word", _bpe_tokenize_expr(F.col("word")).alias("seq")
     )
@@ -1073,7 +1077,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs = _bpe_apply_merge(seqs, best)
     syms = F.filter(F.split(F.col("seq"), r"\|\|"), lambda s: s != F.lit(""))
     tokmap = seqs.select("word", F.size(syms).cast("bigint").alias("ntok"))
-    return (
+    out = (
         dw.join(tokmap, "word")
         .groupBy("doc_id")
         .agg(
@@ -1081,3 +1085,4 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("ntok")).cast("bigint").alias("n_bpe_tokens"),
         )
     )
+    return tie_unpersist(out, dw, train_cached)

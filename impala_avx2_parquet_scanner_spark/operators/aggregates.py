@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
 from impala_avx2_parquet_scanner_spark.catalog import table
 from impala_avx2_parquet_scanner_spark.exprs import dec_price, sum_dbl
 from impala_avx2_parquet_scanner_spark.registry import query
@@ -979,7 +980,7 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_i = F.round(
         F.col("n_both").cast("double") / F.col("k_used") * F.col("est_union"), 0
     ).cast("bigint")
-    return (
+    out = (
         stats.crossJoin(F.broadcast(n_both))
         .crossJoin(F.broadcast(exact))
         .select(
@@ -995,6 +996,7 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tolerance"),
         )
     )
+    return tie_unpersist(out, a, b)
 
 
 _WEIGHTED_MEDIAN_ORACLE = """

@@ -536,6 +536,64 @@ def scan_fle_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(NULLIF(CAST(l_quantity AS BIGINT), 10)) AS BIGINT)
+         AS n_present,
+       CAST(SUM(NULLIF(CAST(l_quantity AS BIGINT), 10)) AS BIGINT)
+         AS sum_qty,
+       CAST(MIN(NULLIF(CAST(l_quantity AS BIGINT), 10)) AS BIGINT)
+         AS min_qty,
+       CAST(MAX(NULLIF(CAST(l_quantity AS BIGINT), 10)) AS BIGINT)
+         AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_roundtrip",
+    oracle=_FLE_ROUNDTRIP_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource"),
+)
+def scan_fle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLE as an ON-DISK round-trip (the other half of `scan_fle_kernels`,
+    which pins the kernels in-plan): lineitem (l_returnflag,
+    NULLIF(l_quantity, 10)) is encoded into bit-plane-transposed `.fle`
+    segment files through the WRITER half of the registered `fledir`
+    DataSource (FleEncoder::Put/Flush → file, fle-encoding.h:8315-8365,
+    9806-9812) and read back through its READER half, which parses raw
+    file bytes and decodes via `fle_unpack` into Arrow batches
+    (FleDecoder::Get, fle-encoding.h:344-567).  The NULLIF derivation
+    makes the stored column genuinely nullable, so the validity words
+    (the reference packs def levels with the same encoder) round-trip
+    through file bytes too — n_present/sum/min/max all silently corrupt
+    if one validity bit flips.  The DuckDB oracle replays the aggregate
+    from the raw parquet rows: a hash match proves pack → serialize →
+    file → parse → unpack is the identity on every value AND every
+    null.
+
+    Scale: encode runs inside `mapInPandas` Arrow batches on executors;
+    each segment is an independent InputPartition on read; the only
+    shuffle carries one row per returnflag per partition."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = spark.read.format("fledir").option("path", path).load()
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_present"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 _METADATA_COLS_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

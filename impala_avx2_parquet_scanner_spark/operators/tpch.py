@@ -90,8 +90,12 @@ LIMIT 10
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority: 3-way join + aggregate + top-10.
 
-    customer is 1/30 the size of lineitem — broadcast it; orders↔lineitem
-    shuffle-joins on the key both sides already aggregate on."""
+    customer grows with SF, so no pinned broadcast hint: AQE picks
+    broadcast while the filtered build fits autoBroadcastJoinThreshold and
+    degrades to shuffle joins at cluster scale (the reference likewise
+    builds its runtime filter from a *partitioned* hash join,
+    hdfs-parquet-scanner.cc:260-263). orders↔lineitem shuffle-joins on the
+    key both sides already aggregate on."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
@@ -101,7 +105,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum_dbl(disc_price(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -129,8 +133,11 @@ GROUP BY n_name
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local supplier volume: 6-table multiway join.
 
-    nation/region/supplier are tiny → broadcast; the single shuffle is
-    orders↔lineitem on orderkey, then customer joins on custkey."""
+    nation/region are fixed-size (25/5 rows) → pinned broadcast;
+    supplier/customer scale with SF so they carry no hint — AQE
+    broadcasts them while small and falls back to shuffle joins at
+    cluster scale. The single unavoidable shuffle is orders↔lineitem on
+    orderkey."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -144,7 +151,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -266,8 +273,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 
 @query("tpch_q14", oracle=_Q14_ORACLE, tags=("tpch", "join"), bench=True)
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 promotion effect (README.md:12): broadcast join + ratio
-    aggregate; part is the classic broadcast dimension."""
+    """TPC-H Q14 promotion effect (README.md:12): join + ratio aggregate.
+
+    part scales with SF, so no pinned broadcast hint: AQE broadcasts it
+    while it fits the threshold and shuffles at cluster scale."""
     p = table(spark, sf_dir, "part")
     l = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
@@ -277,7 +286,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(16,4)")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.00)

@@ -63,10 +63,12 @@ GROUP BY supp_nation, cust_nation, l_year
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume shipping: nation-pair trade volume per year.
 
-    supplier/customer/nation all broadcast; lineitem↔orders is the one
-    shuffle join.  The nation-pair disjunction is a residual filter over
-    two broadcast-joined dimension columns (operator #6 analog at the
-    plan level; the date BETWEEN is pushed to the scan, #5)."""
+    nation (25 rows) broadcasts; supplier/customer scale with SF, so no
+    pinned hint — AQE broadcasts them while small, shuffles at cluster
+    scale.  lineitem↔orders is the one required shuffle join.  The
+    nation-pair disjunction is a residual filter over two joined
+    dimension columns (operator #6 analog at the plan level; the date
+    BETWEEN is pushed to the scan, #5)."""
     n = table(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
@@ -78,8 +80,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(table(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -126,7 +128,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Conditional aggregation: both numerator and denominator are exact
     decimal sums surfaced as doubles, so the division is deterministic
-    at any parallelism.  All five dimension tables broadcast."""
+    at any parallelism.  nation/region (fixed-size) broadcast; the
+    SF-scaled part/supplier/customer sides carry no pinned hint — AQE
+    decides per actual build size."""
     n = table(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
@@ -141,10 +145,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     volume = disc_price()
     joined = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(table(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -179,8 +183,10 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correlated per-part average decorrelates to a groupBy on the fact
     table joined back by key — the aggregate side reduces lineitem to one
     row per part BEFORE the join, so the shuffle carries |part| rows, not
-    |lineitem|.  The threshold is computed as an exact-decimal sum ÷ count
-    so Spark and the oracle agree bit-for-bit."""
+    |lineitem|.  Both join sides scale with SF (filtered part, per-part
+    aggregate), so neither is pinned broadcast — AQE decides from the
+    runtime build size.  The threshold is computed as an exact-decimal
+    sum ÷ count so Spark and the oracle agree bit-for-bit."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
@@ -192,8 +198,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(per_part), F.col("a_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("a_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum(dec_price("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -220,8 +226,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The HAVING subquery and the outer aggregate both group lineitem by
     l_orderkey, so we aggregate ONCE and filter — one shuffle instead of
-    the literal plan's two, and the filtered result (top ~1% of orders)
-    broadcasts into orders."""
+    the literal plan's two.  The filtered result is the top ~1% of orders
+    — still linear in SF — so it is NOT pinned broadcast; AQE broadcasts
+    it while small and shuffle-joins at cluster scale."""
     l = table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
@@ -231,8 +238,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         table(spark, sf_dir, "orders")
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(table(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
@@ -266,7 +273,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(sum_dbl(disc_price(), "revenue"))
     )
@@ -296,9 +303,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     The revenue "view" reduces lineitem to one row per supplier before
     anything else touches it, so the expensive side of the plan is a
     single map-side-combinable aggregation over the date-pruned scan.
-    The scalar max and the supplier dimension are both broadcast — the
-    max-revenue comparison runs on the exact DECIMAL sum (not double),
-    so ties and equality are deterministic at any parallelism.
+    The scalar max is a 1-row broadcast; supplier scales with SF so it
+    carries no pinned hint (AQE decides — and the max-filtered left side
+    is a handful of rows, so AQE broadcasts *that* instead at scale).
+    The max-revenue comparison runs on the exact DECIMAL sum (not
+    double), so ties and equality are deterministic at any parallelism.
     Reference parity: derived-table + scalar subquery shapes route
     through the expression framework (expr.h:118-383)."""
     l = table(spark, sf_dir, "lineitem").filter(
@@ -313,7 +322,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
@@ -400,8 +409,9 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT IN exclusion + COUNT(DISTINCT) rollup.
 
     Scale: the DISTINCT pair projection is the only lineitem-sized
-    shuffle; part and the 6-row exclusion list broadcast; the final
-    aggregate carries one row per (brand, type, size)."""
+    shuffle; part and the exclusion list both scale with SF so neither
+    is pinned broadcast (AQE decides); the final aggregate carries one
+    row per (brand, type, size)."""
     ps = (
         table(spark, sf_dir, "lineitem")
         .select(
@@ -421,9 +431,9 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(
-            F.broadcast(excluded),
+            excluded,
             F.col("ps_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -468,8 +478,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one lineitem->orders equi-join (orders projected to two
     columns), two map-side-combinable per-order aggregates reusing the
-    same orderkey partitioning, then a broadcast supplier/nation join on
-    the few qualifying rows."""
+    same orderkey partitioning, then supplier/nation joins on the few
+    qualifying rows (nation pinned broadcast at 25 rows; supplier
+    unpinned — AQE broadcasts the small qualifying side at scale)."""
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -503,7 +514,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     return (
-        qualifying.join(F.broadcast(s), F.col("late_suppkey") == F.col("s_suppkey"))
+        qualifying.join(s, F.col("late_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))

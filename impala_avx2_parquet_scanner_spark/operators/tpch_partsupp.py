@@ -90,10 +90,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part window MIN + equality filter — ONE pass over the regional
     slice, no self-join-back, no reliance on AQE exchange reuse (the
     window repartitions on ps_partkey, whose groups are per-part supplier
-    lists — tiny at any scale); supplier×nation×region prune to a
-    broadcast list BEFORE the pair aggregation, so the big shuffle only
-    carries the region's lines; final TakeOrderedAndProject, never a
-    global sort."""
+    lists — tiny at any scale); supplier×nation×region prune lineitem
+    BEFORE the pair aggregation, so the big shuffle only carries the
+    region's lines.  The pruned supplier set scales with SF, so it is
+    not pinned broadcast — AQE broadcasts it while small (same plan at
+    fixture scale) and degrades to a shuffle join at cluster scale;
+    only the fixed-size nation/region keep hints.  Final
+    TakeOrderedAndProject, never a global sort."""
     sup = (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(table(spark, sf_dir, "nation")),
@@ -104,11 +107,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     li = table(spark, sf_dir, "lineitem").join(
-        F.broadcast(sup.select("s_suppkey")),
+        sup.select("s_suppkey"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     ).drop("s_suppkey")
     rs = _partsupp(spark, sf_dir, li).join(
-        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
+        sup, F.col("ps_suppkey") == F.col("s_suppkey")
     )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
@@ -117,7 +120,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rs.withColumn("min_cost", min_cost)
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
             F.col("ps_supplycost").cast("double").alias("supplycost"),
@@ -153,12 +156,15 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     color vocabulary).  Shape preserved: 6-way join, profit expression
     `disc_price - supplycost*qty` in exact decimal, nation×year rollup.
 
-    Plan: the 'red' part filter broadcasts into BOTH the fact scan and
+    Plan: the 'red' part-key semi-reduction feeds BOTH the fact scan and
     the partsupp derivation, so the pair shuffle and the orders join
-    carry only ~1/8 of lineitem; part/supplier/nation broadcast; the two
-    big exchanges (pair-key agg, orderkey join) are inherent to Q9."""
+    carry only ~1/8 of lineitem; the SF-scaled part-key and
+    supplier×nation sides carry no pinned hint (AQE broadcasts them
+    while small, shuffles at cluster scale — only the 25-row nation is
+    pinned); the two big exchanges (pair-key agg, orderkey join) are
+    inherent to Q9."""
     p = table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
-    pk = F.broadcast(p.select("p_partkey"))
+    pk = p.select("p_partkey")
     li = table(spark, sf_dir, "lineitem").join(
         pk, F.col("l_partkey") == F.col("p_partkey")
     ).drop("p_partkey")
@@ -179,7 +185,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
                 & (F.col("l_suppkey") == F.col("ps_suppkey")))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -218,7 +224,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0001/SF → 0.0005.  Shape preserved: per-part value rollup filtered
     by a scalar share-of-total subquery.
 
-    Plan: the nation's supplier keys broadcast into the lineitem scan
+    Plan: the nation's supplier keys (SF-scaled, so unpinned — AQE
+    broadcasts while small) prune the lineitem scan
     before the pair shuffle (25× data cut); the per-part rollup is a
     second, already-small shuffle; the grand total aggregates the same
     subtree and AQE's stage reuse collapses it (post-execution plan shows
@@ -233,7 +240,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     li = table(spark, sf_dir, "lineitem").join(
-        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        sup, F.col("l_suppkey") == F.col("s_suppkey")
     )
     vals = (
         _partsupp(spark, sf_dir, li)
@@ -294,9 +301,10 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: decorrelated — ONE pair-keyed aggregation computes the
     all-time sum and the 2000 sum together (conditional agg), replacing
-    the oracle's per-pair correlated rescan; the 'small%' part keys and
-    the nation's supplier rows broadcast; one shuffle total."""
-    pk = F.broadcast(
+    the oracle's per-pair correlated rescan; the 'small%' part keys
+    (SF-scaled, unpinned — AQE broadcasts while small) prune lineitem;
+    one shuffle total."""
+    pk = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").startswith("small"))
         .select("p_partkey")

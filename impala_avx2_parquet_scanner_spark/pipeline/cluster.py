@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
 from impala_avx2_parquet_scanner_spark.registry import query
 
 MAX_ITERATIONS = 10
@@ -470,4 +471,4 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = ue.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_nodes.crossJoin(n_edges).crossJoin(tri)
+    return tie_unpersist(n_nodes.crossJoin(n_edges).crossJoin(tri), ue, deg, oe)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
 from impala_avx2_parquet_scanner_spark.catalog import table
 from impala_avx2_parquet_scanner_spark.functions.text import (
     _lang_sql_score,
@@ -151,10 +152,11 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
     )
     containment = F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")
-    return out.select(
+    result = out.select(
         "doc_id",
         "n_shingles",
         "n_shared",
         containment.alias("containment"),
         (containment >= CONTAIN_THRESHOLD).alias("contaminated"),
     )
+    return tie_unpersist(result, sh_all)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
 from impala_avx2_parquet_scanner_spark.catalog import table
 from impala_avx2_parquet_scanner_spark.registry import query
 
@@ -330,12 +331,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
+    out = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.02)
     )
+    return tie_unpersist(out, exploded)
 
 
 def simhash_fingerprints(d: DataFrame) -> DataFrame:
@@ -873,12 +875,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = F.col("n_common").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
     )
-    return (
+    out = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_common", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_MIN)
     )
+    return tie_unpersist(out, sh, rare)
 
 
 EDIT_PREFIX = 48

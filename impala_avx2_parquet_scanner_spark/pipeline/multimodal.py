@@ -581,15 +581,21 @@ def _features(
         return None  # unsupported codec → null features (see extract_features)
     try:
         return fn(bytes(payload))
-    except (ValueError, NotImplementedError, struct.error, IndexError,
-            KeyError, EOFError, zlib.error) as exc:
+    except (TypeError, NameError, AttributeError, UnboundLocalError):
+        # A codec BUG (not a data problem) must surface, never silently
+        # null out a column.
+        raise
+    except Exception as exc:  # noqa: BLE001 — quarantine boundary, see below
         # Corrupt payload: a 100 TB corpus always contains some — one bad
         # file must not kill the scan.  Lenient mode quarantines it as
         # features=NULL (payload_bytes/sha still identify the row for
         # triage); require_codecs=True keeps the strict fail-fast contract.
-        # Only the decode-failure types the codecs actually raise are
-        # quarantined — a TypeError/NameError is a codec BUG and must
-        # surface, not silently null out a column.
+        # Catch-all by design: beyond the common decode failures
+        # (ValueError/struct.error/IndexError/KeyError/EOFError/
+        # zlib.error/NotImplementedError), a corrupt header can trigger
+        # MemoryError/OverflowError (absurd dims) or RecursionError
+        # (nested containers) — exactly the untestable production cases;
+        # only the bug-indicating types above re-raise.
         if strict:
             raise
         del exc
@@ -1604,7 +1610,9 @@ def _register_phash_query() -> None:
             )
             for i in range(PHASH_BANDS)
         ).cast("long")
-        return (
+        from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
+
+        out = (
             a.join(
                 b,
                 on=[
@@ -1621,6 +1629,7 @@ def _register_phash_query() -> None:
             .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
             .distinct()
         )
+        return tie_unpersist(out, hashes)
 
 
 _register_phash_query()

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
 from impala_avx2_parquet_scanner_spark.catalog import table
 from impala_avx2_parquet_scanner_spark.registry import query
 
@@ -698,7 +699,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = pairs.select(loser.alias("vec_id")).distinct().withColumn(
         "pruned", F.lit(True)
     )
-    return (
+    out = (
         assigned.join(losers, "vec_id", "left")
         .select(
             "vec_id",
@@ -707,6 +708,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("pruned"), F.lit(True)).alias("keep"),
         )
     )
+    return tie_unpersist(out, assigned)
 
 
 _KNN_GRAPH_ORACLE = """
@@ -890,13 +892,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.select("cid", F.posexplode("cq").alias("pos0", "coord_q"))
         .select("cid", (F.col("pos0") + 1).alias("pos"), "coord_q")
     )
-    return final_long.join(F.broadcast(sizes), "cid").select(
+    out = final_long.join(F.broadcast(sizes), "cid").select(
         F.col("cid").alias("centroid_id"),
         "pos",
         "coord_q",
         (F.col("coord_q") / F.lit(float(KMEANS_SCALE))).alias("coord"),
         "n_members",
     )
+    return tie_unpersist(out, e)
 
 
 #: Product quantization geometry: 64-dim vectors → 4 subspaces × 16 dims,

@@ -43,22 +43,24 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: prefix so they sort into the driver's window.  Every other query keeps
 #: its plain name and remains covered by tools/parity.py + pytest.
 #:
-#: ROUND-5 ROTATION: keeps the same 15 sentinels as round 4 (one per §2
+#: ROUND-6 ROTATION: keeps the same 15 sentinels as rounds 4-5 (one per §2
 #: family, including every query that was ever driver-red) and swaps in 35
-#: never-driver-hashed queries: the 13 session-3 additions (bucketed/skew/
-#: asof-nearest joins, sliding median, interval union, RFM, URL/VARIANT
-#: functions, native-HLL / KMV-intersect / weighted-median aggregates,
-#: blocked edit distance, LATERAL top-k), dedup_containment (plan rewritten
-#: in round 4 — hash-grade re-verification due), agg_corr_matrix (never
-#: hashed), the six remaining window-function queries, the format round-trip
-#: family (JSON/ORC/Avro/sorted-sink/custom-DSv2-pushdown; CSV deferred to
-#: round 6 for the FLE kernel pipeline), recursive
-#: SQL + UDTF, fn_regex / fn_nested_array, TF-IDF + chunking, stratified
-#: sampling, and the multimodal inventory.  Over rounds this converts
-#: parity-green into driver-green across the whole registry (ROTATION.md is
-#: the ledger).
+#: slots: 34 never-driver-hashed queries — prioritizing layout/approx/
+#: lossy shapes whose failure would be least visible locally (Z-order +
+#: sorted-layout skipping sweep, _metadata columns, footer/profile family,
+#: custom DataSource, CSV round-trip deferred from round 5, GIF/pHash
+#:  multimodal, count-min / entropy-gini / grouping-id / winsorize
+#: aggregates, k-means IVF build, triangle counting, CCNet boilerplate +
+#: span/incremental/canonical dedup, windowed funnels / attribution /
+#: MAD anomalies / session windows, base64-hex / IEEE-specials / unicode
+#: collation / timezone functions, advanced LIKE, token-budget packing,
+#: the curation pipeline) — plus ONE re-hash: tpch_q3, whose join plan
+#: changed this round (the SF-scaled broadcast de-pinning), so the
+#: de-pinned TPC-H family gets fresh driver-hash evidence.  Over rounds
+#: this converts parity-green into driver-green across the whole registry
+#: (ROTATION.md is the ledger; ever-hashed reaches 155/262 this round).
 CORE_WINDOW: tuple[str, ...] = (
-    # ---- 15 sentinels retained from the round-4 window ----
+    # ---- 15 sentinels retained from the round-4/5 windows ----
     "tpch_q1",
     "tpch_q6",
     "pred_eq",
@@ -74,57 +76,66 @@ CORE_WINDOW: tuple[str, ...] = (
     "ann_ivf_topk",
     "multimodal_features",
     "udf_pandas_scalar",
-    # ---- 35 rotated in for first driver-hash signal ----
-    # session-3 joins: zero-exchange co-located bucketed SMJ, salted skew
-    # join, nearest-direction as-of
-    "join_bucketed_colocated",
-    "join_skew_salted",
-    "join_asof_nearest",
-    # session-3 windows / events / functions / aggregates / dedup / SQL
-    "window_sliding_median",
-    "events_interval_union",
-    "events_rfm",
-    "fn_url_parse",
-    "fn_variant_path",
-    "agg_hll_native",
-    "agg_kmv_intersect",
-    "agg_weighted_median",
-    "dedup_edit_distance",
-    "sql_lateral_topk",
-    # plan rewritten in round 4 (posexplode+lead codegen shingles) → re-hash
-    "dedup_containment",
-    # registered after round 4's final verification pass → first hash
-    "agg_corr_matrix",
-    # window-function breadth: the six never-hashed window queries
-    "window_count_distinct",
-    "window_nulls_order",
-    "window_dist_functions",
-    "window_value_functions",
-    "window_ewma",
-    "window_ntile_share",
-    # multi-format layout round-trips (lossy/round-trip paths where local
-    # failure would be least visible)
-    "scan_avro_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_json_roundtrip",
-    "sink_sorted_roundtrip",
-    "scan_custom_datasource_pushdown",
-    # SQL surface: recursive CTE + table-function lateral
-    "sql_recursive",
-    "udtf_split_words",
-    # scalar-function families: regex + nested array HOFs
-    "fn_regex",
-    "fn_nested_array",
-    # text pipeline: TF-IDF ranking + overlapping chunker
-    "text_tfidf_topk",
-    "text_chunk_overlap",
-    # stratified sampling + multimodal inventory (mp3/mp4 probes)
-    "sample_stratified",
-    "multimodal_inventory",
-    # the FLE bit-sliced kernel pipeline (round-5 flagship addition;
-    # scan_csv_roundtrip deferred to round 6 — the format family stays
-    # represented by the avro/orc/json/sorted round-trips)
-    "scan_fle_kernels",
+    # ---- 35 rotated in (34 first-hash + 1 re-hash) ----
+    # layout-driven skipping: Morton 2-D pruning + the sorted-rewrite
+    # selectivity sweep (row-group skippability is footer-asserted in
+    # tests; the driver hash pins the VALUES survive the rewrite)
+    "scan_zorder_pruned",
+    "selectivity_sorted_002",
+    "selectivity_sorted_020",
+    "selectivity_sorted_100",
+    # scan surface: metadata columns, footer-only reads, profile stats,
+    # nested pruning, the no-pushdown custom DataSource, CSV round-trip
+    # (deferred from round 5)
+    "scan_metadata_cols",
+    "scan_footer_metadata",
+    "scan_profile",
+    "scan_profile_approx",
+    "scan_nested_pruned",
+    "scan_custom_datasource",
+    "scan_csv_roundtrip",
+    # multimodal codecs: GIF LZW round-trip + perceptual-hash near-dup
+    "multimodal_gif_roundtrip",
+    "multimodal_phash_neardup",
+    # aggregate breadth: count-min sketch, entropy/gini profile,
+    # grouping_id rollups, winsorized stats
+    "agg_count_min",
+    "agg_entropy_gini",
+    "agg_grouping_id",
+    "agg_winsorize",
+    # iterative builds: Lloyd k-means IVF + degree-oriented triangles
+    "ann_ivf_kmeans",
+    "graph_triangles",
+    # dedup family: CCNet boilerplate segments, repeated spans,
+    # incremental vs-corpus (canonical-keep → round 7; family already
+    # carries two sentinels + three first-hashes this round)
+    "dedup_boilerplate_segments",
+    "dedup_repeated_spans",
+    "dedup_incremental",
+    # event analytics: windowed funnel, multi-touch attribution, MAD
+    # anomalies (session_window → round 7; family carries the
+    # events_sessionize sentinel + three first-hashes)
+    "events_funnel_windowed",
+    "events_attribution_multitouch",
+    "events_anomaly_mad",
+    # window/text family representation (every §2 family stays in every
+    # window): two-phase grouped top-k + n-gram language ID
+    "window_topk_per_group",
+    "text_lang_id",
+    # scalar-function families: binary codecs, IEEE-754 edge cases,
+    # unicode collation order, timezone arithmetic, advanced LIKE
+    "fn_base64_hex",
+    "fn_ieee_specials",
+    "fn_unicode_order",
+    "fn_timezone",
+    "pred_like_advanced",
+    # training-data pipeline: greedy token-budget packing + the fused
+    # curation filter chain
+    "pack_token_budget",
+    "pipeline_curate",
+    # re-hash: the de-pinned-broadcast TPC-H join family (plan changed
+    # this round — AQE now picks the strategy for SF-scaled sides)
+    "tpch_q3",
 )
 
 _EXPORT_PREFIX = "a0_"

@@ -512,7 +512,10 @@ class AvroDataSource(DataSource):
                 payload = fh.read(probe)
                 try:
                     return avro_schema_to_ddl(read_avro_schema(payload))
-                except (IndexError, ValueError):
+                except (IndexError, ValueError, KeyError, struct.error):
+                    # KeyError: a truncated prefix can garbage-parse to a
+                    # complete-looking meta map lacking 'avro.schema' —
+                    # grow the probe instead of leaking a raw KeyError.
                     if probe >= size:
                         raise ValueError(
                             f"avrodir: cannot parse container header of {path}"

@@ -103,15 +103,23 @@ def fle_unpack(planes: np.ndarray, bit_width: int, n: int) -> np.ndarray:
     return values.reshape(-1)[:n]
 
 
-def fle_skip(planes: np.ndarray, start: int, k: int) -> tuple[int, int]:
+def fle_skip(
+    planes: np.ndarray, start: int, k: int, n: int | None = None
+) -> tuple[int, int]:
     """Skip(k) without decoding (fle-encoding.h:344-402): the encoded
     stream position is (block, offset) pointer arithmetic on the plane
     matrix — returns the new (block, in-block offset).  Provided to pin
     the contract that skipping is O(1) per call, independent of k's
     decode cost; the scan path uses it to jump over bitset-rejected runs
-    (hdfs-parquet-scanner.cc:1006-1038)."""
+    (hdfs-parquet-scanner.cc:1006-1038).
+
+    `n` is the true encoded value count (as :func:`fle_unpack` takes);
+    skipping past it raises even when the final block's padding lanes
+    would physically absorb the position.  Defaults to the padded
+    capacity for callers that only track whole blocks."""
     pos = start + k
-    if pos > planes.shape[0] * _BLOCK:
+    limit = planes.shape[0] * _BLOCK if n is None else n
+    if pos > limit:
         raise ValueError("skip past end of encoded stream")
     return pos // _BLOCK, pos % _BLOCK
 
@@ -180,9 +188,16 @@ class FleKernels:
         the BitWeaving/V recurrence shared by all five comparisons
         (reference splits it per-op for AVX2 register pressure;
         algorithmically identical)."""
+        nb = self.planes.shape[0]
+        if value < 0:
+            # domain short-circuit: codes are unsigned, so a negative
+            # literal is BELOW every row — eq none, lt none, gt all.
+            # (Without this, value >> bit_width is -1 for negatives and
+            # the above-domain branch would return the inverted masks.)
+            ones = np.full(nb, _ALL_ONES, dtype=_U64)
+            return np.zeros(nb, dtype=_U64), np.zeros(nb, dtype=_U64), ones
         if value >> self.bit_width:
             # domain short-circuit: literal above the code domain
-            nb = self.planes.shape[0]
             ones = np.full(nb, _ALL_ONES, dtype=_U64)
             return np.zeros(nb, dtype=_U64), ones, np.zeros(nb, dtype=_U64)
         eq = np.full(self.planes.shape[0], _ALL_ONES, dtype=_U64)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
 from impala_avx2_parquet_scanner_spark.catalog import table
 from impala_avx2_parquet_scanner_spark.registry import query
 
@@ -648,7 +649,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
         )
 
-    return s.crossJoin(F.broadcast(th)).select(
+    out = s.crossJoin(F.broadcast(th)).select(
         "user_id",
         "recency_days",
         "frequency",
@@ -657,6 +658,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_high_good("frequency", F.col("fq")).alias("f_score"),
         score_high_good("monetary", F.col("mq")).alias("m_score"),
     )
+    return tie_unpersist(out, s)
 
 
 _FUNNEL_WINDOWED_ORACLE = """
@@ -888,6 +890,7 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = F.lit(1.0) - F.col("sumc2").cast("double") / (
         F.col("n").cast("double") * F.col("n")
     )
-    return tot.join(ent, "user_id").select(
+    out = tot.join(ent, "user_id").select(
         "user_id", "n", "n_types", gini.alias("gini"), "entropy9"
     )
+    return tie_unpersist(out, c)

@@ -71,11 +71,50 @@ def test_padding_lanes_never_leak():
 
 
 def test_skip_is_pointer_arithmetic():
-    planes, _ = fle_pack(np.arange(200, dtype=np.uint64), 8)
+    planes, n = fle_pack(np.arange(200, dtype=np.uint64), 8)
     assert fle_skip(planes, 0, 64) == (1, 0)
     assert fle_skip(planes, 10, 100) == (1, 46)
     with pytest.raises(ValueError):
         fle_skip(planes, 0, 1000)
+    # with the true value count, skipping into the final block's padding
+    # lanes (200 < capacity 256) must raise, not silently succeed
+    assert fle_skip(planes, 0, 200, n=n) == (3, 8)
+    with pytest.raises(ValueError):
+        fle_skip(planes, 0, 201, n=n)
+
+
+def test_negative_literal_is_below_domain():
+    """A negative literal is below every unsigned code: eq/lt empty,
+    gt/ge full — NOT the inverted above-domain masks (`value >> w` is -1
+    for negatives in Python)."""
+    v = np.array([0, 1, 3], dtype=np.uint64)
+    planes, n = fle_pack(v, 2)
+    k = FleKernels(planes, 2, n)
+    for lit in (-1, -5, -(1 << 40)):
+        assert popcount(k.eq(lit)) == 0
+        assert popcount(k.lt(lit)) == 0
+        assert popcount(k.le(lit)) == 0
+        assert popcount(k.gt(lit)) == 3
+        assert popcount(k.ge(lit)) == 3
+    assert popcount(k.in_([-1, 3])) == 1  # negative member contributes none
+
+
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n=st.integers(min_value=0, max_value=200),
+    lit=st.integers(min_value=-(2**64), max_value=-1),
+)
+def test_negative_literals_fuzzed(w, seed, n, lit):
+    rng = np.random.default_rng(seed)
+    hi = 2**63 - 1 if w >= 63 else (1 << w) - 1
+    v = rng.integers(0, hi + 1, size=n, dtype=np.uint64)
+    planes, _ = fle_pack(v, w)
+    k = FleKernels(planes, w, n)
+    assert popcount(k.eq(lit)) == 0
+    assert popcount(k.lt(lit)) == 0
+    assert popcount(k.gt(lit)) == n
+    assert popcount(k.ge(lit)) == n
 
 
 def test_out_of_domain_literal_short_circuits():

@@ -19,7 +19,11 @@ engine.load_all()
 #: query -> max shuffle exchanges (from PLANS.md at round 4)
 BUDGETS = {
     "tpch_q1": 1,
-    "tpch_q2": 2,
+    "tpch_q2": 4,  # static pre-AQE count after de-pinning the SF-scaled
+    # supplier-side broadcasts (round-6): the cost model can't size the
+    # sup join subtree statically, so it plans 2 extra exchanges that AQE
+    # converts back to broadcast at runtime (final plan: BroadcastHashJoin
+    # on every dimension side at sf0.01/sf0.1).
     "tpch_q3": 1,
     "tpch_q4": 1,
     "tpch_q5": 1,

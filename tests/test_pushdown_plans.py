@@ -404,3 +404,42 @@ def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
                 skippable += 1
     assert total >= 8
     assert skippable >= total // 2, (skippable, total)
+
+
+def test_no_pinned_broadcast_on_sf_scaled_sides():
+    """No TPC-H query may pin F.broadcast() on a frame that grows with
+    scale factor (customer/supplier/part/lineitem-derived sets).  A
+    pinned hint overrides AQE's size check and the build collects to the
+    driver — at 100x data that is an OOM, not a slowdown.  Only
+    fixed-size sides may carry hints: nation (25 rows), region (5 rows),
+    and 1-row scalar aggregates (max_rev / avg_bal / tot).  AQE + the
+    64 MB autoBroadcastJoinThreshold picks broadcast at fixture scale
+    anyway (same local plans; see PLANS.md) and degrades to shuffle
+    joins at cluster scale — matching the reference, whose runtime
+    bitmap filter is built from a *partitioned* hash join
+    (hdfs-parquet-scanner.cc:260-263), never an assumed-resident build."""
+    import inspect
+    import re
+
+    from impala_avx2_parquet_scanner_spark.operators import (
+        tpch,
+        tpch_extra,
+        tpch_partsupp,
+    )
+
+    allowed = re.compile(
+        r"""^(
+            n|r|n1|n2                 # nation/region frames
+          | max_rev|avg_bal|tot       # 1-row scalar aggregates
+          | table\(spark,\ sf_dir,\ "(nation|region)"\)
+        )$""",
+        re.VERBOSE,
+    )
+    offenders = []
+    for mod in (tpch, tpch_extra, tpch_partsupp):
+        src = inspect.getsource(mod)
+        for m in re.finditer(r"F\.broadcast\(\s*([^()]*(?:\([^()]*\))?[^()]*?)\s*[,)]", src):
+            arg = " ".join(m.group(1).split())
+            if not allowed.match(arg.replace('table(spark, sf_dir,', 'table(spark, sf_dir,')):
+                offenders.append(f"{mod.__name__}: F.broadcast({arg})")
+    assert not offenders, offenders

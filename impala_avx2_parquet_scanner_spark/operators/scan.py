@@ -594,6 +594,68 @@ def scan_fle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_PUSHDOWN_ORACLE = """
+WITH stored AS (
+  SELECT l_returnflag,
+         NULLIF(CAST(l_quantity AS BIGINT), 10) AS q
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(q) AS BIGINT) AS sum_qty,
+       CAST(MIN(q) AS BIGINT) AS min_qty,
+       CAST(MAX(q) AS BIGINT) AS max_qty
+FROM stored
+WHERE l_returnflag = 'R' AND q >= 30 AND q % 3 <> 1
+"""
+
+
+@query(
+    "scan_fle_pushdown",
+    oracle=_FLE_PUSHDOWN_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown"),
+)
+def scan_fle_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown INTO the FLE scanner — the reference's whole
+    identity in one query: conjuncts on a column stored as bit-plane
+    FLE segments reach `FleDirReader.pushFilters` and are evaluated as
+    BitWeaving kernels ON THE ENCODED PLANE WORDS (fle-encoding.h:
+    7962-8313) before anything is decoded; the string equality
+    translates through the order-preserving dictionary to a code-space
+    Eq kernel (dict-encoding.h:461-541); whole segments whose combined
+    bitset is empty are skipped with ZERO value decodes (the skip-ahead
+    analog, hdfs-parquet-scanner.cc:1006-1038); and the non-pushable
+    `q % 3 <> 1` conjunct is yielded back as a residual Spark evaluates
+    after the scan — the pushed-vs-residual split
+    (hdfs-parquet-scanner.cc:1825-1834).  The NULL path matters: the
+    stored column is NULLIF(l_quantity, 10), and the `>= 30` kernel
+    ANDs the validity words, so a NULL lane can never satisfy the
+    pushed predicate.  The DuckDB oracle replays the whole thing from
+    raw rows."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= 30)
+            & (F.col("l_quantity") % 3 != 1)
+        )
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 _METADATA_COLS_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

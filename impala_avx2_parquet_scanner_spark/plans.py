@@ -74,6 +74,19 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def final_adaptive_plan(df: DataFrame) -> str:
+    """Execute the plan and return the POST-execution explain string —
+    with AQE on, this is the runtime-replanned physical plan
+    (`isFinalPlan=true`): sort-merge joins the static planner had to
+    assume (it cannot size an unhinted build side) show up here as the
+    BroadcastHashJoins AQE actually ran.  This is the evidence line for
+    the de-pinned-hint policy: same broadcast plans at fixture scale,
+    shuffle-join degradation reserved for builds that genuinely outgrow
+    the threshold."""
+    df.collect()
+    return formatted_plan(df)
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
 

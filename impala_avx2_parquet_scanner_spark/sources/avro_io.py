@@ -22,9 +22,14 @@ Wire format implemented (Avro 1.11 spec, "Object Container Files" +
 
 Scope (honest): record schemas over primitive / nullable-primitive
 fields plus the `date` and `timestamp-micros` logical types (Avro 1.11
-"Logical Types": int days / long micros since epoch) — the relational
-subset a table scan needs.  Nested records, arrays, maps, enums, and
-the snappy codec raise NotImplementedError.
+"Logical Types": int days / long micros since epoch), plus the
+"Complex Types" a table scan actually meets (round 6): ``enum``
+(zigzag symbol index ↔ string), NESTED ``record`` (field encodings
+concatenated in schema order ↔ Spark struct), and ``array`` (count-
+prefixed blocks with 0 terminator, negative-count/byte-size block form
+accepted on read ↔ Spark array).  ``map``/``fixed`` and the snappy
+codec raise NotImplementedError (snappy: the library is absent from
+this environment and uninstallable — no silent fallback).
 
 The wire format is pinned in tests/test_other_formats.py: a golden
 byte-for-byte file hand-assembled from the spec (plus logical-type
@@ -134,6 +139,15 @@ def _read_zz(buf: bytes, pos: int) -> tuple[int, int]:
     return (u >> 1) ^ -(u & 1), pos
 
 
+def _field_value(v, name: str, index: int):
+    """Record field access across the shapes a value arrives in: dict
+    (tests / JSON-ish input), pyspark Row (name), plain tuple (position)."""
+    try:
+        return v[name]
+    except (TypeError, KeyError, IndexError):
+        return v[index]
+
+
 def _encode_value(ftype, v) -> bytes:
     if isinstance(ftype, list):  # union ["null", T]
         null_ix = next(i for i, t in enumerate(ftype) if t == "null")
@@ -141,6 +155,26 @@ def _encode_value(ftype, v) -> bytes:
             return _zz(null_ix)
         branch = 1 - null_ix
         return _zz(branch) + _encode_value(ftype[branch], v)
+    if isinstance(ftype, dict) and ftype.get("type") == "enum":
+        # enum = zigzag index into the schema's symbol list (Avro spec
+        # "Complex Types: Enums")
+        return _zz(ftype["symbols"].index(v))
+    if isinstance(ftype, dict) and ftype.get("type") == "record":
+        # nested record = field encodings concatenated in schema order
+        return b"".join(
+            _encode_value(f["type"], _field_value(v, f["name"], i))
+            for i, f in enumerate(ftype["fields"])
+        )
+    if isinstance(ftype, dict) and ftype.get("type") == "array":
+        # array = blocks of (count, items...) terminated by count 0;
+        # one block per value is always valid
+        items = list(v)
+        out = b""
+        if items:
+            out = _zz(len(items)) + b"".join(
+                _encode_value(ftype["items"], x) for x in items
+            )
+        return out + _zz(0)
     if isinstance(ftype, dict):  # logical type over a base primitive
         base, logical = _base_logical(ftype)
         if logical == "date":
@@ -174,6 +208,27 @@ def _decode_value(ftype, buf: bytes, pos: int):
     if isinstance(ftype, list):
         branch, pos = _read_zz(buf, pos)
         return _decode_value(ftype[branch], buf, pos)
+    if isinstance(ftype, dict) and ftype.get("type") == "enum":
+        i, pos = _read_zz(buf, pos)
+        return ftype["symbols"][i], pos
+    if isinstance(ftype, dict) and ftype.get("type") == "record":
+        vals = []
+        for f in ftype["fields"]:
+            val, pos = _decode_value(f["type"], buf, pos)
+            vals.append(val)
+        return tuple(vals), pos  # struct rows surface as tuples
+    if isinstance(ftype, dict) and ftype.get("type") == "array":
+        out = []
+        while True:
+            n, pos = _read_zz(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:  # spec: negative count is followed by a byte size
+                _, pos = _read_zz(buf, pos)
+                n = -n
+            for _ in range(n):
+                val, pos = _decode_value(ftype["items"], buf, pos)
+                out.append(val)
     if isinstance(ftype, dict):
         import datetime as _dt
 
@@ -214,19 +269,39 @@ def _simple_ok(t) -> bool:
     return False
 
 
+def _complex_ok(t) -> bool:
+    """enum / nested record / array (Avro "Complex Types") — fixed and
+    map remain out of scope and keep raising."""
+    if not isinstance(t, dict):
+        return False
+    tt = t.get("type")
+    if tt == "enum":
+        return bool(t.get("symbols"))
+    if tt == "array":
+        return _type_ok(t.get("items"))
+    if tt == "record":
+        return all(_type_ok(f["type"]) for f in t.get("fields", []))
+    return False
+
+
+def _type_ok(t) -> bool:
+    if _simple_ok(t) or _complex_ok(t):
+        return True
+    return (
+        isinstance(t, list)
+        and len(t) == 2
+        and "null" in t
+        and all(x == "null" or _simple_ok(x) or _complex_ok(x) for x in t)
+    )
+
+
 def _check_schema(schema: dict) -> list[tuple[str, object]]:
     if schema.get("type") != "record":
         raise NotImplementedError("only record schemas supported")
     fields = []
     for f in schema["fields"]:
         t = f["type"]
-        ok = _simple_ok(t) or (
-            isinstance(t, list)
-            and len(t) == 2
-            and "null" in t
-            and all(x == "null" or _simple_ok(x) for x in t)
-        )
-        if not ok:
+        if not _type_ok(t):
             raise NotImplementedError(f"avro field type {t!r} not supported")
         fields.append((f["name"], t))
     return fields
@@ -368,29 +443,68 @@ _AVRO_TO_DDL = {
 }
 
 
+def _spark_type_to_avro(dt, name: str = "rec"):
+    from pyspark.sql.types import ArrayType, StructType
+
+    if isinstance(dt, StructType):
+        return {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": (
+                        ["null", _spark_type_to_avro(f.dataType, f"{name}_{f.name}")]
+                        if f.nullable
+                        else _spark_type_to_avro(f.dataType, f"{name}_{f.name}")
+                    ),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, ArrayType):
+        return {
+            "type": "array",
+            "items": _spark_type_to_avro(dt.elementType, f"{name}_item"),
+        }
+    key = repr(dt)
+    if key not in _SPARK_TO_AVRO:
+        raise NotImplementedError(f"no avro mapping for {dt}")
+    return _SPARK_TO_AVRO[key]
+
+
 def spark_schema_to_avro(schema) -> dict:
     fields = []
     for f in schema.fields:
-        key = repr(f.dataType)
-        if key not in _SPARK_TO_AVRO:
-            raise NotImplementedError(f"no avro mapping for {f.dataType}")
-        t = _SPARK_TO_AVRO[key]
+        t = _spark_type_to_avro(f.dataType, f"row_{f.name}")
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
     return {"type": "record", "name": "row", "fields": fields}
 
 
+def _type_ddl(t) -> str:
+    if isinstance(t, list):
+        t = next(x for x in t if x != "null")
+    if isinstance(t, dict):
+        tt = t.get("type")
+        if tt == "enum":
+            return "string"  # symbols surface as their string names
+        if tt == "array":
+            return f"array<{_type_ddl(t['items'])}>"
+        if tt == "record":
+            inner = ",".join(
+                f"{f['name']}:{_type_ddl(f['type'])}" for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        return _AVRO_TO_DDL[_base_logical(t)]
+    return _AVRO_TO_DDL[t]
+
+
 def avro_schema_to_ddl(schema: dict) -> str:
-    cols = []
-    for name, t in _check_schema(schema):
-        base = t if not isinstance(t, list) else next(x for x in t if x != "null")
-        if isinstance(base, dict):
-            key: object = _base_logical(base)
-        else:
-            key = base
-        cols.append(f"{name} {_AVRO_TO_DDL[key]}")
-    return ", ".join(cols)
+    return ", ".join(
+        f"{name} {_type_ddl(t)}" for name, t in _check_schema(schema)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -114,9 +114,10 @@ def encode_segment(returnflag: np.ndarray, quantity: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
-def decode_segment(payload: bytes):
-    """One segment file → (returnflag ndarray[str], quantity int64,
-    valid bool ndarray) via the codec's decode path (FleDecoder::Get)."""
+def parse_segment(payload: bytes):
+    """Parse a segment's sections WITHOUT decoding any value: returns
+    (qty_planes, qty_width, validity_words, dictionary, code_width,
+    code_planes, n).  Kernel pushdown runs on these planes directly."""
     if payload[:4] != _MAGIC:
         raise ValueError("fledir: bad segment magic")
     n, qty_width, n_blocks = struct.unpack_from("<IBI", payload, 4)
@@ -142,9 +143,28 @@ def decode_segment(payload: bytes):
     cplanes = np.frombuffer(payload, "<u8", cwords, off).reshape(
         n_blocks, code_width
     )
+    return qplanes, qty_width, vwords, dictionary, code_width, cplanes, n
+
+
+def _mask_to_bool(mask: np.ndarray, n: int) -> np.ndarray:
+    """Bitset words (one uint64 per 64-value block) → bool[n]."""
+    return np.unpackbits(
+        mask.astype("<u8").view(np.uint8), bitorder="little"
+    )[:n].astype(bool)
+
+
+def decode_segment(payload: bytes, mask: np.ndarray | None = None):
+    """One segment file → (returnflag ndarray[str], quantity int64,
+    valid bool ndarray) via the codec's decode path (FleDecoder::Get).
+    `mask` (kernel bitset words) restricts the output to matching lanes
+    — predicate work already happened on the planes, decode touches
+    only survivors' positions."""
+    qplanes, qty_width, vwords, dictionary, code_width, cplanes, n = (
+        parse_segment(payload)
+    )
     qty = fle_unpack(qplanes, qty_width, n).astype(np.int64)
     codes = fle_unpack(cplanes, code_width, n).astype(np.int64)
-    rf = np.asarray(dictionary, dtype=object)[codes] if dict_size else (
+    rf = np.asarray(dictionary, dtype=object)[codes] if dictionary else (
         np.empty(0, dtype=object)
     )
     lanes = np.arange(n, dtype=np.uint64)
@@ -152,6 +172,9 @@ def decode_segment(payload: bytes):
         (vwords[(lanes // 64).astype(np.int64)] >> (lanes % 64))
         & np.uint64(1)
     ).astype(bool)
+    if mask is not None:
+        keep = _mask_to_bool(mask, n)
+        return rf[keep], qty[keep], valid[keep]
     return rf, qty, valid
 
 
@@ -166,6 +189,103 @@ class FleDirReader(DataSourceReader):
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
         self.n_parts = int(options.get("numpartitions", 8))
+        #: accepted conjuncts [(column, op, value)] — evaluated as
+        #: bit-sliced kernels ON THE ENCODED PLANES in read(), before
+        #: any decode (the reference's defining behavior:
+        #: simple-predicates.h:30-205 evaluated inside the scan on FLE
+        #: data, fle-encoding.h:7962-8313)
+        self.pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """eq/lt/le/gt/ge/in on either column are accepted and become
+        plane-word kernel masks; l_quantity IS NULL / IS NOT NULL rides
+        the validity words (the def-level path).  Everything else is
+        yielded back as a residual Spark re-evaluates after the scan —
+        the pushed-vs-residual conjunct split (§2A #5/#6,
+        hdfs-parquet-scanner.cc:1825-1834)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "eq",
+            LessThan: "lt",
+            LessThanOrEqual: "le",
+            GreaterThan: "gt",
+            GreaterThanOrEqual: "ge",
+            In: "in",
+            IsNull: "is_null",
+            IsNotNull: "is_not_null",
+        }
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            op = ops.get(type(f))
+            if op and col in (("l_quantity",), ("l_returnflag",)):
+                self.pushed.append(
+                    (col[0], op, getattr(f, "value", None))
+                )
+                continue
+            yield f
+
+    def _segment_mask(self, seg) -> "np.ndarray | None":
+        """AND together every pushed conjunct's kernel bitset for one
+        segment — all work happens on plane words, zero values decoded.
+        Returns None when nothing is pushed (decode everything)."""
+        if not self.pushed:
+            return None
+        from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+            FleKernels,
+            code_bound,
+        )
+
+        qplanes, qty_width, vwords, dictionary, code_width, cplanes, n = seg
+        qk = FleKernels(qplanes, qty_width, n, validity=vwords)
+        rk = FleKernels(cplanes, code_width, n)
+        mask = None
+
+        def _and(m):
+            nonlocal mask
+            mask = m if mask is None else mask & m
+
+        for col, op, value in self.pushed:
+            if col == "l_quantity":
+                if op == "is_null":
+                    _and(qk.is_null())
+                elif op == "is_not_null":
+                    _and(qk.is_not_null())
+                elif op == "in":
+                    _and(qk.in_(tuple(int(v) for v in value)))
+                else:
+                    _and(getattr(qk, op)(int(value)))
+            else:  # l_returnflag via the order-preserving dictionary
+                if op == "is_not_null":
+                    continue  # returnflag column is never null here
+                if op == "is_null":
+                    _and(np.zeros(qplanes.shape[0], dtype=np.uint64))
+                    continue
+                if op == "in":
+                    m = np.zeros(qplanes.shape[0], dtype=np.uint64)
+                    for v in value:
+                        b = code_bound(dictionary, "eq", str(v))
+                        if b not in (True, False):
+                            m = m | rk.eq(b[1])
+                    _and(m)
+                    continue
+                b = code_bound(dictionary, op, str(value))
+                if b is True:
+                    continue  # domain short-circuit: all rows pass
+                if b is False:
+                    _and(np.zeros(qplanes.shape[0], dtype=np.uint64))
+                    continue
+                _and(getattr(rk, b[0])(b[1]))
+        return mask
 
     def partitions(self):
         done = os.path.join(self.dir, "_DONE")
@@ -185,7 +305,14 @@ class FleDirReader(DataSourceReader):
 
         for path in partition.paths:
             with open(path, "rb") as fh:
-                rf, qty, valid = decode_segment(fh.read())
+                payload = fh.read()
+            mask = None
+            if self.pushed:
+                seg = parse_segment(payload)
+                mask = self._segment_mask(seg)
+                if mask is not None and not mask.any():
+                    continue  # whole segment kernel-rejected: zero decode
+            rf, qty, valid = decode_segment(payload, mask=mask)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(rf, type=pa.string()),

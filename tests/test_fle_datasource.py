@@ -1,0 +1,181 @@
+"""fledir storage round-trip: the FLE byte layout as a real on-disk
+format (encode → serialize → file → parse → decode must be the identity
+on values AND validity — fle-encoding.h:8315-9812's encode/decode
+cycle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+    decode_segment,
+    encode_segment,
+)
+
+
+def test_segment_roundtrip_basic():
+    rf = np.array(["N", "A", "R", "N", "N", "R"], dtype=object)
+    qty = np.array([1.0, 50.0, np.nan, 7.0, np.nan, 33.0])
+    out_rf, out_qty, valid = decode_segment(encode_segment(rf, qty))
+    assert list(out_rf) == list(rf)
+    assert valid.tolist() == [True, True, False, True, False, True]
+    assert out_qty[valid].tolist() == [1, 50, 7, 33]
+
+
+def test_segment_roundtrip_integral_input_all_valid():
+    rf = np.array(["X"] * 130, dtype=object)  # spans 3 blocks
+    qty = np.arange(130, dtype=np.int64)
+    out_rf, out_qty, valid = decode_segment(encode_segment(rf, qty))
+    assert valid.all()
+    assert out_qty.tolist() == list(range(130))
+    assert len(out_rf) == 130
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        decode_segment(b"NOPE" + b"\x00" * 64)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R", "zz", "é"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2**20)),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_segment_roundtrip_fuzz(rows):
+    rf = np.array([r[0] for r in rows], dtype=object)
+    qty = np.array(
+        [float("nan") if r[1] is None else float(r[1]) for r in rows]
+    )
+    out_rf, out_qty, valid = decode_segment(encode_segment(rf, qty))
+    assert list(out_rf) == list(rf)
+    for i, r in enumerate(rows):
+        if r[1] is None:
+            assert not valid[i]
+        else:
+            assert valid[i] and out_qty[i] == r[1]
+
+
+def test_datasource_read_matches_parquet_base(spark, sf_dir):
+    """End-to-end through the registered DataSource: write lineitem
+    through the fledir writer, read it back, and compare the aggregate
+    against the parquet base table computed in the same session."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_dir(spark, sf_dir)
+    register_fledir(spark)
+    got = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("l_quantity").alias("np"),
+            F.sum("l_quantity").alias("s"),
+        )
+    )
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.nullif(F.col("l_quantity").cast("bigint"), F.lit(10)).alias("q"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("q").alias("np"),
+            F.sum("q").alias("s"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+def test_reader_pushdown_kernel_masks():
+    """Pushed conjuncts must be evaluated on the ENCODED planes: build a
+    segment, push filters through the reader API, and check the decoded
+    survivors against direct evaluation; unsupported filters come back
+    as residuals."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        StringContains,
+    )
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        parse_segment,
+    )
+
+    rf = np.array(["A", "N", "R"] * 50, dtype=object)
+    qty = np.array([float(i % 53) if i % 7 else float("nan") for i in range(150)])
+    payload = encode_segment(rf, qty)
+
+    r = FleDirReader({"path": "/nonexistent"})
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("l_quantity",), 30),
+                EqualTo(("l_returnflag",), "R"),
+                StringContains(("l_returnflag",), "X"),  # not pushable
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residual] == ["StringContains"]
+    assert len(r.pushed) == 2
+
+    mask = r._segment_mask(parse_segment(payload))
+    got_rf, got_qty, valid = decode_segment(payload, mask=mask)
+    # direct evaluation on the raw arrays
+    want = [
+        (rf[i], int(qty[i]))
+        for i in range(150)
+        if not np.isnan(qty[i]) and qty[i] >= 30 and rf[i] == "R"
+    ]
+    assert valid.all()
+    assert list(zip(got_rf, got_qty)) == want
+    assert len(want) > 0
+
+
+def test_reader_pushdown_domain_short_circuit_and_empty_segment():
+    from pyspark.sql.datasource import EqualTo, LessThanOrEqual
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        parse_segment,
+    )
+
+    rf = np.array(["A", "N"] * 40, dtype=object)
+    qty = np.arange(80, dtype=np.int64).astype(float)
+    payload = encode_segment(rf, qty)
+    seg = parse_segment(payload)
+
+    # literal above the dictionary domain: le short-circuits to all-true
+    r = FleDirReader({"path": "x"})
+    list(r.pushFilters([LessThanOrEqual(("l_returnflag",), "Z")]))
+    assert r._segment_mask(seg) is None or (
+        decode_segment(payload, mask=r._segment_mask(seg))[1].size == 80
+    )
+
+    # equality on a value absent from the dictionary: nothing survives,
+    # the whole segment is kernel-rejected with zero decodes
+    r2 = FleDirReader({"path": "x"})
+    list(r2.pushFilters([EqualTo(("l_returnflag",), "R")]))
+    m = r2._segment_mask(seg)
+    assert m is not None and not m.any()

@@ -210,10 +210,15 @@ def main() -> None:
                 for name in SCALE10_QUERIES:
                     REGISTRY[name].fn(spark, big).collect()  # warm plan
                     best = float("inf")
-                    for _rep in range(2):
+                    reps = 0
+                    # same adaptive floor policy as the sf0.1 loop: on
+                    # sub-half-second points one scheduler hiccup IS the
+                    # measurement
+                    while reps < 2 or (best < 0.5 and reps < 6):
                         t0 = time.time()
                         REGISTRY[name].fn(spark, big).collect()
                         best = min(best, time.time() - t0)
+                        reps += 1
                     s10[name] = round(best, 4)
                 d10 = duckdb_times(big, SCALE10_QUERIES)
                 out["scaled10x"] = {

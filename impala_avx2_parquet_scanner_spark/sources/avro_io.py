@@ -25,11 +25,13 @@ fields plus the `date` and `timestamp-micros` logical types (Avro 1.11
 "Logical Types": int days / long micros since epoch), plus the
 "Complex Types" a table scan actually meets (round 6): ``enum``
 (zigzag symbol index ↔ string), NESTED ``record`` (field encodings
-concatenated in schema order ↔ Spark struct), and ``array`` (count-
+concatenated in schema order ↔ Spark struct), ``array`` (count-
 prefixed blocks with 0 terminator, negative-count/byte-size block form
-accepted on read ↔ Spark array).  ``map``/``fixed`` and the snappy
-codec raise NotImplementedError (snappy: the library is absent from
-this environment and uninstallable — no silent fallback).
+accepted on read ↔ Spark array), and ``map`` (the same block form over
+key-value pairs, keys written sorted for determinism ↔ Spark
+map<string,T>).  ``fixed`` and the snappy codec raise
+NotImplementedError (snappy: the library is absent from this
+environment and uninstallable — no silent fallback).
 
 The wire format is pinned in tests/test_other_formats.py: a golden
 byte-for-byte file hand-assembled from the spec (plus logical-type
@@ -175,6 +177,17 @@ def _encode_value(ftype, v) -> bytes:
                 _encode_value(ftype["items"], x) for x in items
             )
         return out + _zz(0)
+    if isinstance(ftype, dict) and ftype.get("type") == "map":
+        # map = blocks of (count, (key string, value)...) + 0 terminator;
+        # keys written in sorted order so the encoding is deterministic
+        items = sorted(dict(v).items())
+        out = b""
+        if items:
+            out = _zz(len(items)) + b"".join(
+                _encode_value("string", k) + _encode_value(ftype["values"], x)
+                for k, x in items
+            )
+        return out + _zz(0)
     if isinstance(ftype, dict):  # logical type over a base primitive
         base, logical = _base_logical(ftype)
         if logical == "date":
@@ -229,6 +242,19 @@ def _decode_value(ftype, buf: bytes, pos: int):
             for _ in range(n):
                 val, pos = _decode_value(ftype["items"], buf, pos)
                 out.append(val)
+    if isinstance(ftype, dict) and ftype.get("type") == "map":
+        m: dict = {}
+        while True:
+            n, pos = _read_zz(buf, pos)
+            if n == 0:
+                return m, pos
+            if n < 0:
+                _, pos = _read_zz(buf, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = _decode_value("string", buf, pos)
+                val, pos = _decode_value(ftype["values"], buf, pos)
+                m[k] = val
     if isinstance(ftype, dict):
         import datetime as _dt
 
@@ -270,8 +296,8 @@ def _simple_ok(t) -> bool:
 
 
 def _complex_ok(t) -> bool:
-    """enum / nested record / array (Avro "Complex Types") — fixed and
-    map remain out of scope and keep raising."""
+    """enum / nested record / array / map (Avro "Complex Types") —
+    fixed remains out of scope and keeps raising."""
     if not isinstance(t, dict):
         return False
     tt = t.get("type")
@@ -279,6 +305,8 @@ def _complex_ok(t) -> bool:
         return bool(t.get("symbols"))
     if tt == "array":
         return _type_ok(t.get("items"))
+    if tt == "map":
+        return _type_ok(t.get("values"))
     if tt == "record":
         return all(_type_ok(f["type"]) for f in t.get("fields", []))
     return False
@@ -444,7 +472,7 @@ _AVRO_TO_DDL = {
 
 
 def _spark_type_to_avro(dt, name: str = "rec"):
-    from pyspark.sql.types import ArrayType, StructType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     if isinstance(dt, StructType):
         return {
@@ -466,6 +494,15 @@ def _spark_type_to_avro(dt, name: str = "rec"):
         return {
             "type": "array",
             "items": _spark_type_to_avro(dt.elementType, f"{name}_item"),
+        }
+    if isinstance(dt, MapType):
+        if repr(dt.keyType) != "StringType()":
+            raise NotImplementedError(
+                f"avro maps require string keys, got {dt.keyType}"
+            )
+        return {
+            "type": "map",
+            "values": _spark_type_to_avro(dt.valueType, f"{name}_val"),
         }
     key = repr(dt)
     if key not in _SPARK_TO_AVRO:
@@ -492,6 +529,8 @@ def _type_ddl(t) -> str:
             return "string"  # symbols surface as their string names
         if tt == "array":
             return f"array<{_type_ddl(t['items'])}>"
+        if tt == "map":
+            return f"map<string,{_type_ddl(t['values'])}>"
         if tt == "record":
             inner = ",".join(
                 f"{f['name']}:{_type_ddl(f['type'])}" for f in t["fields"]

@@ -359,11 +359,11 @@ def test_avro_corrupt_payload_contracts():
         encode_avro([(1,)], schema, codec="snappy")
 
     # unsupported schema shapes raise NotImplementedError, not garbage
-    # (arrays/enums/nested records are supported since round 6 — map is
-    # the representative still-gated complex type)
+    # (arrays/enums/nested records/maps are supported since round 6 —
+    # fixed is the representative still-gated complex type)
     with _pytest.raises(NotImplementedError):
         encode_avro([], {"type": "record", "name": "r",
-                        "fields": [{"name": "a", "type": {"type": "map", "values": "long"}}]})
+                        "fields": [{"name": "a", "type": {"type": "fixed", "name": "f", "size": 4}}]})
     enum_json = _json.dumps(
         {"type": "enum", "name": "e", "symbols": ["A"]}
     ).encode()
@@ -478,16 +478,54 @@ def test_avro_complex_schema_ddl_and_unsupported_gates():
         "id bigint, tag string, pt struct<x:int,y:double>, "
         "vals array<string>"
     )
-    # map/fixed stay honestly gated
-    for bad in (
-        {"type": "map", "values": "long"},
-        {"type": "fixed", "name": "f", "size": 4},
-    ):
-        with _pytest.raises(NotImplementedError):
-            avro_schema_to_ddl(
-                {"type": "record", "name": "r",
-                 "fields": [{"name": "m", "type": bad}]}
-            )
+    # map supported (string keys per spec); fixed stays honestly gated
+    assert avro_schema_to_ddl(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+    ) == "m map<string,bigint>"
+    with _pytest.raises(NotImplementedError):
+        avro_schema_to_ddl(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "m",
+                         "type": {"type": "fixed", "name": "f", "size": 4}}]}
+        )
+
+
+def test_avro_map_golden_and_spark_roundtrip(spark, tmp_path):
+    """Avro map: block form over (key string, value) pairs, keys sorted
+    on write for determinism; golden bytes pin the wire, then a Spark
+    map<string,bigint> column round-trips through the DataSource."""
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroDataSource,
+        _decode_value,
+        _encode_value,
+    )
+
+    mtype = {"type": "map", "values": "long"}
+    # {"a":1,"b":-2} → zz(2)=04 | zz(1)"a" 02 61 | zz(1)=02 | zz(1)"b"
+    # 02 62 | zz(-2)=03 | terminator 00
+    golden = bytes.fromhex("0402610202620300")
+    assert _encode_value(mtype, {"b": -2, "a": 1}) == golden  # sorted keys
+    decoded, pos = _decode_value(mtype, golden, 0)
+    assert (decoded, pos) == ({"a": 1, "b": -2}, len(golden))
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "map_avro")
+    df = spark.createDataFrame(
+        [(1, {"x": 10, "y": 20}), (2, {}), (3, None)],
+        "id bigint, props map<string,bigint>",
+    )
+    df.write.format("avrodir").mode("overwrite").option("path", out).save()
+    back = (
+        spark.read.format("avrodir").option("path", out).load()
+        .orderBy("id").collect()
+    )
+    assert [(r.id, r.props) for r in back] == [
+        (1, {"x": 10, "y": 20}), (2, {}), (3, None)
+    ]
 
 
 def test_avrodir_nested_struct_array_spark_roundtrip(spark, tmp_path):

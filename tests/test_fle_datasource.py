@@ -179,3 +179,105 @@ def test_reader_pushdown_domain_short_circuit_and_empty_segment():
     list(r2.pushFilters([EqualTo(("l_returnflag",), "R")]))
     m = r2._segment_mask(seg)
     assert m is not None and not m.any()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=63)),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.lists(
+        st.sampled_from(
+            [
+                ("l_quantity", "ge", 30),
+                ("l_quantity", "lt", 10),
+                ("l_quantity", "le", 55),
+                ("l_quantity", "gt", 62),
+                ("l_quantity", "eq", 7),
+                ("l_quantity", "in", (1, 5, 63)),
+                ("l_quantity", "is_null", None),
+                ("l_quantity", "is_not_null", None),
+                ("l_returnflag", "eq", "N"),
+                ("l_returnflag", "eq", "Z"),
+                ("l_returnflag", "le", "M"),
+                ("l_returnflag", "ge", "A"),
+                ("l_returnflag", "lt", "A"),
+                ("l_returnflag", "in", ("A", "R", "X")),
+            ]
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_pushdown_mask_fuzz_matches_direct_eval(rows, conjuncts):
+    """Any conjunction of pushable filters must produce exactly the rows
+    direct evaluation keeps — SQL semantics (NULL never satisfies a
+    comparison; IS NULL/IS NOT NULL ride validity)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        parse_segment,
+    )
+
+    rf = np.array([r[0] for r in rows], dtype=object)
+    qty = np.array(
+        [float("nan") if r[1] is None else float(r[1]) for r in rows]
+    )
+    payload = encode_segment(rf, qty)
+    r = FleDirReader({"path": "x"})
+    r.pushed = [(c[0], c[1], c[2]) for c in conjuncts]
+    mask = r._segment_mask(parse_segment(payload))
+    got_rf, got_qty, got_valid = decode_segment(payload, mask=mask)
+
+    def keep(i) -> bool:
+        for col, op, val in conjuncts:
+            if col == "l_quantity":
+                q = rows[i][1]
+                if op == "is_null":
+                    if q is not None:
+                        return False
+                elif op == "is_not_null":
+                    if q is None:
+                        return False
+                elif q is None:
+                    return False  # NULL satisfies no comparison
+                elif op == "in":
+                    if q not in val:
+                        return False
+                elif op == "eq" and not q == val:
+                    return False
+                elif op == "lt" and not q < val:
+                    return False
+                elif op == "le" and not q <= val:
+                    return False
+                elif op == "gt" and not q > val:
+                    return False
+                elif op == "ge" and not q >= val:
+                    return False
+            else:
+                f = rows[i][0]
+                if op == "in":
+                    if f not in val:
+                        return False
+                elif op == "eq" and not f == val:
+                    return False
+                elif op == "le" and not f <= val:
+                    return False
+                elif op == "ge" and not f >= val:
+                    return False
+                elif op == "lt" and not f < val:
+                    return False
+        return True
+
+    want = [
+        (rows[i][0], rows[i][1]) for i in range(len(rows)) if keep(i)
+    ]
+    got = [
+        (got_rf[j], int(got_qty[j]) if got_valid[j] else None)
+        for j in range(len(got_rf))
+    ]
+    assert got == want

@@ -31,7 +31,13 @@ WHERE p_size > 47 AND l_quantity >= 49
 def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join, dimension side broadcast (no shuffle of the fact
     table; with bloom filters on, part's filter semi-reduces the scan —
-    the reference's runtime bitmap filter, hdfs-parquet-scanner.cc:260-263)."""
+    the reference's runtime bitmap filter, hdfs-parquet-scanner.cc:260-263).
+
+    The explicit hint IS the demonstrated operator here — this query
+    pins the broadcast strategy the way `join_shuffle_hash` /
+    `join_sort_merge` pin theirs, so the trio stays plan-asserted.
+    Production joins (the TPC-H family) carry no hints on SF-scaled
+    sides; AQE chooses there (see PLANS.md)."""
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
     p = table(spark, sf_dir, "part").filter(F.col("p_size") > 47)
     return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(

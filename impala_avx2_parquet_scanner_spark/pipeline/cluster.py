@@ -228,10 +228,12 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict covering the WHOLE corpus (singletons keep themselves).
 
     Plan shape: the per-cluster argmax is `max(struct(n_chars, -doc_id))`
-    — associative, map-side combined, one keyed shuffle on component; the
-    keeper table (one row per cluster — tiny at any corpus scale) is
-    broadcast back onto the full document set, so the final verdict pass
-    is a scan + two broadcast probes, never a corpus-wide wide shuffle."""
+    — associative, map-side combined, one keyed shuffle on component.
+    The membership and keeper tables scale with the DUPLICATE count (a
+    heavily-redundant corpus makes them corpus-sized), so neither
+    carries a pinned broadcast hint — AQE broadcasts them while they fit
+    the threshold (same probe-side plan at fixture scale) and falls back
+    to keyed shuffle joins beyond it."""
     from impala_avx2_parquet_scanner_spark.catalog import table
     from impala_avx2_parquet_scanner_spark.pipeline.dedup import dedup_minhash_lsh
 
@@ -254,8 +256,8 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id")
-        .join(F.broadcast(labeled.select("doc_id", "component")), "doc_id", "left")
-        .join(F.broadcast(keeper), "component", "left")
+        .join(labeled.select("doc_id", "component"), "doc_id", "left")
+        .join(keeper, "component", "left")
         .select(
             "doc_id",
             F.coalesce("keeper_id", "doc_id").alias("keeper_id"),

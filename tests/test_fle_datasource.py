@@ -281,3 +281,50 @@ def test_pushdown_mask_fuzz_matches_direct_eval(rows, conjuncts):
         for j in range(len(got_rf))
     ]
     assert got == want
+
+
+def test_fledir_commit_protocol(tmp_path):
+    """Writer commit seals the directory with a _DONE manifest listing
+    every segment; an unsealed directory is unreadable (parquet-style
+    write visibility); abort removes this attempt's files."""
+    import os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        FleDirWriter,
+    )
+
+    out = str(tmp_path / "fle_out")
+    w = FleDirWriter({"path": out}, overwrite=True)
+
+    class _Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    rf = np.array(["A", "R"] * 10, dtype=object)
+    qty = np.arange(20, dtype=np.int64).astype(float)
+    payload = encode_segment(rf, qty)
+    msg = w.write([_Row(1, payload), _Row(2, payload)])
+    assert sorted(msg.files) == ["seg_1.fle", "seg_2.fle"]
+
+    # not committed yet: reader refuses the unsealed directory
+    r = FleDirReader({"path": out})
+    with pytest.raises(ValueError, match="_DONE"):
+        r.partitions()
+
+    w.commit([msg])
+    parts = FleDirReader({"path": out}).partitions()
+    paths = sorted(p for part in parts for p in part.paths)
+    assert [os.path.basename(p) for p in paths] == ["seg_1.fle", "seg_2.fle"]
+    rows = sum(
+        len(decode_segment(open(p, "rb").read())[0]) for p in paths
+    )
+    assert rows == 40
+
+    # abort path: a second attempt's files are removed, committed ones stay
+    w2 = FleDirWriter({"path": out}, overwrite=False)
+    msg2 = w2.write([_Row(9, payload)])
+    assert os.path.exists(os.path.join(out, "seg_9.fle"))
+    w2.abort([msg2, None])
+    assert not os.path.exists(os.path.join(out, "seg_9.fle"))
+    assert os.path.exists(os.path.join(out, "seg_1.fle"))

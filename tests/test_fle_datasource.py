@@ -328,3 +328,50 @@ def test_fledir_commit_protocol(tmp_path):
     w2.abort([msg2, None])
     assert not os.path.exists(os.path.join(out, "seg_9.fle"))
     assert os.path.exists(os.path.join(out, "seg_1.fle"))
+
+
+def test_datasource_in_and_isnull_pushdown_e2e(spark, sf_dir):
+    """IN-list and IS NULL conjuncts through a real Spark read: both are
+    accepted by pushFilters (kernel OR-of-Eq; validity-word is_null) and
+    the results must match the same filters applied to the parquet base."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_dir(spark, sf_dir)
+    register_fledir(spark)
+    fle = spark.read.format("fledir").option("path", path).load()
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.nullif(F.col("l_quantity").cast("bigint"), F.lit(10)).alias(
+            "l_quantity"
+        ),
+    )
+
+    got_in = (
+        fle.filter(F.col("l_quantity").isin(1, 5, 49))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    want_in = (
+        base.filter(F.col("l_quantity").isin(1, 5, 49))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    assert sorted(map(tuple, got_in.collect())) == sorted(
+        map(tuple, want_in.collect())
+    )
+
+    got_null = fle.filter(F.col("l_quantity").isNull()).groupBy(
+        "l_returnflag"
+    ).count()
+    want_null = base.filter(F.col("l_quantity").isNull()).groupBy(
+        "l_returnflag"
+    ).count()
+    assert sorted(map(tuple, got_null.collect())) == sorted(
+        map(tuple, want_null.collect())
+    )

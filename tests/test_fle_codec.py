@@ -172,3 +172,52 @@ def test_validity_mask_gives_sql_null_semantics(w, seed, n):
     k2 = FleKernels(planes, w, nn)
     assert popcount(k2.is_null()) == 0
     assert popcount(k2.is_not_null()) == n
+
+
+def test_dictionary_high_cardinality_roundtrip():
+    """dict-test.cc:64-100's shape: 1000 distinct strings spread over
+    150k values — codes round-trip through FLE pack/unpack, the decoded
+    code stream reproduces every value, and code order == value order
+    (the order-preserving contract range translation relies on)."""
+    rng = np.random.default_rng(42)
+    vocab = np.array(sorted(f"word_{i:04d}" for i in range(1000)))
+    values = vocab[rng.integers(0, 1000, 150_000)]
+    d, codes = order_preserving_codes(values)
+    assert list(d) == list(vocab)  # sorted, order-preserving
+    width = int(codes.max()).bit_length()
+    planes, n = fle_pack(codes, width)
+    back = fle_unpack(planes, width, n)
+    assert (back == codes).all()
+    assert list(d[back.astype(np.int64)]) == list(values)
+
+
+def test_dictionary_numeric_and_timestamp_like():
+    """dict-test.cc:102-157's breadth: numeric dictionaries (several
+    integer magnitudes incl. 16-byte-decimal-scale values as python
+    ints) and timestamp-like int64 epoch-micros all keep code order ==
+    value order, so range predicates translate to code compares."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import code_bound
+
+    for vals in (
+        np.array([3, 1, 4, 1, 5, 9, 2, 6]),                      # small ints
+        np.array([2**40 + 7, 2**40, 2**62, 13, 2**40 + 7]),      # wide ints
+        np.array(                                                # epoch micros
+            [1_700_000_000_000_000 + k * 86_400_000_000 for k in (3, 0, 7, 3)]
+        ),
+    ):
+        d, codes = order_preserving_codes(vals)
+        assert (np.sort(d) == d).all()
+        assert list(d[codes.astype(np.int64)]) == list(vals)
+        # range translation agrees with direct evaluation at a mid literal
+        lit = int(d[len(d) // 2])
+        b = code_bound(d, "le", lit)
+        want = int((vals <= lit).sum())
+        if b is True:
+            got = len(vals)
+        elif b is False:
+            got = 0
+        else:
+            op, c = b
+            assert op == "le"
+            got = int((codes <= c).sum())
+        assert got == want

@@ -814,3 +814,94 @@ def scan_avro_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+_COMPLEX_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN n_chars % 2 = 0 THEN 2 ELSE 0 END) AS BIGINT)
+         AS sum_toks,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+def _materialize_avro_complex(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_formats", key, "documents_avro_complex")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        _clear_unsealed(path)
+        try:
+            spark.dataSource.register(AvroDataSource)
+        except Exception:
+            pass
+        src = table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.struct(
+                F.col("lang"), F.col("n_chars").cast("long").alias("n_chars")
+            ).alias("meta"),
+            F.when(
+                F.col("n_chars") % 2 == 0,
+                F.array(F.col("lang"), (F.col("doc_id") % 7).cast("string")),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("toks"),
+            F.create_map(
+                F.lit("l"), F.col("lang"), F.lit("s"), F.col("source")
+            ).alias("props"),
+        )
+        src.repartition(4).write.format("avrodir").option("path", path).mode(
+            "append"
+        ).save()
+    return path
+
+
+@query(
+    "scan_avro_complex",
+    oracle=_COMPLEX_ORACLE,
+    tags=("scan", "avro", "format", "datasource", "nested"),
+)
+def scan_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro COMPLEX-TYPE round-trip (round 6): a documents projection
+    with a nested record (`meta struct<lang,n_chars>`), an array
+    (`toks`, deterministically derived so the oracle can replay its
+    lengths), and a map (`props` with string keys) travels write→read
+    through the avrodir DataSource — record fields concatenated in
+    schema order, array/map as count-prefixed 0-terminated blocks per
+    the Avro 1.11 spec, schema recovered from the embedded header as
+    struct/array/map DDL — then aggregates per meta.lang, pulling the
+    group key and measures OUT OF the nested/array/map columns
+    (struct field access, size(), element_at).  The DuckDB oracle
+    replays everything from the flat parquet base, so one wrong byte
+    in any complex-type encoding flips the hash.  Complements
+    `scan_avro_roundtrip` (primitives) and `scan_avro_temporal`
+    (logical types)."""
+    if not DATASOURCE_API_AVAILABLE:
+        raise NotImplementedError("Python DataSource API requires Spark >= 4.0")
+    path = _materialize_avro_complex(spark, sf_dir)
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("avrodir").option("path", path).load()
+    assert df.schema["meta"].dataType.simpleString() == (
+        "struct<lang:string,n_chars:bigint>"
+    )
+    assert df.schema["toks"].dataType.simpleString() == "array<string>"
+    assert df.schema["props"].dataType.simpleString() == "map<string,string>"
+    return df.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("meta.n_chars").alias("sum_chars"),
+        F.sum(F.size("toks")).cast("long").alias("sum_toks"),
+        F.count_distinct(F.element_at("props", "s")).alias("n_sources"),
+    )

@@ -43,24 +43,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: prefix so they sort into the driver's window.  Every other query keeps
 #: its plain name and remains covered by tools/parity.py + pytest.
 #:
-#: ROUND-6 ROTATION: keeps the same 15 sentinels as rounds 4-5 (one per §2
+#: ROUND-7 ROTATION: keeps the same 15 sentinels as rounds 4-6 (one per §2
 #: family, including every query that was ever driver-red) and swaps in 35
-#: slots: 34 never-driver-hashed queries — prioritizing layout/approx/
-#: lossy shapes whose failure would be least visible locally (Z-order +
-#: sorted-layout skipping sweep, _metadata columns, footer/profile family,
-#: custom DataSource, CSV round-trip deferred from round 5, GIF/pHash
-#:  multimodal, count-min / entropy-gini / grouping-id / winsorize
-#: aggregates, k-means IVF build, triangle counting, CCNet boilerplate +
-#: span/incremental/canonical dedup, windowed funnels / attribution /
-#: MAD anomalies / session windows, base64-hex / IEEE-specials / unicode
-#: collation / timezone functions, advanced LIKE, token-budget packing,
-#: the curation pipeline) — plus ONE re-hash: tpch_q3, whose join plan
-#: changed this round (the SF-scaled broadcast de-pinning), so the
-#: de-pinned TPC-H family gets fresh driver-hash evidence.  Over rounds
-#: this converts parity-green into driver-green across the whole registry
-#: (ROTATION.md is the ledger; ever-hashed reaches 155/262 this round).
+#: never-driver-hashed queries: the round-6 flagship additions (FLE
+#: storage round-trip + scan-path pushdown, Avro complex types), the two
+#: deferred from round 6 (canonical-keep dedup, session windows), three of
+#: the never-hashed TPC-H tail pulled forward per VERDICT r6 task #3
+#: (q5/q8/q22 — the headline family should not be last to get driver
+#: hashes), then the joins / set-ops / SQL-surface / sampling block staged
+#: in ROTATION.md.  window_topk_twophase + text_quality keep the window_/
+#: text_ families represented (every §2 family appears in every window).
+#: Over rounds this converts parity-green into driver-green across the
+#: whole registry (ROTATION.md is the ledger; ever-hashed reaches 228/265
+#: when this round's driver run lands).
 CORE_WINDOW: tuple[str, ...] = (
-    # ---- 15 sentinels retained from the round-4/5 windows ----
+    # ---- 15 sentinels retained from the round-4/5/6 windows ----
     "tpch_q1",
     "tpch_q6",
     "pred_eq",
@@ -76,66 +73,53 @@ CORE_WINDOW: tuple[str, ...] = (
     "ann_ivf_topk",
     "multimodal_features",
     "udf_pandas_scalar",
-    # ---- 35 rotated in (34 first-hash + 1 re-hash) ----
-    # layout-driven skipping: Morton 2-D pruning + the sorted-rewrite
-    # selectivity sweep (row-group skippability is footer-asserted in
-    # tests; the driver hash pins the VALUES survive the rewrite)
-    "scan_zorder_pruned",
-    "selectivity_sorted_002",
-    "selectivity_sorted_020",
-    "selectivity_sorted_100",
-    # scan surface: metadata columns, footer-only reads, profile stats,
-    # nested pruning, the no-pushdown custom DataSource, CSV round-trip
-    # (deferred from round 5)
-    "scan_metadata_cols",
-    "scan_footer_metadata",
-    "scan_profile",
-    "scan_profile_approx",
-    "scan_nested_pruned",
-    "scan_custom_datasource",
-    "scan_csv_roundtrip",
-    # multimodal codecs: GIF LZW round-trip + perceptual-hash near-dup
-    "multimodal_gif_roundtrip",
-    "multimodal_phash_neardup",
-    # aggregate breadth: count-min sketch, entropy/gini profile,
-    # grouping_id rollups, winsorized stats
-    "agg_count_min",
-    "agg_entropy_gini",
-    "agg_grouping_id",
-    "agg_winsorize",
-    # iterative builds: Lloyd k-means IVF + degree-oriented triangles
-    "ann_ivf_kmeans",
-    "graph_triangles",
-    # dedup family: CCNet boilerplate segments, repeated spans,
-    # incremental vs-corpus (canonical-keep → round 7; family already
-    # carries two sentinels + three first-hashes this round)
-    "dedup_boilerplate_segments",
-    "dedup_repeated_spans",
-    "dedup_incremental",
-    # event analytics: windowed funnel, multi-touch attribution, MAD
-    # anomalies (session_window → round 7; family carries the
-    # events_sessionize sentinel + three first-hashes)
-    "events_funnel_windowed",
-    "events_attribution_multitouch",
-    "events_anomaly_mad",
-    # window/text family representation (every §2 family stays in every
-    # window): two-phase grouped top-k + n-gram language ID
-    "window_topk_per_group",
-    "text_lang_id",
-    # scalar-function families: binary codecs, IEEE-754 edge cases,
-    # unicode collation order, timezone arithmetic, advanced LIKE
-    "fn_base64_hex",
-    "fn_ieee_specials",
-    "fn_unicode_order",
-    "fn_timezone",
-    "pred_like_advanced",
-    # training-data pipeline: greedy token-budget packing + the fused
-    # curation filter chain
-    "pack_token_budget",
-    "pipeline_curate",
-    # re-hash: the de-pinned-broadcast TPC-H join family (plan changed
-    # this round — AQE now picks the strategy for SF-scaled sides)
-    "tpch_q3",
+    # ---- 35 rotated in (all first-hash) ----
+    # round-6 flagships: FLE on-disk round-trip, plane-kernel scan-path
+    # pushdown (simple-predicates.h:30-205's contract made observable),
+    # Avro complex types (enum/record/array/map)
+    "scan_fle_roundtrip",
+    "scan_fle_pushdown",
+    "scan_avro_complex",
+    # deferred from round 6
+    "dedup_canonical_keep",
+    "events_session_window",
+    # TPC-H never-hashed tail, pulled forward (VERDICT r6 task #3)
+    "tpch_q5",
+    "tpch_q8",
+    "tpch_q22",
+    # join breadth: outer/self/strategy-pinned/as-of variants/range-binned
+    "join_full_outer",
+    "join_self",
+    "join_shuffle_hash",
+    "join_sort_merge",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "join_range_binned",
+    # set operations
+    "set_intersect",
+    "set_union_all_counted",
+    "set_union_distinct",
+    # SQL surface: spark.sql() entry points, subqueries, pivot/unpivot
+    "sql_agg",
+    "sql_join",
+    "sql_window",
+    "subq_in",
+    "subq_scalar",
+    "pivot_wide",
+    "unpivot_long",
+    # scalar-function families not yet driver-hashed
+    "fn_map",
+    "fn_math",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_hash_utils",
+    # sampling / SCD2 build
+    "sample_fixed_k",
+    "sample_split_assign",
+    "scd2_build",
+    # window/text family representation
+    "window_topk_twophase",
+    "text_quality",
 )
 
 _EXPORT_PREFIX = "a0_"

@@ -656,6 +656,77 @@ def scan_fle_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_MULTICOLUMN_ORACLE = """
+WITH stored AS (
+  SELECT l_returnflag,
+         l_linestatus,
+         NULLIF(CAST(l_quantity AS BIGINT), 10) AS q,
+         CAST(l_linenumber AS BIGINT) AS ln
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(q) AS BIGINT) AS sum_qty,
+       CAST(SUM(ln) AS BIGINT) AS sum_ln,
+       CAST(MIN(q) AS BIGINT) AS min_qty,
+       CAST(MAX(q) AS BIGINT) AS max_qty
+FROM stored
+WHERE l_linestatus = 'F' AND q >= 25 AND ln IN (1, 2, 3)
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_multicolumn",
+    oracle=_FLE_MULTICOLUMN_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown"),
+)
+def scan_fle_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCHEMA-GENERAL fledir container (round 7): four lineitem
+    columns — two order-preserving dictionary strings, one nullable int
+    (NULLIF-derived, so validity words carry real NULLs), one plain int
+    — stored as independent per-column plane sections in one segment
+    stream, the reference's one-scanner-per-materialized-slot model
+    (hdfs-parquet-scanner.cc:1410-1451) rather than the two-column demo
+    layout.  The filter pushes THREE conjuncts that each route to a
+    DIFFERENT column's kernels: a dictionary equality (code-space Eq,
+    dict-encoding.h:461-541), an int `>= 25` (BitWeaving plane walk ANDed
+    with the validity words, so NULL lanes never qualify), and an int
+    IN-list (OR of Eq words, fle-encoding.h:8236-8313) — the per-conjunct
+    routing of simple-predicates.h:30-205.  Segments whose combined
+    bitset is empty decode nothing.  The DuckDB oracle replays everything
+    from raw parquet rows, so one wrong bit in any column's planes,
+    validity words, or dictionary flips the hash.
+
+    Scale: encode runs inside `mapInPandas` Arrow batches on executors;
+    each segment is an independent InputPartition; the only shuffle
+    carries one row per returnflag per partition."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_multi_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_multi_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("l_linestatus") == "F")
+            & (F.col("l_quantity") >= 25)
+            & F.col("l_linenumber").isin(1, 2, 3)
+        )
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_linenumber").alias("sum_ln"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 _METADATA_COLS_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -566,7 +566,8 @@ class AvroDirReader(DataSourceReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("avrodir requires option 'path'")
-        self.n_parts = int(options.get("numPartitions", "8"))
+        # Python DataSource options arrive lower-cased
+        self.n_parts = int(options.get("numpartitions", "8"))
 
     def partitions(self):
         # A committed directory is sealed by the _DONE manifest: read only

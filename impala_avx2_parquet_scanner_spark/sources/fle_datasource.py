@@ -16,20 +16,31 @@ file bytes (`scan_fle_roundtrip`'s DuckDB oracle replays the aggregate
 from the raw rows, so one wrong bit anywhere in pack, serialize, parse,
 or unpack flips the hash).
 
-Segment layout (little-endian, one segment per input Arrow batch):
+The container is SCHEMA-GENERAL (round 7): a segment holds N column
+sections — unsigned-int plane columns and order-preserving-dictionary
+string columns, each independently nullable — matching the reference's
+per-column reader model (one scanner per materialized slot,
+hdfs-parquet-scanner.cc:1410-1451) instead of the round-6 two-column
+demo layout.  Predicate pushdown splits per column exactly like the
+reference's per-conjunct routing (simple-predicates.h:30-205).
 
-    magic  b"FLE1"
-    u32    n                      true value count (<= blocks*64)
-    u8     qty_width              l_quantity bit width
-    u32    n_blocks
-    u64[n_blocks*qty_width]       l_quantity plane words (block-major)
-    u64[n_blocks]                 validity words (def-level analog —
-                                  the reference packs def levels with
-                                  the same encoder)
-    u16    dict_size              order-preserving l_returnflag dict
-    dict_size * (u8 len, bytes)   sorted dictionary entries
-    u8     code_width
-    u64[n_blocks*code_width]      returnflag code plane words
+Segment layout ``FLE2`` (little-endian, one segment per Arrow batch):
+
+    magic  b"FLE2"
+    u32    n                   true value count (<= n_blocks*64)
+    u32    n_blocks            64-value blocks per plane
+    u16    n_cols
+    per column:
+      u16    name_len,  name bytes (utf-8)
+      u8     kind               0 = unsigned int planes, 1 = dict<string>
+      u8     nullable           1 → validity words present
+      u64[n_blocks]             validity words (def-level analog — the
+                                reference packs def levels with the same
+                                encoder), only when nullable
+      (kind 1) u16 dict_size; dict_size * (u16 len, utf-8 bytes)
+                                sorted order-preserving dictionary
+      u8     width              bit width of this column's codes
+      u64[n_blocks*width]       plane words (block-major)
 
 Scale: encoding runs inside `mapInPandas` Arrow batches on executors
 (no driver collect); each segment file is an independent
@@ -40,12 +51,16 @@ visibility (uncommitted dirs are unreadable).
 
 from __future__ import annotations
 
+import math
 import os
 import struct
+from dataclasses import dataclass
 
 import numpy as np
 
 from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+    FleKernels,
+    code_bound,
     fle_pack,
     fle_unpack,
     order_preserving_codes,
@@ -81,106 +96,314 @@ except ImportError:  # pragma: no cover - older Spark
         pass
 
 
-_MAGIC = b"FLE1"
+_MAGIC = b"FLE2"
+_KIND_INT = 0
+_KIND_DICT = 1
+#: fallback read schema when a directory cannot be probed (legacy demo)
 _SCHEMA = "l_returnflag string, l_quantity bigint"
 
 
-def encode_segment(returnflag: np.ndarray, quantity: np.ndarray) -> bytes:
-    """One Arrow batch → one self-contained FLE segment (bytes)."""
-    qty = np.asarray(quantity)
-    valid = ~np.isnan(qty) if qty.dtype.kind == "f" else np.ones(
-        qty.size, dtype=bool
+def _is_null_cell(v) -> bool:
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def _encode_int_column(name: str, values: np.ndarray) -> tuple[
+    np.ndarray, np.ndarray, int, bool
+]:
+    """→ (codes uint64, valid bool, width, nullable).  Floats use NaN as
+    the NULL marker; valid lanes must be non-negative integral values —
+    silent truncation would corrupt the round-trip (a fractional or
+    negative input raises instead of storing a wrong value)."""
+    vals = np.asarray(values)
+    if vals.dtype.kind == "f":
+        valid = ~np.isnan(vals)
+        nullable = bool((~valid).any())
+    elif vals.dtype == object:
+        valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
+        nullable = bool((~valid).any())
+        vals = np.where(valid, vals, 0).astype(np.float64)
+    else:
+        valid = np.ones(vals.size, dtype=bool)
+        nullable = False
+    filled = np.where(valid, vals, 0)
+    codes = filled.astype(np.uint64)
+    if vals.dtype.kind == "f" or vals.dtype == object:
+        if not np.array_equal(
+            codes[valid].astype(np.float64), np.asarray(filled)[valid]
+        ):
+            raise ValueError(
+                f"fledir: column {name!r} has non-integral values — the FLE "
+                "plane encoding stores unsigned integers exactly"
+            )
+    if valid.any() and np.asarray(filled)[valid].min() < 0:
+        raise ValueError(
+            f"fledir: column {name!r} has negative values — FLE plane "
+            "codes are unsigned (order-preserving offset them first)"
+        )
+    width = max(int(codes.max()).bit_length(), 1) if codes.size else 1
+    return codes, valid, width, nullable
+
+
+def _encode_dict_column(values: np.ndarray) -> tuple[
+    np.ndarray, np.ndarray, list[str], int, bool
+]:
+    """→ (codes uint64, valid bool, dictionary, width, nullable)."""
+    vals = np.asarray(values, dtype=object)
+    valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
+    nullable = bool((~valid).any())
+    if valid.any():
+        fill = vals[valid][0]
+        work = np.where(valid, vals, fill)
+        dictionary, codes = order_preserving_codes(work.astype(str))
+        dict_list = [str(d) for d in dictionary]
+    else:
+        dict_list, codes = [], np.zeros(vals.size, dtype=np.uint64)
+    width = max(int(codes.max()).bit_length(), 1) if codes.size else 1
+    return codes.astype(np.uint64), valid, dict_list, width, nullable
+
+
+def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
+    """N named arrays (one Arrow batch) → one self-contained FLE segment.
+
+    Column kind is inferred from dtype: string/object arrays become
+    order-preserving dictionary columns, numeric arrays become unsigned
+    int plane columns (NaN marks NULL in float input).  Dictionary
+    entries carry a u16 length prefix, so entries up to 65535 UTF-8
+    bytes round-trip (longer raises a clear error)."""
+    if not columns:
+        raise ValueError("fledir: segment needs at least one column")
+    n = int(np.asarray(columns[0][1]).size)
+    parts: list[bytes] = []
+    n_blocks = None
+    for name, values in columns:
+        vals = np.asarray(values)
+        if vals.size != n:
+            raise ValueError("fledir: ragged columns in one segment")
+        if vals.dtype.kind in ("U", "S"):
+            is_dict = True
+        elif vals.dtype == object:
+            # object arrays hold strings (→ dict) unless every non-null
+            # cell is numeric (→ int planes); empty defaults to dict
+            non_null = [v for v in vals if not _is_null_cell(v)]
+            is_dict = not non_null or not all(
+                isinstance(v, (int, np.integer, float, np.floating))
+                for v in non_null
+            )
+        else:
+            is_dict = False
+        if is_dict:
+            codes, valid, dictionary, width, nullable = (
+                _encode_dict_column(vals)
+            )
+        else:
+            codes, valid, width, nullable = _encode_int_column(name, vals)
+            dictionary = None
+        planes, pn = fle_pack(codes, width)
+        assert pn == n
+        raw_name = name.encode("utf-8")
+        sec = [struct.pack("<H", len(raw_name)), raw_name,
+               struct.pack("<BB",
+                           _KIND_DICT if is_dict else _KIND_INT,
+                           1 if nullable else 0)]
+        if nullable:
+            sec.append(
+                np.ascontiguousarray(pack_validity(valid), "<u8").tobytes()
+            )
+        if is_dict:
+            sec.append(struct.pack("<H", len(dictionary)))
+            for entry in dictionary:
+                raw = entry.encode("utf-8")
+                if len(raw) > 0xFFFF:
+                    raise ValueError(
+                        "fledir: dictionary entry exceeds 65535 UTF-8 "
+                        "bytes — not representable in the segment format"
+                    )
+                sec.append(struct.pack("<H", len(raw)) + raw)
+        sec.append(struct.pack("<B", width))
+        sec.append(np.ascontiguousarray(planes, "<u8").tobytes())
+        if n_blocks is None:
+            n_blocks = planes.shape[0]
+        parts.append(b"".join(sec))
+    header = _MAGIC + struct.pack(
+        "<IIH", n, n_blocks if n_blocks is not None else 0, len(columns)
     )
-    codes_qty = np.where(valid, qty, 0).astype(np.uint64)
-    qty_width = max(int(codes_qty.max()).bit_length(), 1) if codes_qty.size else 1
-    qplanes, n = fle_pack(codes_qty, qty_width)
-    vwords = pack_validity(valid)
-    dictionary, codes = order_preserving_codes(np.asarray(returnflag))
-    code_width = max(int(codes.max()).bit_length(), 1) if codes.size else 1
-    cplanes, cn = fle_pack(codes, code_width)
-    assert cn == n
-    parts = [
-        _MAGIC,
-        struct.pack("<IBI", n, qty_width, qplanes.shape[0]),
-        np.ascontiguousarray(qplanes, dtype="<u8").tobytes(),
-        np.ascontiguousarray(vwords, dtype="<u8").tobytes(),
-        struct.pack("<H", len(dictionary)),
-    ]
-    for entry in dictionary:
-        raw = str(entry).encode("utf-8")
-        parts.append(struct.pack("<B", len(raw)) + raw)
-    parts.append(struct.pack("<B", code_width))
-    parts.append(np.ascontiguousarray(cplanes, dtype="<u8").tobytes())
-    return b"".join(parts)
+    return header + b"".join(parts)
 
 
-def parse_segment(payload: bytes):
-    """Parse a segment's sections WITHOUT decoding any value: returns
-    (qty_planes, qty_width, validity_words, dictionary, code_width,
-    code_planes, n).  Kernel pushdown runs on these planes directly."""
+def encode_segment(returnflag: np.ndarray, quantity: np.ndarray) -> bytes:
+    """Legacy two-column demo layout (round-6 surface, kept for the
+    `scan_fle_roundtrip`/`scan_fle_pushdown` contract): one Arrow batch
+    of (l_returnflag, l_quantity) → one segment."""
+    return encode_segment_columns(
+        [("l_returnflag", returnflag), ("l_quantity", quantity)]
+    )
+
+
+@dataclass
+class ParsedColumn:
+    name: str
+    kind: int
+    nullable: bool
+    validity: np.ndarray | None  # u64 words, None → all valid
+    dictionary: list[str] | None  # kind 1 only
+    width: int
+    planes: np.ndarray  # (n_blocks, width) u64
+
+
+@dataclass
+class ParsedSegment:
+    n: int
+    n_blocks: int
+    columns: list[ParsedColumn]
+
+    def column(self, name: str) -> ParsedColumn:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+
+def parse_segment(payload: bytes) -> ParsedSegment:
+    """Parse a segment's sections WITHOUT decoding any value.  Kernel
+    pushdown runs on the returned plane/validity words directly."""
     if payload[:4] != _MAGIC:
         raise ValueError("fledir: bad segment magic")
-    n, qty_width, n_blocks = struct.unpack_from("<IBI", payload, 4)
-    off = 4 + 9
-    qwords = n_blocks * qty_width
-    qplanes = np.frombuffer(payload, "<u8", qwords, off).reshape(
-        n_blocks, qty_width
-    )
-    off += 8 * qwords
-    vwords = np.frombuffer(payload, "<u8", n_blocks, off)
-    off += 8 * n_blocks
-    (dict_size,) = struct.unpack_from("<H", payload, off)
-    off += 2
-    dictionary = []
-    for _ in range(dict_size):
-        (ln,) = struct.unpack_from("<B", payload, off)
+    n, n_blocks, n_cols = struct.unpack_from("<IIH", payload, 4)
+    off = 4 + 10
+    cols: list[ParsedColumn] = []
+    for _ in range(n_cols):
+        (name_len,) = struct.unpack_from("<H", payload, off)
+        off += 2
+        name = payload[off:off + name_len].decode("utf-8")
+        off += name_len
+        kind, nullable = struct.unpack_from("<BB", payload, off)
+        off += 2
+        validity = None
+        if nullable:
+            validity = np.frombuffer(payload, "<u8", n_blocks, off)
+            off += 8 * n_blocks
+        dictionary = None
+        if kind == _KIND_DICT:
+            (dict_size,) = struct.unpack_from("<H", payload, off)
+            off += 2
+            dictionary = []
+            for _ in range(dict_size):
+                (ln,) = struct.unpack_from("<H", payload, off)
+                off += 2
+                dictionary.append(payload[off:off + ln].decode("utf-8"))
+                off += ln
+        (width,) = struct.unpack_from("<B", payload, off)
         off += 1
-        dictionary.append(payload[off:off + ln].decode("utf-8"))
-        off += ln
-    (code_width,) = struct.unpack_from("<B", payload, off)
-    off += 1
-    cwords = n_blocks * code_width
-    cplanes = np.frombuffer(payload, "<u8", cwords, off).reshape(
-        n_blocks, code_width
-    )
-    return qplanes, qty_width, vwords, dictionary, code_width, cplanes, n
+        words = n_blocks * width
+        planes = np.frombuffer(payload, "<u8", words, off).reshape(
+            n_blocks, width
+        )
+        off += 8 * words
+        cols.append(ParsedColumn(
+            name=name, kind=kind, nullable=bool(nullable),
+            validity=validity, dictionary=dictionary, width=width,
+            planes=planes,
+        ))
+    return ParsedSegment(n=n, n_blocks=n_blocks, columns=cols)
 
 
-def _mask_to_bool(mask: np.ndarray, n: int) -> np.ndarray:
-    """Bitset words (one uint64 per 64-value block) → bool[n]."""
-    return np.unpackbits(
-        mask.astype("<u8").view(np.uint8), bitorder="little"
-    )[:n].astype(bool)
+def _lane_validity(col: ParsedColumn, n: int) -> np.ndarray:
+    if col.validity is None:
+        return np.ones(n, dtype=bool)
+    lanes = np.arange(n, dtype=np.uint64)
+    return (
+        (col.validity[(lanes // 64).astype(np.int64)] >> (lanes % 64))
+        & np.uint64(1)
+    ).astype(bool)
+
+
+def decode_segment_columns(
+    seg: ParsedSegment, mask: np.ndarray | None = None
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Parsed segment → {name: (values, valid)} via the codec's decode
+    path (FleDecoder::Get).  Accepts the ALREADY-PARSED segment so the
+    pushdown path parses each file exactly once (mask kernels ran on the
+    same parse).  `mask` (kernel bitset words) restricts output to
+    matching lanes — and decode SKIPS whole 64-value blocks whose mask
+    word is zero (the bitset-driven skip loop, hdfs-parquet-scanner.cc:
+    1006-1038 + fle-encoding.h:344-402's O(1) Skip): on clustered data a
+    selective predicate decodes only the surviving blocks' plane words,
+    not the segment."""
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if mask is None:
+        for c in seg.columns:
+            codes = fle_unpack(c.planes, c.width, seg.n)
+            valid = _lane_validity(c, seg.n)
+            vals = _codes_to_values(c, codes, seg.n)
+            out[c.name] = (vals, valid)
+        return out
+
+    live = np.flatnonzero(mask)  # surviving block indices, ascending
+    # per-lane keep bits over ONLY the surviving blocks (kernel tail
+    # masks already zeroed padding lanes, so no n-clipping needed here)
+    keep = np.unpackbits(
+        mask[live].astype("<u8").view(np.uint8), bitorder="little"
+    ).astype(bool)
+    n_sub = live.size * 64
+    for c in seg.columns:
+        if live.size == 0:
+            empty_vals = (
+                np.empty(0, dtype=object)
+                if c.kind == _KIND_DICT
+                else np.empty(0, dtype=np.int64)
+            )
+            out[c.name] = (empty_vals, np.empty(0, dtype=bool))
+            continue
+        codes = fle_unpack(c.planes[live], c.width, n_sub)[keep]
+        if c.validity is None:
+            valid = np.ones(codes.size, dtype=bool)
+        else:
+            vbits = np.unpackbits(
+                c.validity[live].astype("<u8").view(np.uint8),
+                bitorder="little",
+            ).astype(bool)
+            valid = vbits[keep]
+        vals = _codes_to_values(c, codes, codes.size)
+        out[c.name] = (vals, valid)
+    return out
+
+
+def _codes_to_values(
+    c: ParsedColumn, codes: np.ndarray, n: int
+) -> np.ndarray:
+    if c.kind == _KIND_DICT:
+        return (
+            np.asarray(c.dictionary, dtype=object)[codes.astype(np.int64)]
+            if c.dictionary
+            else np.full(n, None, dtype=object)
+        )
+    return codes.astype(np.int64)
 
 
 def decode_segment(payload: bytes, mask: np.ndarray | None = None):
-    """One segment file → (returnflag ndarray[str], quantity int64,
-    valid bool ndarray) via the codec's decode path (FleDecoder::Get).
-    `mask` (kernel bitset words) restricts the output to matching lanes
-    — predicate work already happened on the planes, decode touches
-    only survivors' positions."""
-    qplanes, qty_width, vwords, dictionary, code_width, cplanes, n = (
-        parse_segment(payload)
-    )
-    qty = fle_unpack(qplanes, qty_width, n).astype(np.int64)
-    codes = fle_unpack(cplanes, code_width, n).astype(np.int64)
-    rf = np.asarray(dictionary, dtype=object)[codes] if dictionary else (
-        np.empty(0, dtype=object)
-    )
-    lanes = np.arange(n, dtype=np.uint64)
-    valid = (
-        (vwords[(lanes // 64).astype(np.int64)] >> (lanes % 64))
-        & np.uint64(1)
-    ).astype(bool)
-    if mask is not None:
-        keep = _mask_to_bool(mask, n)
-        return rf[keep], qty[keep], valid[keep]
-    return rf, qty, valid
+    """Legacy two-column helper: one segment's bytes → (returnflag
+    ndarray[str], quantity int64, quantity-valid bool ndarray)."""
+    cols = decode_segment_columns(parse_segment(payload), mask=mask)
+    rf, _ = cols["l_returnflag"]
+    qty, qvalid = cols["l_quantity"]
+    return rf, qty, qvalid
 
 
 class _FleFilesPartition(InputPartition):
     def __init__(self, paths: list[str]):
         self.paths = paths
+
+
+_PUSHABLE_OPS = {
+    "EqualTo": "eq",
+    "LessThan": "lt",
+    "LessThanOrEqual": "le",
+    "GreaterThan": "gt",
+    "GreaterThanOrEqual": "ge",
+    "In": "in",
+    "IsNull": "is_null",
+    "IsNotNull": "is_not_null",
+}
 
 
 class FleDirReader(DataSourceReader):
@@ -193,98 +416,81 @@ class FleDirReader(DataSourceReader):
         #: bit-sliced kernels ON THE ENCODED PLANES in read(), before
         #: any decode (the reference's defining behavior:
         #: simple-predicates.h:30-205 evaluated inside the scan on FLE
-        #: data, fle-encoding.h:7962-8313)
+        #: data, fle-encoding.h:7962-8313); the conjunct→column routing
+        #: mirrors the per-slot scanner split
+        #: (hdfs-parquet-scanner.cc:1410-1451)
         self.pushed: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):
-        """eq/lt/le/gt/ge/in on either column are accepted and become
-        plane-word kernel masks; l_quantity IS NULL / IS NOT NULL rides
-        the validity words (the def-level path).  Everything else is
-        yielded back as a residual Spark re-evaluates after the scan —
-        the pushed-vs-residual conjunct split (§2A #5/#6,
-        hdfs-parquet-scanner.cc:1825-1834)."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            IsNotNull,
-            IsNull,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        ops = {
-            EqualTo: "eq",
-            LessThan: "lt",
-            LessThanOrEqual: "le",
-            GreaterThan: "gt",
-            GreaterThanOrEqual: "ge",
-            In: "in",
-            IsNull: "is_null",
-            IsNotNull: "is_not_null",
-        }
+        """eq/lt/le/gt/ge/in on any stored column are accepted and
+        become plane-word kernel masks (string columns translate
+        through their order-preserving dictionary, dict-encoding.h:
+        461-541); IS NULL / IS NOT NULL ride the validity words (the
+        def-level path).  Everything else is yielded back as a residual
+        Spark re-evaluates after the scan — the pushed-vs-residual
+        conjunct split (§2A #5/#6, hdfs-parquet-scanner.cc:1825-1834)."""
         for f in filters:
             col = getattr(f, "attribute", None)
-            op = ops.get(type(f))
-            if op and col in (("l_quantity",), ("l_returnflag",)):
+            op = _PUSHABLE_OPS.get(type(f).__name__)
+            if op and isinstance(col, tuple) and len(col) == 1:
                 self.pushed.append(
                     (col[0], op, getattr(f, "value", None))
                 )
                 continue
             yield f
 
-    def _segment_mask(self, seg) -> "np.ndarray | None":
+    def _segment_mask(self, seg: ParsedSegment) -> "np.ndarray | None":
         """AND together every pushed conjunct's kernel bitset for one
         segment — all work happens on plane words, zero values decoded.
-        Returns None when nothing is pushed (decode everything)."""
+        Returns None when nothing constrains the segment (decode all)."""
         if not self.pushed:
             return None
-        from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
-            FleKernels,
-            code_bound,
-        )
-
-        qplanes, qty_width, vwords, dictionary, code_width, cplanes, n = seg
-        qk = FleKernels(qplanes, qty_width, n, validity=vwords)
-        rk = FleKernels(cplanes, code_width, n)
         mask = None
 
         def _and(m):
             nonlocal mask
             mask = m if mask is None else mask & m
 
-        for col, op, value in self.pushed:
-            if col == "l_quantity":
-                if op == "is_null":
-                    _and(qk.is_null())
-                elif op == "is_not_null":
-                    _and(qk.is_not_null())
-                elif op == "in":
-                    _and(qk.in_(tuple(int(v) for v in value)))
-                else:
-                    _and(getattr(qk, op)(int(value)))
-            else:  # l_returnflag via the order-preserving dictionary
-                if op == "is_not_null":
-                    continue  # returnflag column is never null here
-                if op == "is_null":
-                    _and(np.zeros(qplanes.shape[0], dtype=np.uint64))
-                    continue
+        zeros = np.zeros(seg.n_blocks, dtype=np.uint64)
+        cols = {c.name: c for c in seg.columns}
+        for col_name, op, value in self.pushed:
+            c = cols.get(col_name)
+            if c is None:  # column not stored here: leave to residual
+                continue
+            k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+            if op == "is_null":
+                _and(k.is_null())
+            elif op == "is_not_null":
+                if c.validity is None:
+                    continue  # non-nullable: all rows qualify
+                _and(k.is_not_null())
+            elif c.kind == _KIND_INT:
                 if op == "in":
-                    m = np.zeros(qplanes.shape[0], dtype=np.uint64)
+                    _and(k.in_(tuple(int(v) for v in value)))
+                else:
+                    _and(getattr(k, op)(int(value)))
+            else:  # dictionary column: literal → code space
+                if op == "in":
+                    m = zeros.copy()
                     for v in value:
-                        b = code_bound(dictionary, "eq", str(v))
+                        b = code_bound(
+                            np.asarray(c.dictionary), "eq", str(v)
+                        )
                         if b not in (True, False):
-                            m = m | rk.eq(b[1])
+                            m = m | k.eq(b[1])
                     _and(m)
                     continue
-                b = code_bound(dictionary, op, str(value))
+                b = code_bound(np.asarray(c.dictionary), op, str(value))
                 if b is True:
-                    continue  # domain short-circuit: all rows pass
-                if b is False:
-                    _and(np.zeros(qplanes.shape[0], dtype=np.uint64))
+                    # domain short-circuit: every VALID row passes (a
+                    # NULL lane still satisfies no comparison)
+                    if c.validity is not None:
+                        _and(k.is_not_null())
                     continue
-                _and(getattr(rk, b[0])(b[1]))
+                if b is False:
+                    _and(zeros.copy())
+                    continue
+                _and(getattr(k, b[0])(b[1]))
         return mask
 
     def partitions(self):
@@ -306,20 +512,29 @@ class FleDirReader(DataSourceReader):
         for path in partition.paths:
             with open(path, "rb") as fh:
                 payload = fh.read()
-            mask = None
-            if self.pushed:
-                seg = parse_segment(payload)
-                mask = self._segment_mask(seg)
-                if mask is not None and not mask.any():
-                    continue  # whole segment kernel-rejected: zero decode
-            rf, qty, valid = decode_segment(payload, mask=mask)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(rf, type=pa.string()),
-                    pa.array(qty, type=pa.int64(), mask=~valid),
-                ],
-                names=["l_returnflag", "l_quantity"],
-            )
+            # parse ONCE: the same parsed sections feed both the kernel
+            # mask and the decode (no byte is re-parsed)
+            seg = parse_segment(payload)
+            mask = self._segment_mask(seg)
+            if mask is not None and not mask.any():
+                continue  # whole segment kernel-rejected: zero decode
+            cols = decode_segment_columns(seg, mask=mask)
+            arrays, names = [], []
+            for c in seg.columns:
+                vals, valid = cols[c.name]
+                if c.kind == _KIND_DICT:
+                    arr = pa.array(
+                        vals, type=pa.string(),
+                        mask=~valid if c.nullable else None,
+                    )
+                else:
+                    arr = pa.array(
+                        vals, type=pa.int64(),
+                        mask=~valid if c.nullable else None,
+                    )
+                arrays.append(arr)
+                names.append(c.name)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 class _FleCommit(WriterCommitMessage):
@@ -327,17 +542,36 @@ class _FleCommit(WriterCommitMessage):
         self.files = files
 
 
+def _clear_segments(path: str) -> None:
+    """Remove every segment file + manifest under `path` (overwrite and
+    unsealed-retry hygiene — stale seg_*.fle from a crashed attempt or a
+    previous layout must not survive into a new write)."""
+    if not os.path.isdir(path):
+        return
+    for f in os.listdir(path):
+        if f.endswith(".fle") or f == "_DONE":
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+
+
 class FleDirWriter(DataSourceWriter):
     """Writer half (§2A #17/#18 for this format): input rows are
     pre-encoded segments (seg_id bigint, payload binary); each task
     persists its payloads as `seg_<id>.fle`, `commit` seals the dir with
-    the `_DONE` manifest, `abort` removes this attempt's files."""
+    the `_DONE` manifest, `abort` removes this attempt's files.
+    `overwrite` clears pre-existing segments + manifest up front, so
+    mode('overwrite') replaces the directory instead of appending into
+    it."""
 
     def __init__(self, options, overwrite: bool):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
         self.overwrite = overwrite
+        if overwrite:
+            _clear_segments(self.dir)
 
     def write(self, rows):
         os.makedirs(self.dir, exist_ok=True)
@@ -365,13 +599,35 @@ class FleDirWriter(DataSourceWriter):
                     pass
 
 
+def infer_fledir_schema(path: str) -> str | None:
+    """Probe the first committed segment's header for the stored column
+    names/kinds → Spark DDL (the footer-schema read the parquet path
+    gets for free; here the segment header is the footer)."""
+    try:
+        done = os.path.join(path, "_DONE")
+        with open(done) as fh:
+            first = next(
+                ln for ln in fh.read().splitlines() if ln
+            )
+        with open(os.path.join(path, first), "rb") as fh:
+            seg = parse_segment(fh.read())
+        return ", ".join(
+            f"{c.name} {'string' if c.kind == _KIND_DICT else 'bigint'}"
+            for c in seg.columns
+        )
+    except Exception:
+        return None
+
+
 class FleDataSource(DataSource):
     @classmethod
     def name(cls):
         return "fledir"
 
     def schema(self):
-        return _SCHEMA
+        path = self.options.get("path")
+        inferred = infer_fledir_schema(path) if path else None
+        return inferred or _SCHEMA
 
     def reader(self, schema):
         return FleDirReader(self.options)
@@ -387,6 +643,13 @@ def register_fledir(spark) -> None:
         pass
 
 
+def _fle_asset_dir(sf_dir: str, leaf: str) -> str:
+    import hashlib as _h
+
+    key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp/spark_graft_formats", key, leaf)
+
+
 def materialize_fle_dir(spark, sf_dir: str) -> str:
     """Write-once: encode lineitem (l_returnflag, NULLIF(l_quantity, 10))
     into `.fle` segments through the fledir WRITER half.  The NULLIF
@@ -395,8 +658,6 @@ def materialize_fle_dir(spark, sf_dir: str) -> str:
     in-plan masks.  Encoding happens inside `mapInPandas` Arrow batches
     on the executors; the writer tasks persist their segments and the
     commit seals the `_DONE` manifest."""
-    import hashlib as _h
-
     import pandas as _pd
 
     from impala_avx2_parquet_scanner_spark.catalog import table
@@ -404,10 +665,10 @@ def materialize_fle_dir(spark, sf_dir: str) -> str:
 
     ensure_runtime_confs(spark)
     register_fledir(spark)
-    key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join("/tmp/spark_graft_formats", key, "fle_assets")
+    out = _fle_asset_dir(sf_dir, "fle_assets_v2")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
+    _clear_segments(out)  # crashed unsealed attempt: drop its files
 
     def encode(batches):
         from pyspark import TaskContext
@@ -426,6 +687,57 @@ def materialize_fle_dir(spark, sf_dir: str) -> str:
     (
         table(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_quantity")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
+def materialize_fle_multi_dir(spark, sf_dir: str) -> str:
+    """Write-once: the GENERAL container shape — four lineitem columns
+    (two order-preserving dictionary strings + one nullable int + one
+    plain int) in one segment stream, matching the reference's
+    one-scanner-per-slot column model (hdfs-parquet-scanner.cc:
+    1410-1451) rather than the two-column demo."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_multi_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            qty = pdf["l_quantity"].astype("float64")
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                ("l_linestatus", pdf["l_linestatus"].to_numpy()),
+                ("l_quantity", qty.where(qty != 10.0).to_numpy()),
+                (
+                    "l_linenumber",
+                    pdf["l_linenumber"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"
+        )
         .mapInPandas(encode, schema="seg_id long, payload binary")
         .write.format("fledir")
         .mode("overwrite")

@@ -71,7 +71,8 @@ class PpmDirReader(DataSourceReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("ppmdir requires option 'path'")
-        self.n_parts = int(options.get("numPartitions", "8"))
+        # Python DataSource options arrive lower-cased
+        self.n_parts = int(options.get("numpartitions", "8"))
         self._doc_lo: int | None = None  # inclusive
         self._doc_hi: int | None = None  # inclusive
         self._doc_in: set[int] | None = None

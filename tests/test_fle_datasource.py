@@ -330,6 +330,224 @@ def test_fledir_commit_protocol(tmp_path):
     assert os.path.exists(os.path.join(out, "seg_1.fle"))
 
 
+def test_multicolumn_segment_roundtrip():
+    """The schema-general container: N columns of mixed kinds (two dict
+    strings — one nullable, one nullable int, one plain int) round-trip
+    values AND per-column validity."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        decode_segment_columns,
+        encode_segment_columns,
+        parse_segment,
+    )
+
+    rf = np.array(["N", "A", "R", "N"], dtype=object)
+    status = np.array(["F", None, "O", "F"], dtype=object)
+    qty = np.array([1.0, np.nan, 7.0, 33.0])
+    ln = np.array([1, 2, 3, 4], dtype=np.int64)
+    payload = encode_segment_columns(
+        [("rf", rf), ("status", status), ("qty", qty), ("ln", ln)]
+    )
+    cols = decode_segment_columns(parse_segment(payload))
+    assert list(cols["rf"][0]) == list(rf) and cols["rf"][1].all()
+    sv, svalid = cols["status"]
+    assert svalid.tolist() == [True, False, True, True]
+    assert [sv[i] for i in (0, 2, 3)] == ["F", "O", "F"]
+    qv, qvalid = cols["qty"]
+    assert qvalid.tolist() == [True, False, True, True]
+    assert qv[qvalid].tolist() == [1, 7, 33]
+    assert cols["ln"][0].tolist() == [1, 2, 3, 4] and cols["ln"][1].all()
+
+
+def test_encode_rejects_fractional_and_negative():
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        encode_segment_columns,
+    )
+
+    with pytest.raises(ValueError, match="non-integral"):
+        encode_segment_columns([("q", np.array([1.0, 2.5]))])
+    with pytest.raises(ValueError, match="negative"):
+        encode_segment_columns([("q", np.array([-1, 2], dtype=np.int64))])
+
+
+def test_long_dictionary_entry_roundtrips():
+    """u16 length prefix: entries beyond the old u8 limit round-trip;
+    the 65535-byte format bound raises a clear error."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        decode_segment_columns,
+        encode_segment_columns,
+        parse_segment,
+    )
+
+    long_entry = "x" * 300
+    vals = np.array([long_entry, "a", long_entry], dtype=object)
+    payload = encode_segment_columns([("s", vals)])
+    got, valid = decode_segment_columns(parse_segment(payload))["s"]
+    assert list(got) == [long_entry, "a", long_entry] and valid.all()
+    with pytest.raises(ValueError, match="65535"):
+        encode_segment_columns(
+            [("s", np.array(["y" * 70_000], dtype=object))]
+        )
+
+
+def test_writer_overwrite_clears_stale_segments(tmp_path):
+    """mode('overwrite') must REPLACE the directory: stale segments from
+    a previous commit (or a crashed unsealed attempt) do not survive
+    into the new manifest or the file listing."""
+    import os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        FleDirWriter,
+    )
+
+    class _Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    out = str(tmp_path / "fle_over")
+    payload = encode_segment(
+        np.array(["A"], dtype=object), np.array([1.0])
+    )
+    w1 = FleDirWriter({"path": out}, overwrite=True)
+    w1.commit([w1.write([_Row(1, payload), _Row(2, payload)])])
+    # leave a stale unsealed file behind too
+    with open(os.path.join(out, "seg_999.fle"), "wb") as fh:
+        fh.write(payload)
+
+    w2 = FleDirWriter({"path": out}, overwrite=True)
+    w2.commit([w2.write([_Row(7, payload)])])
+    assert sorted(os.listdir(out)) == ["_DONE", "seg_7.fle"]
+    parts = FleDirReader({"path": out}).partitions()
+    assert [os.path.basename(p) for part in parts for p in part.paths] == [
+        "seg_7.fle"
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.one_of(st.none(), st.sampled_from(["F", "O", "P"])),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=63)),
+            st.integers(min_value=1, max_value=7),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.lists(
+        st.sampled_from(
+            [
+                ("qty", "ge", 30),
+                ("qty", "in", (1, 5, 63)),
+                ("qty", "is_null", None),
+                ("ln", "le", 3),
+                ("ln", "eq", 7),
+                ("ln", "in", (1, 2)),
+                ("rf", "eq", "N"),
+                ("rf", "ge", "N"),
+                ("status", "eq", "F"),
+                ("status", "is_not_null", None),
+                ("status", "is_null", None),
+                ("status", "le", "Z"),
+                ("status", "lt", "F"),
+            ]
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_multicolumn_pushdown_fuzz(rows, conjuncts):
+    """Per-column conjunct routing on the general container: any
+    conjunction over four mixed-kind columns must keep exactly the rows
+    direct evaluation keeps (NULL satisfies no comparison; nullable dict
+    columns AND their validity into domain short-circuits too)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        decode_segment_columns,
+        encode_segment_columns,
+        parse_segment,
+    )
+
+    payload = encode_segment_columns([
+        ("rf", np.array([r[0] for r in rows], dtype=object)),
+        ("status", np.array([r[1] for r in rows], dtype=object)),
+        ("qty", np.array(
+            [float("nan") if r[2] is None else float(r[2]) for r in rows]
+        )),
+        ("ln", np.array([r[3] for r in rows], dtype=np.int64)),
+    ])
+    r = FleDirReader({"path": "x"})
+    r.pushed = list(conjuncts)
+    seg = parse_segment(payload)
+    cols = decode_segment_columns(seg, mask=r._segment_mask(seg))
+
+    def keep(i) -> bool:
+        vals = {"rf": rows[i][0], "status": rows[i][1], "qty": rows[i][2],
+                "ln": rows[i][3]}
+        for col, op, lit in conjuncts:
+            v = vals[col]
+            if op == "is_null":
+                if v is not None:
+                    return False
+            elif op == "is_not_null":
+                if v is None:
+                    return False
+            elif v is None:
+                return False
+            elif op == "in":
+                if v not in lit:
+                    return False
+            elif op == "eq" and not v == lit:
+                return False
+            elif op == "lt" and not v < lit:
+                return False
+            elif op == "le" and not v <= lit:
+                return False
+            elif op == "gt" and not v > lit:
+                return False
+            elif op == "ge" and not v >= lit:
+                return False
+        return True
+
+    want = [
+        (rows[i][0], rows[i][1], rows[i][2], rows[i][3])
+        for i in range(len(rows))
+        if keep(i)
+    ]
+    got = [
+        (
+            cols["rf"][0][j],
+            cols["status"][0][j] if cols["status"][1][j] else None,
+            int(cols["qty"][0][j]) if cols["qty"][1][j] else None,
+            int(cols["ln"][0][j]),
+        )
+        for j in range(len(cols["rf"][0]))
+    ]
+    assert got == want
+
+
+def test_schema_inference_from_segment_header(tmp_path):
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirWriter,
+        encode_segment_columns,
+        infer_fledir_schema,
+    )
+
+    class _Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    out = str(tmp_path / "fle_schema")
+    payload = encode_segment_columns([
+        ("name", np.array(["a"], dtype=object)),
+        ("v", np.array([3], dtype=np.int64)),
+    ])
+    w = FleDirWriter({"path": out}, overwrite=True)
+    w.commit([w.write([_Row(1, payload)])])
+    assert infer_fledir_schema(out) == "name string, v bigint"
+
+
 def test_datasource_in_and_isnull_pushdown_e2e(spark, sf_dir):
     """IN-list and IS NULL conjuncts through a real Spark read: both are
     accepted by pushFilters (kernel OR-of-Eq; validity-word is_null) and

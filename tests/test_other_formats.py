@@ -4,6 +4,8 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
@@ -124,6 +126,133 @@ def test_avro_codec_golden_bytes_and_roundtrip():
         data = encode_avro(edge, schema, codec=codec, block_rows=3)
         _, back = decode_avro(data)
         assert back == edge, codec
+
+
+def test_avro_array_map_block_form_golden_bytes():
+    """Spec pin for the BLOCK form of array/map encodings (Avro 1.11
+    "Data Serialization": a NEGATIVE item count is followed by the
+    block's byte size, enabling skip-ahead): our encoder always writes
+    the positive-count form, so the block-form READ path gets its own
+    hand-assembled golden container — decoder checked against the spec,
+    not our encoder."""
+    import json as _json
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    sj = _json.dumps(schema).encode()
+    sync = b"0123456789abcdef"
+    hdr = b"Obj\x01" + bytes([4])
+    for k, v in (("avro.codec", b"null"), ("avro.schema", sj)):
+        kb = k.encode()
+        hdr += bytes([len(kb) * 2]) + kb
+        n = len(v) * 2
+        hdr += (bytes([n]) if n < 128 else bytes([(n & 0x7F) | 0x80, n >> 7])) + v
+    hdr += b"\x00" + sync
+    # one record:
+    #   arr = [7, 9] written as a NEGATIVE-count block:
+    #     zz(-2)=0x03, byte size zz(2)=0x04, zz(7)=0x0e, zz(9)=0x12,
+    #     terminator zz(0)=0x00
+    #   m = {"a": 1} also block form:
+    #     zz(-1)=0x01, byte size zz(4)=0x08,
+    #     key zz(1)=0x02 + b"a", value zz(1)=0x02, terminator 0x00
+    body = bytes.fromhex("03040e1200") + bytes.fromhex("0108") + b"\x02a\x02" + b"\x00"
+    block = bytes([1 * 2]) + bytes([len(body) * 2]) + body + sync
+    got_schema, rows = decode_avro(hdr + block)
+    assert got_schema == schema
+    assert rows == [([7, 9], {"a": 1})]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=8,
+            ),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-(2**62), max_value=2**62),
+                    st.one_of(
+                        st.none(),
+                        st.text(max_size=12),
+                    ),
+                    st.sampled_from(["RED", "GREEN", "BLUE"]),
+                ),
+                max_size=4,
+            ),
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_avro_complex_nested_fuzz(values):
+    """Property fuzz for the complex types the way scalars already are:
+    a record-in-array-in-map column (with a nullable union and an enum
+    INSIDE the nested record) must round-trip encode_avro → decode_avro
+    exactly, across both codecs and block boundaries."""
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "rid", "type": "long"},
+            {
+                "name": "m",
+                "type": {
+                    "type": "map",
+                    "values": {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "p",
+                            "fields": [
+                                {"name": "x", "type": "long"},
+                                {"name": "s", "type": ["null", "string"]},
+                                {
+                                    "name": "c",
+                                    "type": {
+                                        "type": "enum",
+                                        "name": "col",
+                                        "symbols": [
+                                            "RED", "GREEN", "BLUE",
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                    },
+                },
+            },
+        ],
+    }
+    records = [(i, m) for i, m in enumerate(values)]
+    for codec in ("null", "deflate"):
+        data = encode_avro(records, schema, codec=codec, block_rows=7)
+        _, back = decode_avro(data)
+        assert len(back) == len(records)
+        for (rid, m), (grid, gm) in zip(records, back):
+            assert grid == rid
+            assert set(gm) == set(m)
+            for k, items in m.items():
+                assert gm[k] == [tuple(t) for t in items]
 
 
 def test_avrodir_datasource_write_read(spark, tmp_path):

@@ -88,6 +88,12 @@ CHECKED: list[tuple[str, str]] = [
     ("selectivity_sorted_002", "lineitem"),
     ("scan_fle_roundtrip", "lineitem"),
     ("scan_fle_pushdown", "lineitem"),
+    # round-7 additions (r6 verdict task #6: the two round-6 queries that
+    # landed after the final SCALING refresh) + the schema-general FLE
+    # container
+    ("scan_avro_complex", "lineitem"),
+    ("scan_custom_datasource_pushdown", "documents"),
+    ("scan_fle_multicolumn", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

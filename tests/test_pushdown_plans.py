@@ -443,3 +443,36 @@ def test_no_pinned_broadcast_on_sf_scaled_sides():
             if not allowed.match(arg.replace('table(spark, sf_dir,', 'table(spark, sf_dir,')):
                 offenders.append(f"{mod.__name__}: F.broadcast({arg})")
     assert not offenders, offenders
+
+
+def test_fledir_pushdown_consumes_conjuncts_in_real_plan(spark, sf_dir):
+    """Plan-level proof that a REAL Spark read pushes into the fledir
+    reader (value-level tests alone can't catch a silent pushdown
+    regression — residual re-evaluation would keep results correct):
+    after optimization, the post-scan Filter must retain ONLY the
+    non-pushable `% 3` residual; the dictionary equality and the int
+    range conjunct are consumed by `FleDirReader.pushFilters`
+    (the pushed-vs-residual split, hdfs-parquet-scanner.cc:1825-1834)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_multi_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_multi_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("l_linestatus") == "F")
+            & (F.col("l_quantity") >= 25)
+            & (F.col("l_quantity") % 3 != 1)
+        )
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "% 3" in optimized  # residual stays above the scan
+    assert "l_linestatus" not in optimized.split("RelationV2")[0]
+    assert ">= 25" not in optimized and "25)" not in optimized.split(
+        "RelationV2"
+    )[0]

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import os
 import sys
 import time
 
@@ -132,7 +133,20 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    spark = get_spark("parity", cpus=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # completely stock session — no engine confs pre-applied; proves
+        # catalog.py self-applies whatever a query needs (the driver
+        # imports __spark_entry__ with ITS OWN vanilla session)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("parity", cpus=8)
     failures: list[str] = []
     for name, spec in sorted(registry.REGISTRY.items()):
         if only and name not in only:

@@ -636,6 +636,87 @@ class FleDataSource(DataSource):
         return FleDirWriter(self.options, overwrite)
 
 
+try:  # streaming half (Spark >= 4.0)
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class FleStreamReader(SimpleDataSourceStreamReader):
+        """Streaming form of the FLE scanner: the directory is a live
+        SEGMENT feed — each micro-batch decodes `.fle` files not yet
+        processed, and the OFFSET is the exact sorted file-name set, so
+        `readBetweenOffsets` replays any batch deterministically after a
+        failure (exactly-once segment processing under checkpointing,
+        arrival-order independent).  The reference has no streaming
+        surface; this carries its scan framework into Structured
+        Streaming the same way the ppmdir scanner does (SURVEY §2B
+        streaming row)."""
+
+        def __init__(self, options):
+            self.dir = options.get("path")
+            if not self.dir:
+                raise ValueError("fledir requires option 'path'")
+
+        def initialOffset(self) -> dict:
+            return {"names": []}
+
+        def _rows(self, names):
+            # returns a LIST of plain-python tuples: the stream
+            # framework pickles prefetched rows (numpy scalars do not
+            # survive Spark's type verification)
+            out = []
+            for name in names:
+                with open(os.path.join(self.dir, name), "rb") as fh:
+                    seg = parse_segment(fh.read())
+                cols = decode_segment_columns(seg)
+                order = [c.name for c in seg.columns]
+                kinds = {c.name: c.kind for c in seg.columns}
+                for j in range(seg.n):
+                    out.append(tuple(
+                        (
+                            None
+                            if not cols[cn][1][j]
+                            else str(cols[cn][0][j])
+                            if kinds[cn] == _KIND_DICT
+                            else int(cols[cn][0][j])
+                        )
+                        for cn in order
+                    ))
+            return out
+
+        def read(self, start: dict):
+            seen = set(start.get("names", []))
+            current = sorted(
+                f for f in os.listdir(self.dir) if f.endswith(".fle")
+            )
+            fresh = [f for f in current if f not in seen]
+            # iter() over the materialized list: the framework requires
+            # an ITERATOR, and a list_iterator pickles
+            return iter(self._rows(fresh)), {
+                "names": sorted(seen | set(fresh))
+            }
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            fresh = sorted(
+                set(end.get("names", [])) - set(start.get("names", []))
+            )
+            return iter(self._rows(fresh))
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in the query checkpoint; nothing to prune
+
+    FLE_STREAM_API_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    FLE_STREAM_API_AVAILABLE = False
+
+
+def _fle_simple_stream_reader(self, schema):
+    if not FLE_STREAM_API_AVAILABLE:
+        raise NotImplementedError("streaming DataSource requires Spark >= 4.0")
+    return FleStreamReader(self.options)
+
+
+FleDataSource.simpleStreamReader = _fle_simple_stream_reader
+
+
 def register_fledir(spark) -> None:
     try:
         spark.dataSource.register(FleDataSource)

@@ -49,6 +49,7 @@ __all__ = [
     "fle_skip",
     "FleKernels",
     "pack_validity",
+    "plane_min_max",
     "popcount",
     "order_preserving_codes",
     "code_bound",
@@ -240,6 +241,50 @@ class FleKernels:
             e, _, _ = self._cmp(int(v))
             out |= e
         return self._tail_mask(out)
+
+
+def plane_min_max(
+    planes: np.ndarray,
+    bit_width: int,
+    n: int,
+    validity: np.ndarray | None = None,
+) -> tuple[int, int] | None:
+    """Min/max of the VALID lanes computed directly on the plane words —
+    no value is decoded (the aggregate-on-encoded-data theme of
+    fle-encoding.h applied to stats): walk planes MSB→LSB keeping the
+    candidate-lane bitset; for MAX keep lanes with the bit set while any
+    exist (that bit then belongs to the max), for MIN keep lanes with
+    the bit clear.  O(bit_width) word-ops per block, exactly like the
+    comparison kernels.  Returns None when no lane is valid.  The fledir
+    writer uses this for the per-segment stats its manifest carries
+    (the parquet footer min/max analog the reference's scanner prunes
+    row groups with, hdfs-parquet-scanner.cc:1006-1038)."""
+    p = np.asarray(planes, dtype=_U64)
+    nb = p.shape[0]
+    cand = (
+        np.full(nb, _ALL_ONES, dtype=_U64)
+        if validity is None
+        else np.asarray(validity, dtype=_U64).copy()
+    )
+    rem = n % _BLOCK
+    if nb and rem:
+        cand[-1] &= (_U64(1) << _U64(rem)) - _U64(1)
+    if nb == 0 or not cand.any():
+        return None
+    cand_max, cand_min = cand.copy(), cand.copy()
+    vmax = vmin = 0
+    for j in range(bit_width - 1, -1, -1):
+        col = p[:, j]
+        hit = cand_max & col
+        if hit.any():
+            cand_max = hit
+            vmax |= 1 << j
+        miss = cand_min & ~col
+        if miss.any():
+            cand_min = miss
+        else:
+            vmin |= 1 << j
+    return vmin, vmax
 
 
 def pack_validity(valid: np.ndarray) -> np.ndarray:

@@ -493,18 +493,74 @@ class FleDirReader(DataSourceReader):
                 _and(getattr(k, b[0])(b[1]))
         return mask
 
+    def _stats_refute(self, stats: dict) -> bool:
+        """True iff the pushed conjunction PROVABLY matches no row of a
+        segment given its manifest stats — the parquet footer min/max
+        row-group skip (hdfs-parquet-scanner.cc:1006-1038) at file
+        granularity, decided on the DRIVER before any scan task exists."""
+        for col, op, value in self.pushed:
+            s = stats.get(col)
+            if not isinstance(s, dict):
+                continue  # stat-less column: cannot refute
+            mn, mx, has_null = s.get("min"), s.get("max"), s.get("has_null")
+            if op == "is_null":
+                if has_null is False:
+                    return True
+                continue
+            if mn is None or mx is None:  # every lane NULL
+                return True  # is_not_null and all comparisons fail
+            if op == "is_not_null":
+                continue
+            conv = str if isinstance(mn, str) else int
+            try:
+                if op == "in":
+                    vs = [conv(v) for v in value]
+                    if all(v < mn or v > mx for v in vs):
+                        return True
+                    continue
+                v = conv(value)
+            except (TypeError, ValueError):
+                continue  # untranslatable literal: cannot refute
+            if (
+                (op == "eq" and (v < mn or v > mx))
+                or (op == "lt" and mn >= v)
+                or (op == "le" and mn > v)
+                or (op == "gt" and mx <= v)
+                or (op == "ge" and mx < v)
+            ):
+                return True
+        return False
+
     def partitions(self):
         done = os.path.join(self.dir, "_DONE")
         if not os.path.exists(done):
             raise ValueError(f"fledir: {self.dir} has no _DONE manifest")
+        files: list[str] = []
         with open(done) as fh:
-            files = [ln for ln in fh.read().splitlines() if ln]
+            for ln in fh.read().splitlines():
+                if not ln:
+                    continue
+                # manifest line: "name" or "name\t{json per-column stats}"
+                name, _, stats_json = ln.partition("\t")
+                if stats_json and self.pushed:
+                    import json as _json
+
+                    try:
+                        stats = _json.loads(stats_json)
+                    except ValueError:
+                        stats = None
+                    if stats and self._stats_refute(stats):
+                        continue  # whole file pruned: never opened
+                files.append(name)
         batches: list[list[str]] = [
             [] for _ in range(min(self.n_parts, max(len(files), 1)))
         ]
         for i, f in enumerate(files):
             batches[i % len(batches)].append(os.path.join(self.dir, f))
-        return [_FleFilesPartition(b) for b in batches if b]
+        parts = [_FleFilesPartition(b) for b in batches if b]
+        # every file stat-pruned: one empty partition (a zero-partition
+        # scan is not representable)
+        return parts or [_FleFilesPartition([])]
 
     def read(self, partition):
         import pyarrow as pa
@@ -537,9 +593,49 @@ class FleDirReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+def segment_stats(seg: ParsedSegment) -> dict:
+    """Per-column {min, max, has_null} for the manifest — min/max of int
+    columns computed ON THE PLANES by :func:`plane_min_max` (no decode);
+    dict columns read the sorted dictionary's endpoints.  The parquet
+    footer-stats analog the reader's `partitions()` prunes files with."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        plane_min_max,
+        popcount,
+    )
+
+    out: dict[str, dict] = {}
+    for c in seg.columns:
+        if c.validity is None:
+            n_valid = seg.n
+        else:
+            v = c.validity.copy()
+            rem = seg.n % 64
+            if v.size and rem:
+                v[-1] &= np.uint64((1 << rem) - 1)
+            n_valid = popcount(v)
+        has_null = n_valid < seg.n
+        if n_valid == 0:
+            out[c.name] = {"min": None, "max": None, "has_null": has_null}
+            continue
+        if c.kind == _KIND_DICT:
+            # order-preserving dictionary: value order == code order, so
+            # the string min/max are the dictionary endpoints IF both
+            # endpoint codes occur; plane_min_max gives the occurring
+            # code range without decoding
+            cr = plane_min_max(c.planes, c.width, seg.n, validity=c.validity)
+            mn, mx = c.dictionary[cr[0]], c.dictionary[cr[1]]
+        else:
+            mn, mx = plane_min_max(
+                c.planes, c.width, seg.n, validity=c.validity
+            )
+        out[c.name] = {"min": mn, "max": mx, "has_null": has_null}
+    return out
+
+
 class _FleCommit(WriterCommitMessage):
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], stats: list[str]):
         self.files = files
+        self.stats = stats
 
 
 def _clear_segments(path: str) -> None:
@@ -574,19 +670,32 @@ class FleDirWriter(DataSourceWriter):
             _clear_segments(self.dir)
 
     def write(self, rows):
+        import json as _json
+
         os.makedirs(self.dir, exist_ok=True)
         written: list[str] = []
+        stats: list[str] = []
         for row in rows:
             name = f"seg_{row.seg_id}.fle"
+            payload = bytes(row.payload)
             with open(os.path.join(self.dir, name), "wb") as fh:
-                fh.write(bytes(row.payload))
+                fh.write(payload)
             written.append(name)
-        return _FleCommit(written)
+            # per-segment column stats, computed on the encoded planes
+            # (no decode) — carried to the manifest at commit
+            stats.append(_json.dumps(segment_stats(parse_segment(payload))))
+        return _FleCommit(written, stats)
 
     def commit(self, messages):
-        all_files = sorted(f for m in messages for f in m.files)
+        entries = sorted(
+            (f, s)
+            for m in messages
+            for f, s in zip(m.files, getattr(m, "stats", [""] * len(m.files)))
+        )
         with open(os.path.join(self.dir, "_DONE"), "w") as fh:
-            fh.write("\n".join(all_files))
+            fh.write("\n".join(
+                f"{name}\t{s}" if s else name for name, s in entries
+            ))
 
     def abort(self, messages):
         for m in messages:
@@ -607,7 +716,7 @@ def infer_fledir_schema(path: str) -> str | None:
         done = os.path.join(path, "_DONE")
         with open(done) as fh:
             first = next(
-                ln for ln in fh.read().splitlines() if ln
+                ln.partition("\t")[0] for ln in fh.read().splitlines() if ln
             )
         with open(os.path.join(path, first), "rb") as fh:
             seg = parse_segment(fh.read())

@@ -221,3 +221,32 @@ def test_dictionary_numeric_and_timestamp_like():
             assert op == "le"
             got = int((codes <= c).sum())
         assert got == want
+
+
+def test_plane_min_max_matches_decoded_extremes():
+    """Stats kernel (plane_min_max): min/max computed on the plane words
+    must equal the decoded extremes of the VALID lanes across widths,
+    sizes, and null patterns; all-null blocks return None."""
+    import numpy as np
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        fle_pack,
+        pack_validity,
+        plane_min_max,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = int(rng.integers(1, 300))
+        w = int(rng.integers(1, 24))
+        vals = rng.integers(0, 1 << w, size=n).astype(np.uint64)
+        valid = rng.random(n) > 0.3
+        planes, _ = fle_pack(vals, w)
+        got = plane_min_max(planes, w, n, validity=pack_validity(valid))
+        if valid.any():
+            assert got == (int(vals[valid].min()), int(vals[valid].max()))
+        else:
+            assert got is None
+        assert plane_min_max(planes, w, n) == (
+            int(vals.min()), int(vals.max())
+        )

@@ -548,6 +548,102 @@ def test_schema_inference_from_segment_header(tmp_path):
     assert infer_fledir_schema(out) == "name string, v bigint"
 
 
+def test_manifest_stats_prune_files_at_planning_time(tmp_path):
+    """The parquet footer-stats skip at file granularity: the writer
+    derives per-segment min/max ON THE PLANES (plane_min_max — zero
+    decode) into the _DONE manifest, and `partitions()` drops files the
+    pushed conjunction provably cannot match — on the driver, before any
+    scan task exists (hdfs-parquet-scanner.cc:1006-1038)."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        FleDirWriter,
+        encode_segment_columns,
+    )
+
+    class _Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    def seg(qty_lo, statuses, with_null=False):
+        qty = np.arange(qty_lo, qty_lo + 10).astype(float)
+        if with_null:
+            qty[0] = float("nan")
+        status = np.array((statuses * 10)[:10], dtype=object)
+        return encode_segment_columns(
+            [("status", status), ("qty", qty)]
+        )
+
+    out = str(tmp_path / "fle_stats")
+    w = FleDirWriter({"path": out}, overwrite=True)
+    w.commit([w.write([
+        _Row(1, seg(1, ["a", "b"])),            # qty 1..10,  status a-b
+        _Row(2, seg(40, ["x", "z"], True)),     # qty 41..49 + a NULL, x-z
+    ])])
+
+    def surviving(pushed):
+        r = FleDirReader({"path": out})
+        r.pushed = pushed
+        return sorted(
+            _os.path.basename(p)
+            for part in r.partitions()
+            for p in part.paths
+        )
+
+    # no filters: both files
+    assert surviving([]) == ["seg_1.fle", "seg_2.fle"]
+    # int range refutes seg_1
+    assert surviving([("qty", "ge", 30)]) == ["seg_2.fle"]
+    assert surviving([("qty", "eq", 45)]) == ["seg_2.fle"]
+    assert surviving([("qty", "in", (2, 7))]) == ["seg_1.fle"]
+    # string stats refute via the sorted dictionary endpoints
+    assert surviving([("status", "eq", "y")]) == ["seg_2.fle"]
+    assert surviving([("status", "le", "b")]) == ["seg_1.fle"]
+    # IS NULL prunes the null-free file
+    assert surviving([("qty", "is_null", None)]) == ["seg_2.fle"]
+    # contradiction prunes everything → one EMPTY partition, zero rows
+    r = FleDirReader({"path": out})
+    r.pushed = [("qty", "gt", 1000)]
+    parts = r.partitions()
+    assert [p for part in parts for p in part.paths] == []
+    assert list(r.read(parts[0])) == []
+    # stats must not over-prune: a satisfiable conjunction keeps the file
+    assert surviving([("qty", "ge", 45), ("status", "ge", "x")]) == [
+        "seg_2.fle"
+    ]
+
+
+def test_segment_stats_match_decoded_values():
+    """Manifest stats are exact: plane-kernel min/max == decoded min/max
+    for every column kind, and has_null reflects the validity words."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        encode_segment_columns,
+        parse_segment,
+        segment_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(1, 200))
+        qty = rng.integers(0, 1000, size=n).astype(float)
+        qty[rng.random(n) < 0.2] = float("nan")
+        words = np.array(["ab", "zz", "mm", "k"], dtype=object)
+        status = words[rng.integers(0, 4, size=n)]
+        payload = encode_segment_columns([("s", status), ("q", qty)])
+        stats = segment_stats(parse_segment(payload))
+        valid = ~np.isnan(qty)
+        if valid.any():
+            assert stats["q"]["min"] == int(qty[valid].min())
+            assert stats["q"]["max"] == int(qty[valid].max())
+        else:
+            assert stats["q"]["min"] is None
+        assert stats["q"]["has_null"] == bool((~valid).any())
+        assert stats["s"]["min"] == min(status)
+        assert stats["s"]["max"] == max(status)
+        assert stats["s"]["has_null"] is False
+
+
 def test_fledir_streaming_exactly_once(spark, tmp_path):
     """The streaming FLE scanner must deliver every segment's rows
     exactly once across micro-batches, with late-arriving segment files

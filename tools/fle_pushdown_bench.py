@@ -78,22 +78,34 @@ def in_reader() -> FleDirReader:
     return r
 
 
-def mask_only(segs: list[bytes]) -> int:
+def mask_only(workdir: str) -> int:
     """Parse + kernel words, no decode (round-6 methodology)."""
     r = in_reader()
     alive = 0
-    for payload in segs:
+    for payload in _payloads(workdir):
         m = r._segment_mask(parse_segment(payload))
         if m is not None and m.any():
             alive += 1
     return alive
 
 
-def pushdown_read(segs: list[bytes]) -> int:
-    """The real scan path: mask + block-skipping survivor decode."""
+def _payloads(workdir: str):
+    """Iterate segment bytes FROM DISK — every path below pays the same
+    file IO, so the rows compare algorithms, not cache states."""
+    import os
+
+    for name in sorted(os.listdir(workdir)):
+        if name.endswith(".fle"):
+            with open(os.path.join(workdir, name), "rb") as fh:
+                yield fh.read()
+
+
+def pushdown_read(workdir: str) -> int:
+    """The read-time scan path: every file opened, kernel mask +
+    block-skipping survivor decode."""
     r = in_reader()
     hits = 0
-    for payload in segs:
+    for payload in _payloads(workdir):
         seg = parse_segment(payload)
         mask = r._segment_mask(seg)
         if mask is not None and not mask.any():
@@ -104,20 +116,20 @@ def pushdown_read(segs: list[bytes]) -> int:
     return hits
 
 
-def decode_then_in(segs: list[bytes]) -> int:
+def decode_then_in(workdir: str) -> int:
     hits = 0
-    for payload in segs:
+    for payload in _payloads(workdir):
         cols = decode_segment_columns(parse_segment(payload))
         qty, valid = cols["l_quantity"]
         hits += int(np.isin(qty[valid], IN_LIST).sum())
     return hits
 
 
-def domain_short_circuit(segs: list[bytes]) -> int:
+def domain_short_circuit(workdir: str) -> int:
     r = FleDirReader({"path": "x"})
     r.pushed = [("l_returnflag", "in", ("X", "Y"))]
     decoded = 0
-    for payload in segs:
+    for payload in _payloads(workdir):
         seg = parse_segment(payload)
         mask = r._segment_mask(seg)
         if mask is not None and not mask.any():
@@ -129,28 +141,79 @@ def domain_short_circuit(segs: list[bytes]) -> int:
     return decoded
 
 
+def manifest_pruned_read(workdir: str) -> int:
+    """The round-7 full path: stats in the _DONE manifest prune whole
+    FILES on the driver (never opened); survivors get kernel masks +
+    block-skip decode."""
+    import os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+    )
+
+    r = FleDirReader({"path": workdir, "numpartitions": "1"})
+    r.pushed = [("l_quantity", "in", IN_LIST)]
+    hits = 0
+    # stats-refuted files already dropped by partitions(); survivors get
+    # the same parse/mask/decode-count loop as pushdown_read (no Arrow
+    # conversion, so the rows compare pruning, not materialization)
+    for part in r.partitions():
+        for path in part.paths:
+            with open(path, "rb") as fh:
+                seg = parse_segment(fh.read())
+            mask = r._segment_mask(seg)
+            if mask is not None and not mask.any():
+                continue
+            hits += decode_segment_columns(seg, mask=mask)[
+                "l_quantity"
+            ][0].size
+    return hits
+
+
+def write_dir(segs: list[bytes], workdir: str) -> None:
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirWriter,
+    )
+
+    class _Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    w = FleDirWriter({"path": workdir}, overwrite=True)
+    w.commit([w.write([_Row(i, s) for i, s in enumerate(segs)])])
+
+
 def main() -> None:
+    import tempfile
+
     table_rows: list[tuple[str, float, float]] = []
     for layout in ("uniform", "clustered"):
         segs = build_segments(N_ROWS, clustered=(layout == "clustered"))
-        if layout == "uniform":
-            print(json.dumps({
-                "metric": "fle_segments", "n_rows": N_ROWS,
-                "n_segments": len(segs),
-                "mb_on_disk": round(sum(map(len, segs)) / 1e6, 1),
-                "mb_raw": round(N_ROWS * 9 / 1e6, 1),
-            }))
-        # correctness: pushdown read == decode-then-filter row count
-        hits_p, hits_d = pushdown_read(segs), decode_then_in(segs)
-        assert hits_p == hits_d, (hits_p, hits_d)
-        t_mask = timed(lambda: mask_only(segs))
-        t_push = timed(lambda: pushdown_read(segs))
-        t_dec = timed(lambda: decode_then_in(segs))
-        t_dom = timed(lambda: domain_short_circuit(segs))
+        print(json.dumps({
+            "metric": "fle_segments", "layout": layout, "n_rows": N_ROWS,
+            "n_segments": len(segs),
+            "mb_on_disk": round(sum(map(len, segs)) / 1e6, 1),
+            "mb_raw": round(N_ROWS * 9 / 1e6, 1),
+        }))
+        with tempfile.TemporaryDirectory() as workdir:
+            write_dir(segs, workdir)
+            del segs  # all paths read from disk below
+            # correctness: all three read paths agree on the row count
+            hits_p = pushdown_read(workdir)
+            hits_d = decode_then_in(workdir)
+            hits_m = manifest_pruned_read(workdir)
+            assert hits_p == hits_d == hits_m, (hits_p, hits_d, hits_m)
+            t_mask = timed(lambda: mask_only(workdir))
+            t_push = timed(lambda: pushdown_read(workdir))
+            t_man = timed(lambda: manifest_pruned_read(workdir))
+            t_dec = timed(lambda: decode_then_in(workdir))
+            t_dom = timed(lambda: domain_short_circuit(workdir))
         for label, sec, base in (
             (f"[{layout}] parse + IN kernel words only", t_mask, t_mask),
             (f"[{layout}] pushdown read (mask + block-skip decode)",
              t_push, t_mask),
+            (f"[{layout}] manifest-stats prune + pushdown read "
+             "(refuted files never opened)", t_man, t_mask),
             (f"[{layout}] decode all + isin on decoded values",
              t_dec, t_mask),
             (f"[{layout}] IN outside every dictionary domain "

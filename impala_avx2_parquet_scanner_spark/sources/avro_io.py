@@ -29,7 +29,7 @@ concatenated in schema order ↔ Spark struct), ``array`` (count-
 prefixed blocks with 0 terminator, negative-count/byte-size block form
 accepted on read ↔ Spark array), and ``map`` (the same block form over
 key-value pairs, keys written sorted for determinism ↔ Spark
-map<string,T>).  ``fixed`` and the snappy codec raise
+map<string,T>; ``fixed`` = raw size-checked bytes).  The snappy codec raises
 NotImplementedError (snappy: the library is absent from this
 environment and uninstallable — no silent fallback).
 
@@ -157,6 +157,16 @@ def _encode_value(ftype, v) -> bytes:
             return _zz(null_ix)
         branch = 1 - null_ix
         return _zz(branch) + _encode_value(ftype[branch], v)
+    if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+        # fixed = exactly `size` raw bytes, no length prefix (Avro spec
+        # "Complex Types: Fixed")
+        b = bytes(v)
+        if len(b) != ftype["size"]:
+            raise ValueError(
+                f"avro fixed {ftype.get('name')}: value has {len(b)} "
+                f"bytes, schema requires exactly {ftype['size']}"
+            )
+        return b
     if isinstance(ftype, dict) and ftype.get("type") == "enum":
         # enum = zigzag index into the schema's symbol list (Avro spec
         # "Complex Types: Enums")
@@ -221,6 +231,9 @@ def _decode_value(ftype, buf: bytes, pos: int):
     if isinstance(ftype, list):
         branch, pos = _read_zz(buf, pos)
         return _decode_value(ftype[branch], buf, pos)
+    if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+        n = ftype["size"]
+        return bytes(buf[pos : pos + n]), pos + n
     if isinstance(ftype, dict) and ftype.get("type") == "enum":
         i, pos = _read_zz(buf, pos)
         return ftype["symbols"][i], pos
@@ -303,6 +316,8 @@ def _complex_ok(t) -> bool:
     tt = t.get("type")
     if tt == "enum":
         return bool(t.get("symbols"))
+    if tt == "fixed":
+        return isinstance(t.get("size"), int) and t["size"] >= 0
     if tt == "array":
         return _type_ok(t.get("items"))
     if tt == "map":
@@ -527,6 +542,8 @@ def _type_ddl(t) -> str:
         tt = t.get("type")
         if tt == "enum":
             return "string"  # symbols surface as their string names
+        if tt == "fixed":
+            return "binary"  # fixed-size bytes surface as binary
         if tt == "array":
             return f"array<{_type_ddl(t['items'])}>"
         if tt == "map":

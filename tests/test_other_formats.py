@@ -488,11 +488,11 @@ def test_avro_corrupt_payload_contracts():
         encode_avro([(1,)], schema, codec="snappy")
 
     # unsupported schema shapes raise NotImplementedError, not garbage
-    # (arrays/enums/nested records/maps are supported since round 6 —
-    # fixed is the representative still-gated complex type)
+    # (arrays/enums/nested records/maps since round 6, fixed since
+    # round 7 — a bogus primitive is the representative bad shape)
     with _pytest.raises(NotImplementedError):
         encode_avro([], {"type": "record", "name": "r",
-                        "fields": [{"name": "a", "type": {"type": "fixed", "name": "f", "size": 4}}]})
+                        "fields": [{"name": "a", "type": "decimal128"}]})
     enum_json = _json.dumps(
         {"type": "enum", "name": "e", "symbols": ["A"]}
     ).encode()
@@ -607,17 +607,80 @@ def test_avro_complex_schema_ddl_and_unsupported_gates():
         "id bigint, tag string, pt struct<x:int,y:double>, "
         "vals array<string>"
     )
-    # map supported (string keys per spec); fixed stays honestly gated
+    # map supported (string keys per spec); fixed surfaces as binary
     assert avro_schema_to_ddl(
         {"type": "record", "name": "r",
          "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
     ) == "m map<string,bigint>"
-    with _pytest.raises(NotImplementedError):
-        avro_schema_to_ddl(
-            {"type": "record", "name": "r",
-             "fields": [{"name": "m",
-                         "type": {"type": "fixed", "name": "f", "size": 4}}]}
-        )
+    assert avro_schema_to_ddl(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "m",
+                     "type": {"type": "fixed", "name": "f", "size": 4}}]}
+    ) == "m binary"
+
+
+def test_avro_fixed_golden_and_roundtrip():
+    """Avro `fixed` (round 7): exactly `size` raw bytes on the wire — no
+    length prefix.  Golden container hand-assembled per the spec, then
+    encoder round-trips (standalone, inside a null-union, and inside an
+    array), and a wrong-length value raises instead of corrupting."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    fixed4 = {"type": "fixed", "name": "f4", "size": 4}
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "h", "type": fixed4},
+            {"name": "opt", "type": ["null", fixed4]},
+        ],
+    }
+    sj = _json.dumps(schema).encode()
+    sync = b"0123456789abcdef"
+    hdr = b"Obj\x01" + bytes([4])
+    for kname, v in (("avro.codec", b"null"), ("avro.schema", sj)):
+        kb = kname.encode()
+        hdr += bytes([len(kb) * 2]) + kb
+        n = len(v) * 2
+        hdr += (bytes([n]) if n < 128 else bytes([(n & 0x7F) | 0x80, n >> 7])) + v
+    hdr += b"\x00" + sync
+    # one record: k=5 (zz 0x0a), h=DEADBEEF raw, opt=branch 1 + CAFEBABE
+    body = b"\x0a" + bytes.fromhex("deadbeef") + b"\x02" + bytes.fromhex(
+        "cafebabe"
+    )
+    block = bytes([1 * 2]) + bytes([len(body) * 2]) + body + sync
+    got_schema, rows = decode_avro(hdr + block)
+    assert got_schema == schema
+    assert rows == [(5, bytes.fromhex("deadbeef"), bytes.fromhex("cafebabe"))]
+
+    edge = [
+        (1, b"\x00\x00\x00\x00", None),
+        (2, b"\xff\xfe\xfd\xfc", b"abcd"),
+        (3, bytes.fromhex("deadbeef"), b"\x00\xff\x00\xff"),
+    ]
+    for codec in ("null", "deflate"):
+        data = encode_avro(edge, schema, codec=codec, block_rows=2)
+        _, back = decode_avro(data)
+        assert back == edge, codec
+
+    arr_schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "hs", "type": {"type": "array", "items": fixed4}}],
+    }
+    data = encode_avro([([b"aaaa", b"bbbb"],), ([],)], arr_schema, codec="null")
+    _, back = decode_avro(data)
+    assert back == [([b"aaaa", b"bbbb"],), ([],)]
+
+    with _pytest.raises(ValueError, match="exactly 4"):
+        encode_avro([(1, b"toolongvalue", None)], schema, codec="null")
 
 
 def test_avro_map_golden_and_spark_roundtrip(spark, tmp_path):

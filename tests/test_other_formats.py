@@ -485,7 +485,7 @@ def test_avro_corrupt_payload_contracts():
         decode_avro(bad_codec)
 
     with _pytest.raises(NotImplementedError, match="codec"):
-        encode_avro([(1,)], schema, codec="snappy")
+        encode_avro([(1,)], schema, codec="zstandard")
 
     # unsupported schema shapes raise NotImplementedError, not garbage
     # (arrays/enums/nested records/maps since round 6, fixed since
@@ -617,6 +617,76 @@ def test_avro_complex_schema_ddl_and_unsupported_gates():
          "fields": [{"name": "m",
                      "type": {"type": "fixed", "name": "f", "size": 4}}]}
     ) == "m binary"
+
+
+def test_snappy_decompressor_golden_and_fuzz():
+    """Pure-Python snappy raw-block format: the decompressor is pinned
+    against HAND-ASSEMBLED compressed blocks exercising every tag kind
+    (literal, 1-byte-offset copy with overlap, 2-byte-offset copy) per
+    google/snappy format_description.txt — checked against the SPEC,
+    not our own emitter — then compress→decompress round-trips fuzz."""
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        _snappy_compress,
+        _snappy_decompress,
+    )
+
+    # "abcabcabcabcXY": literal "abc", overlapping 1-byte-offset copy
+    # (offset 3, length 9), literal "XY"
+    blob = bytes([0x0E, 0x08]) + b"abc" + bytes([0x15, 0x03, 0x04]) + b"XY"
+    assert _snappy_decompress(blob) == b"abcabcabcabcXY"
+    # "zzzz": literal "z" + 2-byte-offset copy (offset 1, length 3)
+    blob2 = bytes([0x04, 0x00]) + b"z" + bytes([0x0A, 0x01, 0x00])
+    assert _snappy_decompress(blob2) == b"zzzz"
+    # 4-byte-offset copy kind: same "zzzz" with a wide offset field
+    blob3 = bytes([0x04, 0x00]) + b"z" + bytes([0x0B, 0x01, 0, 0, 0])
+    assert _snappy_decompress(blob3) == b"zzzz"
+    # bad offset rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="offset"):
+        _snappy_decompress(bytes([0x04, 0x0A, 0x05, 0x00]))
+
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(50):
+        n = rnd.randrange(0, 200_000 if trial % 10 == 0 else 500)
+        data = bytes(rnd.randrange(256) for _ in range(min(n, 3000)))
+        data = data * (n // max(len(data), 1) + 1) if data else b""
+        assert _snappy_decompress(_snappy_compress(data)) == data
+
+
+def test_avro_snappy_codec_roundtrip_and_crc():
+    """Avro snappy codec: block = snappy data + big-endian CRC32 of the
+    UNCOMPRESSED bytes (Avro 1.11 spec).  Round-trips across block
+    boundaries; a corrupted block fails the CRC check loudly."""
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [(i, None if i % 3 == 0 else "v" * (i % 17)) for i in range(40)]
+    data = encode_avro(rows, schema, codec="snappy", block_rows=7)
+    got_schema, back = decode_avro(data)
+    assert got_schema == schema and back == rows
+
+    # flip one byte inside the first compressed block body
+    corrupted = bytearray(data)
+    # header ends after magic+meta+sync; find the first block's body by
+    # corrupting a byte near the middle of the container
+    corrupted[len(corrupted) // 2] ^= 0xFF
+    with _pytest.raises(Exception):  # CRC mismatch or decode failure
+        decode_avro(bytes(corrupted))
 
 
 def test_avro_fixed_golden_and_roundtrip():

@@ -656,6 +656,64 @@ def scan_fle_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_STAT_PRUNED_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem
+WHERE CAST(l_quantity AS BIGINT) BETWEEN 47 AND 49
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_stat_pruned",
+    oracle=_FLE_STAT_PRUNED_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "layout"),
+)
+def scan_fle_stat_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning on a SORTED FLE layout (round 7):
+    lineitem is range-partitioned + sorted by quantity before
+    segmentation, so each `.fle` segment covers a narrow quantity range
+    and carries exact per-column min/max in the `_DONE` manifest —
+    computed ON the encoded planes at write time (`plane_min_max`, zero
+    decode).  The pushed `BETWEEN 47 AND 49` range lets
+    `FleDirReader.partitions()` refute most segments on the DRIVER:
+    files whose [min,max] cannot intersect the range are never opened —
+    the parquet footer-stats row-group skip
+    (hdfs-parquet-scanner.cc:1006-1038) at file granularity, on the
+    engine's own storage format.  Survivors still run the BitWeaving
+    range kernels + block-skipping decode.  The DuckDB oracle replays
+    the aggregate from raw parquet rows, so a wrongly-pruned file
+    (missing rows) or a wrong stat (extra rows) flips count, sum, and
+    extrema.
+
+    Scale: pruning cost is one manifest read on the driver — O(files)
+    string parsing, no data IO; everything else is the standard
+    per-segment InputPartition path."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_sorted_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_sorted_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(F.col("l_quantity").between(47, 49))
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 _FLE_MULTICOLUMN_ORACLE = """
 WITH stored AS (
   SELECT l_returnflag,

@@ -886,6 +886,60 @@ def materialize_fle_dir(spark, sf_dir: str) -> str:
     return out
 
 
+def materialize_fle_sorted_dir(spark, sf_dir: str) -> str:
+    """Write-once: lineitem (l_returnflag, l_quantity) SORTED by
+    quantity before segmentation, so each segment covers a narrow
+    quantity range and the manifest min/max stats become selective —
+    the FLE analog of the engine's sorted parquet sink
+    (`write_sorted_parquet`), giving the stat-pruning path real
+    planning-time file skips (tightened row-group stats,
+    hdfs-parquet-table-writer.cc's sorted layout made observable)."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_sorted_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        # range-partition THEN sort within partitions: every segment
+        # (one per Arrow batch per partition) covers a narrow, disjoint
+        # quantity range — the layout the reference's sorted writer
+        # produces, which is what makes min/max stats selective
+        .repartitionByRange(8, "l_quantity")
+        .sortWithinPartitions("l_quantity")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
 def materialize_fle_multi_dir(spark, sf_dir: str) -> str:
     """Write-once: the GENERAL container shape — four lineitem columns
     (two order-preserving dictionary strings + one nullable int + one

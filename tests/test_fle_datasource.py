@@ -644,6 +644,56 @@ def test_segment_stats_match_decoded_values():
         assert stats["s"]["has_null"] is False
 
 
+def test_sorted_fle_layout_prunes_files_for_range(spark, sf_dir):
+    """End-to-end stat pruning on the engine-materialized sorted FLE
+    layout: a narrow quantity range must leave MOST manifest files
+    unopened (driver-side refutation), and the surviving files must
+    still produce exactly the base table's rows."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        materialize_fle_sorted_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_sorted_dir(spark, sf_dir)
+    with open(_os.path.join(path, "_DONE")) as fh:
+        total = len([ln for ln in fh.read().splitlines() if ln])
+    assert total >= 8  # the range partitioning actually segmented
+
+    r = FleDirReader({"path": path})
+    r.pushed = [("l_quantity", "ge", 47), ("l_quantity", "le", 49)]
+    surviving = sum(len(p.paths) for p in r.partitions())
+    assert 0 < surviving <= total // 2, (surviving, total)
+
+    register_fledir(spark)
+    got = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(F.col("l_quantity").between(47, 49))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    want = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("l_quantity"),
+        )
+        .filter(F.col("l_quantity").between(47, 49))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_fledir_streaming_exactly_once(spark, tmp_path):
     """The streaming FLE scanner must deliver every segment's rows
     exactly once across micro-batches, with late-arriving segment files

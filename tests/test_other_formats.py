@@ -284,6 +284,40 @@ def test_avrodir_datasource_write_read(spark, tmp_path):
     assert got == {(1, 2.5, "a", True), (2, None, "b", False), (3, -1.25, "", True)}
 
 
+def test_avrodir_datasource_snappy_codec(spark, tmp_path):
+    """The snappy codec through the registered DataSource: write with
+    .option('codec', 'snappy'), read back value-intact (header declares
+    avro.codec=snappy; blocks carry the verified CRC32)."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroDataSource,
+        read_avro_schema,
+    )
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "avro_snappy")
+    df = spark.createDataFrame(
+        [(1, "aaa" * 40), (2, None), (3, "xyz")], "k long, s string"
+    )
+    df.write.format("avrodir").option("path", out).option(
+        "codec", "snappy"
+    ).mode("append").save()
+    first = sorted(
+        f for f in _os.listdir(out) if f.endswith(".avro")
+    )[0]
+    payload = open(_os.path.join(out, first), "rb").read()
+    assert b"snappy" in payload[:400]  # header metadata declares codec
+    assert read_avro_schema(payload)["type"] == "record"
+    back = spark.read.format("avrodir").option("path", out).load()
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "aaa" * 40), (2, None), (3, "xyz")
+    }
+
+
 def test_avro_codec_property_roundtrip():
     """Hypothesis: arbitrary rows over the supported type lattice
     (nullable long/double/string/bytes/boolean, extreme ints, NaN-free

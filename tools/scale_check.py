@@ -94,6 +94,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_avro_complex", "lineitem"),
     ("scan_custom_datasource_pushdown", "documents"),
     ("scan_fle_multicolumn", "lineitem"),
+    ("scan_fle_stat_pruned", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

@@ -21,8 +21,12 @@ Wire format implemented (Avro 1.11 spec, "Object Container Files" +
   ``["null", T]`` unions (zigzag branch index) for nullable fields.
 
 Scope (honest): record schemas over primitive / nullable-primitive
-fields plus the `date` and `timestamp-micros` logical types (Avro 1.11
-"Logical Types": int days / long micros since epoch), plus the
+fields plus the Avro 1.11 "Logical Types" a warehouse table actually
+uses — `date` (int days), `timestamp-micros`/`timestamp-millis` (long
+since epoch), `time-micros` (long since midnight, surfaced as bigint),
+`uuid` (string), and `decimal` over bytes OR fixed (two's-complement
+big-endian unscaled int; exact-scale enforcement on encode; ↔ Spark
+DecimalType(p,s) through the DataSource) — plus the
 "Complex Types" a table scan actually meets (round 6): ``enum``
 (zigzag symbol index ↔ string), NESTED ``record`` (field encodings
 concatenated in schema order ↔ Spark struct), ``array`` (count-
@@ -100,7 +104,14 @@ _SUPPORTED_PRIMITIVES = {
     "null", "boolean", "int", "long", "float", "double", "string", "bytes",
 }
 #: logical type -> required base primitive (Avro 1.11 "Logical Types")
-_SUPPORTED_LOGICAL = {"date": "int", "timestamp-micros": "long"}
+_SUPPORTED_LOGICAL = {
+    "date": "int",
+    "timestamp-micros": "long",
+    "timestamp-millis": "long",
+    "time-micros": "long",  # micros since midnight, surfaced as bigint
+    "uuid": "string",
+    "decimal": "bytes",  # two's-complement big-endian unscaled int
+}
 
 _EPOCH_DATE = __import__("datetime").date(1970, 1, 1)
 _EPOCH_DT = __import__("datetime").datetime(1970, 1, 1)
@@ -162,7 +173,11 @@ def _encode_value(ftype, v) -> bytes:
             return _zz(null_ix)
         branch = 1 - null_ix
         return _zz(branch) + _encode_value(ftype[branch], v)
-    if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+    if (
+        isinstance(ftype, dict)
+        and ftype.get("type") == "fixed"
+        and "logicalType" not in ftype  # decimal-over-fixed handled below
+    ):
         # fixed = exactly `size` raw bytes, no length prefix (Avro spec
         # "Complex Types: Fixed")
         b = bytes(v)
@@ -207,11 +222,32 @@ def _encode_value(ftype, v) -> bytes:
         base, logical = _base_logical(ftype)
         if logical == "date":
             return _zz((v - _EPOCH_DATE).days)
-        if logical == "timestamp-micros":
+        if logical in ("timestamp-micros", "timestamp-millis"):
             d = v - _EPOCH_DT
-            return _zz(
-                (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
-            )
+            micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+            return _zz(micros if logical == "timestamp-micros" else micros // 1000)
+        if logical == "decimal":
+            import decimal as _decimal
+
+            scale = ftype.get("scale", 0)
+            scaled = _decimal.Decimal(v).scaleb(scale)
+            if scaled != scaled.to_integral_value():
+                raise ValueError(
+                    f"avro decimal: {v} does not fit scale {scale} exactly"
+                )
+            unscaled = int(scaled)
+            size = max((unscaled.bit_length() + 8) // 8, 1)
+            raw = unscaled.to_bytes(size, "big", signed=True)
+            if base == "fixed":
+                want = ftype["size"]
+                if size > want:
+                    raise ValueError(
+                        f"avro decimal: unscaled value needs {size} bytes, "
+                        f"fixed size is {want}"
+                    )
+                pad = b"\xff" if unscaled < 0 else b"\x00"
+                return pad * (want - size) + raw
+            return _zz(len(raw)) + raw
         return _encode_value(base, v)  # unknown logical: raw base
     if ftype == "null":
         return b""
@@ -236,7 +272,11 @@ def _decode_value(ftype, buf: bytes, pos: int):
     if isinstance(ftype, list):
         branch, pos = _read_zz(buf, pos)
         return _decode_value(ftype[branch], buf, pos)
-    if isinstance(ftype, dict) and ftype.get("type") == "fixed":
+    if (
+        isinstance(ftype, dict)
+        and ftype.get("type") == "fixed"
+        and "logicalType" not in ftype
+    ):
         n = ftype["size"]
         return bytes(buf[pos : pos + n]), pos + n
     if isinstance(ftype, dict) and ftype.get("type") == "enum":
@@ -277,11 +317,26 @@ def _decode_value(ftype, buf: bytes, pos: int):
         import datetime as _dt
 
         base, logical = _base_logical(ftype)
-        raw, pos = _decode_value(base, buf, pos)
+        if logical == "decimal" and base == "fixed":
+            n = ftype["size"]
+            raw, pos = bytes(buf[pos : pos + n]), pos + n
+        else:
+            raw, pos = _decode_value(
+                base if logical != "decimal" else "bytes", buf, pos
+            )
         if logical == "date":
             return _EPOCH_DATE + _dt.timedelta(days=raw), pos
         if logical == "timestamp-micros":
             return _EPOCH_DT + _dt.timedelta(microseconds=raw), pos
+        if logical == "timestamp-millis":
+            return _EPOCH_DT + _dt.timedelta(milliseconds=raw), pos
+        if logical == "decimal":
+            import decimal as _decimal
+
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _decimal.Decimal(unscaled).scaleb(
+                -ftype.get("scale", 0)
+            ), pos
         return raw, pos
     if ftype == "null":
         return None, pos
@@ -309,6 +364,11 @@ def _simple_ok(t) -> bool:
         return t in _SUPPORTED_PRIMITIVES
     if isinstance(t, dict):
         base, logical = _base_logical(t)
+        if logical == "decimal":
+            # spec: decimal annotates bytes OR fixed; precision required
+            return base in ("bytes", "fixed") and isinstance(
+                t.get("precision"), int
+            ) and isinstance(t.get("scale", 0), int)
         return _SUPPORTED_LOGICAL.get(logical) == base
     return False
 
@@ -586,6 +646,9 @@ _AVRO_TO_DDL = {
     "boolean": "boolean",
     ("int", "date"): "date",
     ("long", "timestamp-micros"): "timestamp_ntz",
+    ("long", "timestamp-millis"): "timestamp_ntz",
+    ("long", "time-micros"): "bigint",
+    ("string", "uuid"): "string",
 }
 
 
@@ -622,6 +685,15 @@ def _spark_type_to_avro(dt, name: str = "rec"):
             "type": "map",
             "values": _spark_type_to_avro(dt.valueType, f"{name}_val"),
         }
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(dt, DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     key = repr(dt)
     if key not in _SPARK_TO_AVRO:
         raise NotImplementedError(f"no avro mapping for {dt}")
@@ -645,6 +717,8 @@ def _type_ddl(t) -> str:
         tt = t.get("type")
         if tt == "enum":
             return "string"  # symbols surface as their string names
+        if t.get("logicalType") == "decimal":
+            return f"decimal({t['precision']},{t.get('scale', 0)})"
         if tt == "fixed":
             return "binary"  # fixed-size bytes surface as binary
         if tt == "array":

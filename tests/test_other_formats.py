@@ -723,6 +723,120 @@ def test_avro_snappy_codec_roundtrip_and_crc():
         decode_avro(bytes(corrupted))
 
 
+def test_avro_decimal_uuid_millis_logical_types():
+    """Round-7 logical types (Avro 1.11 "Logical Types"): decimal over
+    bytes AND over fixed (two's-complement big-endian unscaled int,
+    exact-scale enforcement), uuid (string passthrough),
+    timestamp-millis, time-micros.  Golden wire bytes pin the decimal
+    encoding; round-trips cover all three codecs; DDL mapping surfaces
+    decimal(p,s)."""
+    import datetime as _dt
+    import decimal as _decimal
+    import json as _json
+
+    import pytest as _pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        avro_schema_to_ddl,
+        decode_avro,
+        encode_avro,
+    )
+
+    D = _decimal.Decimal
+    dec_b = {"type": "bytes", "logicalType": "decimal",
+             "precision": 12, "scale": 2}
+    dec_f = {"type": "fixed", "name": "d8", "size": 8,
+             "logicalType": "decimal", "precision": 18, "scale": 4}
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "amt", "type": dec_b},
+            {"name": "famt", "type": dec_f},
+            {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+            {"name": "tms",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "tmic",
+             "type": {"type": "long", "logicalType": "time-micros"}},
+            {"name": "opt", "type": ["null", dec_b]},
+        ],
+    }
+    assert avro_schema_to_ddl(schema) == (
+        "amt decimal(12,2), famt decimal(18,4), u string, "
+        "tms timestamp_ntz, tmic bigint, opt decimal(12,2)"
+    )
+
+    # golden: decimal -1.50 scale 2 → unscaled -150 → big-endian signed
+    # minimal bytes FF 6A with zigzag length prefix 0x04
+    g_schema = {"type": "record", "name": "g", "fields": [
+        {"name": "a", "type": dec_b}]}
+    sj = _json.dumps(g_schema).encode()
+    sync = b"0123456789abcdef"
+    hdr = b"Obj\x01" + bytes([4])
+    for kname, v in (("avro.codec", b"null"), ("avro.schema", sj)):
+        kb = kname.encode()
+        hdr += bytes([len(kb) * 2]) + kb
+        n = len(v) * 2
+        hdr += (bytes([n]) if n < 128 else bytes([(n & 0x7F) | 0x80, n >> 7])) + v
+    hdr += b"\x00" + sync
+    body = bytes([0x04, 0xFF, 0x6A])
+    block = bytes([2]) + bytes([len(body) * 2]) + body + sync
+    _, rows = decode_avro(hdr + block)
+    assert rows == [(D("-1.50"),)]
+
+    edge = [
+        (D("-1.50"), D("12345.6789"),
+         "123e4567-e89b-12d3-a456-426614174000",
+         _dt.datetime(2024, 3, 1, 12, 0, 0, 250000), 86399999999, None),
+        (D("0.00"), D("-0.0001"), "",
+         _dt.datetime(1969, 12, 31, 23, 59, 59, 999000), 0, D("999.99")),
+        (D("9999999999.99"), D("0.0000"), "x",
+         _dt.datetime(1970, 1, 1), 1, D("-999.99")),
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        data = encode_avro(edge, schema, codec=codec, block_rows=2)
+        _, back = decode_avro(data)
+        assert back == edge, codec
+
+    # exactness contracts: scale overflow and fixed-width overflow raise
+    with _pytest.raises(ValueError, match="scale 2 exactly"):
+        encode_avro(
+            [(D("1.005"), D("1"), "u", _dt.datetime(1970, 1, 1), 0, None)],
+            schema, codec="null",
+        )
+    tight = {"type": "record", "name": "t", "fields": [
+        {"name": "b", "type": {"type": "fixed", "name": "d1", "size": 1,
+                               "logicalType": "decimal", "precision": 18,
+                               "scale": 10}}]}
+    with _pytest.raises(ValueError, match="fixed size"):
+        encode_avro([(D("123456"),)], tight, codec="null")
+
+
+def test_avrodir_decimal_spark_roundtrip(spark, tmp_path):
+    """Spark DecimalType(p,s) through the avrodir DataSource: writes as
+    bytes-backed avro decimal, reads back as decimal(p,s) exactly."""
+    import decimal as _decimal
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroDataSource,
+    )
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    D = _decimal.Decimal
+    out = str(tmp_path / "avro_dec")
+    df = spark.createDataFrame(
+        [(1, D("-1.50")), (2, None), (3, D("9999999999.99"))],
+        "k long, amt decimal(12,2)",
+    )
+    df.write.format("avrodir").option("path", out).mode("append").save()
+    back = spark.read.format("avrodir").option("path", out).load()
+    assert back.schema.simpleString() == "struct<k:bigint,amt:decimal(12,2)>"
+    got = {(r.k, r.amt) for r in back.collect()}
+    assert got == {(1, D("-1.50")), (2, None), (3, D("9999999999.99"))}
+
+
 def test_avro_fixed_golden_and_roundtrip():
     """Avro `fixed` (round 7): exactly `size` raw bytes on the wire — no
     length prefix.  Golden container hand-assembled per the spec, then

@@ -318,7 +318,9 @@ def _lane_validity(col: ParsedColumn, n: int) -> np.ndarray:
 
 
 def decode_segment_columns(
-    seg: ParsedSegment, mask: np.ndarray | None = None
+    seg: ParsedSegment,
+    mask: np.ndarray | None = None,
+    columns: "list[str] | None" = None,
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Parsed segment → {name: (values, valid)} via the codec's decode
     path (FleDecoder::Get).  Accepts the ALREADY-PARSED segment so the
@@ -328,10 +330,16 @@ def decode_segment_columns(
     word is zero (the bitset-driven skip loop, hdfs-parquet-scanner.cc:
     1006-1038 + fle-encoding.h:344-402's O(1) Skip): on clustered data a
     selective predicate decodes only the surviving blocks' plane words,
-    not the segment."""
+    not the segment.  `columns` restricts decode to those names
+    (projection pruning — unreferenced plane sections never unpack)."""
+    decode_cols = (
+        seg.columns
+        if columns is None
+        else [c for c in seg.columns if c.name in columns]
+    )
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if mask is None:
-        for c in seg.columns:
+        for c in decode_cols:
             codes = fle_unpack(c.planes, c.width, seg.n)
             valid = _lane_validity(c, seg.n)
             vals = _codes_to_values(c, codes, seg.n)
@@ -345,7 +353,7 @@ def decode_segment_columns(
         mask[live].astype("<u8").view(np.uint8), bitorder="little"
     ).astype(bool)
     n_sub = live.size * 64
-    for c in seg.columns:
+    for c in decode_cols:
         if live.size == 0:
             empty_vals = (
                 np.empty(0, dtype=object)
@@ -407,11 +415,16 @@ _PUSHABLE_OPS = {
 
 
 class FleDirReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, wanted: "list[str] | None" = None):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
         self.n_parts = int(options.get("numpartitions", 8))
+        #: column names the output batches must carry (None → all, in
+        #: segment order).  Pushed-filter columns outside this set still
+        #: have their KERNELS evaluated (mask work needs no decode) —
+        #: only the decode + Arrow materialization is pruned.
+        self.wanted = wanted
         #: accepted conjuncts [(column, op, value)] — evaluated as
         #: bit-sliced kernels ON THE ENCODED PLANES in read(), before
         #: any decode (the reference's defining behavior:
@@ -574,9 +587,16 @@ class FleDirReader(DataSourceReader):
             mask = self._segment_mask(seg)
             if mask is not None and not mask.any():
                 continue  # whole segment kernel-rejected: zero decode
-            cols = decode_segment_columns(seg, mask=mask)
+            out_cols = [
+                c for c in seg.columns
+                if self.wanted is None or c.name in self.wanted
+            ]
+            cols = decode_segment_columns(
+                seg, mask=mask,
+                columns=[c.name for c in out_cols],
+            )
             arrays, names = [], []
-            for c in seg.columns:
+            for c in out_cols:
                 vals, valid = cols[c.name]
                 if c.kind == _KIND_DICT:
                     arr = pa.array(
@@ -739,7 +759,15 @@ class FleDataSource(DataSource):
         return inferred or _SCHEMA
 
     def reader(self, schema):
-        return FleDirReader(self.options)
+        # `schema` is what the query will consume: either the inferred
+        # full schema or a user-supplied SUBSET (spark.read.schema(...)).
+        # Passing its field names lets the reader decode ONLY those
+        # columns' plane sections — projection pruning for this format
+        # (§2A #4's one-reader-per-materialized-slot,
+        # hdfs-parquet-scanner.cc:1410-1451: unreferenced columns never
+        # materialize)
+        wanted = [f.name for f in schema.fields] if schema else None
+        return FleDirReader(self.options, wanted=wanted)
 
     def writer(self, schema, overwrite):
         return FleDirWriter(self.options, overwrite)

@@ -644,6 +644,56 @@ def test_segment_stats_match_decoded_values():
         assert stats["s"]["has_null"] is False
 
 
+def test_user_schema_prunes_decoded_columns(spark, sf_dir):
+    """Projection pruning: a user-supplied SUBSET schema makes the
+    reader decode only those columns' plane sections (the
+    one-reader-per-materialized-slot model — unreferenced columns never
+    materialize), and the values still match the base table."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        decode_segment_columns,
+        encode_segment_columns,
+        materialize_fle_multi_dir,
+        parse_segment,
+        register_fledir,
+    )
+
+    # unit: decode restricted to one column returns only that column
+    payload = encode_segment_columns([
+        ("a", np.array(["x", "y"], dtype=object)),
+        ("b", np.array([1, 2], dtype=np.int64)),
+    ])
+    only_b = decode_segment_columns(parse_segment(payload), columns=["b"])
+    assert list(only_b) == ["b"]
+
+    path = materialize_fle_multi_dir(spark, sf_dir)
+    register_fledir(spark)
+    got = (
+        spark.read.format("fledir")
+        .schema("l_returnflag string, l_quantity bigint")  # 2 of 4 cols
+        .option("path", path)
+        .load()
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    want = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.nullif(F.col("l_quantity").cast("bigint"), F.lit(10)).alias(
+                "l_quantity"
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_sorted_fle_layout_prunes_files_for_range(spark, sf_dir):
     """End-to-end stat pruning on the engine-materialized sorted FLE
     layout: a narrow quantity range must leave MOST manifest files

@@ -249,14 +249,27 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     the o_comment NOT LIKE): left outer join + double aggregation
     (README.md:13).
 
-    At scale: both aggregations are on the join key / its count — the
-    heavy first groupBy reuses the join's partitioning on c_custkey."""
+    At scale (round-7 rewrite): the per-customer count is pushed BELOW
+    the outer join — orders pre-aggregate to one (custkey, count) row
+    with map-side combine, so the join shuffle carries at most one row
+    per customer instead of every order; customers without orders
+    surface as NULL → 0 via coalesce, which is exactly the LEFT JOIN +
+    count(o_orderkey) semantics.  Catalyst doesn't perform this
+    aggregate-through-outer-join rewrite itself.  At fixture scales the
+    wall time is unchanged (AQE broadcasts the customer side either
+    way, and map-side combine already bounded the old plan's shuffle);
+    the rewrite matters at cluster scale, where customer outgrows the
+    broadcast threshold and the OLD plan must shuffle every order row
+    for a shuffled join while this one shuffles one pre-aggregated row
+    per (mapper, custkey)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    o_cnt = o.groupBy(F.col("o_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(o_cnt, c.c_custkey == o_cnt.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
     )

@@ -43,21 +43,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: prefix so they sort into the driver's window.  Every other query keeps
 #: its plain name and remains covered by tools/parity.py + pytest.
 #:
-#: ROUND-7 ROTATION: keeps the same 15 sentinels as rounds 4-6 (one per §2
-#: family, including every query that was ever driver-red) and swaps in 35
-#: never-driver-hashed queries: the round-6 flagship additions (FLE
-#: storage round-trip + scan-path pushdown, Avro complex types), the two
-#: deferred from round 6 (canonical-keep dedup, session windows), three of
-#: the never-hashed TPC-H tail pulled forward per VERDICT r6 task #3
-#: (q5/q8/q22 — the headline family should not be last to get driver
-#: hashes), then the joins / set-ops / SQL-surface / sampling block staged
-#: in ROTATION.md.  window_topk_twophase + text_quality keep the window_/
-#: text_ families represented (every §2 family appears in every window).
+#: ROUND-8 ROTATION: keeps the same 15 sentinels as rounds 4-7 (one per §2
+#: family, including every query that was ever driver-red) and swaps in 34
+#: never-driver-hashed queries plus ONE window_-family re-hash
+#: (window_topk_per_group — the never-hashed pool holds no window_ names,
+#: and every §2 family appears in every window): the full TPC-H tail
+#: (q4/q7/q10/q15/q17/q18 — completes driver coverage of all 22 shapes),
+#: the udf pair, the text_* tail, the stock selectivity sweep (the
+#: reference's own published benchmark protocol, README.md:15-22), and the
+#: remaining curation/embedding/events/full-scan stragglers.  Deferred to
+#: round 9 (completes the sweep): scan_full_nation/region/supplier,
+#: scan_fle_multicolumn, scan_fle_stat_pruned, plus round-8 additions.
 #: Over rounds this converts parity-green into driver-green across the
-#: whole registry (ROTATION.md is the ledger; ever-hashed reaches 228/265
-#: when this round's driver run lands).
+#: whole registry (ROTATION.md is the ledger; ever-hashed reaches 262/267
+#: of the round-7 registry when this round's driver run lands).
 CORE_WINDOW: tuple[str, ...] = (
-    # ---- 15 sentinels retained from the round-4/5/6 windows ----
+    # ---- 15 sentinels retained from the round-4/5/6/7 windows ----
     "tpch_q1",
     "tpch_q6",
     "pred_eq",
@@ -73,53 +74,49 @@ CORE_WINDOW: tuple[str, ...] = (
     "ann_ivf_topk",
     "multimodal_features",
     "udf_pandas_scalar",
-    # ---- 35 rotated in (all first-hash) ----
-    # round-6 flagships: FLE on-disk round-trip, plane-kernel scan-path
-    # pushdown (simple-predicates.h:30-205's contract made observable),
-    # Avro complex types (enum/record/array/map)
-    "scan_fle_roundtrip",
-    "scan_fle_pushdown",
-    "scan_avro_complex",
-    # deferred from round 6
-    "dedup_canonical_keep",
-    "events_session_window",
-    # TPC-H never-hashed tail, pulled forward (VERDICT r6 task #3)
-    "tpch_q5",
-    "tpch_q8",
-    "tpch_q22",
-    # join breadth: outer/self/strategy-pinned/as-of variants/range-binned
-    "join_full_outer",
-    "join_self",
-    "join_shuffle_hash",
-    "join_sort_merge",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "join_range_binned",
-    # set operations
-    "set_intersect",
-    "set_union_all_counted",
-    "set_union_distinct",
-    # SQL surface: spark.sql() entry points, subqueries, pivot/unpivot
-    "sql_agg",
-    "sql_join",
-    "sql_window",
-    "subq_in",
-    "subq_scalar",
-    "pivot_wide",
-    "unpivot_long",
-    # scalar-function families not yet driver-hashed
-    "fn_map",
-    "fn_math",
-    "fn_conditional",
-    "fn_datetime",
-    "fn_hash_utils",
-    # sampling / SCD2 build
-    "sample_fixed_k",
-    "sample_split_assign",
-    "scd2_build",
-    # window/text family representation
-    "window_topk_twophase",
-    "text_quality",
+    # ---- 34 first-hash + 1 re-hash rotated in ----
+    # TPC-H never-hashed tail — completes all 22 shapes driver-hashed
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    # UDF lifecycle pair (row-wise demo + pandas grouped-agg)
+    "udf_grouped_agg",
+    "udf_rowwise",
+    # text_* tail
+    "text_bigram_pmi",
+    "text_bpe_encode",
+    "text_bpe_tokens",
+    "text_entropy",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_rolling_hash",
+    "text_unigram_logprob",
+    "text_vocab",
+    # stock selectivity sweep (reference benchmark protocol)
+    "selectivity_002",
+    "selectivity_010",
+    "selectivity_020",
+    "selectivity_030",
+    "selectivity_050",
+    "selectivity_080",
+    "selectivity_100",
+    # curation / embedding / events / format stragglers
+    "shuffle_deterministic",
+    "scan_avro_temporal",
+    "curate_source_mix",
+    "embedding_outliers",
+    "embedding_pq_codes",
+    "events_interpolate",
+    # full-scan value pins over the larger tables
+    "scan_full_customer",
+    "scan_full_documents",
+    "scan_full_part",
+    # window_-family re-hash (keeps the family represented; first hashed r6)
+    "window_topk_per_group",
 )
 
 _EXPORT_PREFIX = "a0_"

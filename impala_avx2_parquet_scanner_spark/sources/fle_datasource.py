@@ -115,19 +115,51 @@ def _encode_int_column(name: str, values: np.ndarray) -> tuple[
     silent truncation would corrupt the round-trip (a fractional or
     negative input raises instead of storing a wrong value)."""
     vals = np.asarray(values)
+    if vals.dtype == object:
+        # exact Python-int arithmetic: an object array may hold ints
+        # beyond 2^53, where a float64 detour silently rounds to a
+        # DIFFERENT value — every lane is range-checked individually
+        valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
+        nullable = bool((~valid).any())
+        codes = np.zeros(vals.size, dtype=np.uint64)
+        for i in np.flatnonzero(valid):
+            v = vals[i]
+            if isinstance(v, (float, np.floating)):
+                if not float(v).is_integer():
+                    raise ValueError(
+                        f"fledir: column {name!r} has non-integral values "
+                        "— the FLE plane encoding stores unsigned "
+                        "integers exactly"
+                    )
+                iv = int(v)
+            else:
+                iv = int(v)
+            if iv < 0:
+                raise ValueError(
+                    f"fledir: column {name!r} has negative values — FLE "
+                    "plane codes are unsigned (order-preserving offset "
+                    "them first)"
+                )
+            if iv > 0x7FFFFFFFFFFFFFFF:
+                # plane storage is u64, but the DataSource decodes to
+                # Spark bigint (int64) — a larger value would silently
+                # wrap negative on read, so refuse it at encode time
+                raise ValueError(
+                    f"fledir: column {name!r} exceeds the bigint decode "
+                    "range (max 2^63-1)"
+                )
+            codes[i] = iv
+        width = max(int(codes.max()).bit_length(), 1) if codes.size else 1
+        return codes, valid, width, nullable
     if vals.dtype.kind == "f":
         valid = ~np.isnan(vals)
         nullable = bool((~valid).any())
-    elif vals.dtype == object:
-        valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
-        nullable = bool((~valid).any())
-        vals = np.where(valid, vals, 0).astype(np.float64)
     else:
         valid = np.ones(vals.size, dtype=bool)
         nullable = False
     filled = np.where(valid, vals, 0)
     codes = filled.astype(np.uint64)
-    if vals.dtype.kind == "f" or vals.dtype == object:
+    if vals.dtype.kind == "f":
         if not np.array_equal(
             codes[valid].astype(np.float64), np.asarray(filled)[valid]
         ):
@@ -434,21 +466,43 @@ class FleDirReader(DataSourceReader):
         #: (hdfs-parquet-scanner.cc:1410-1451)
         self.pushed: list[tuple[str, str, object]] = []
 
+    @staticmethod
+    def _literal_pushable(op: str, value) -> bool:
+        """A fractional numeric literal must stay RESIDUAL: the int
+        kernels (and the manifest-stat refutation) compare in integer
+        space, so int(10.5) would silently answer x<10 instead of
+        x<10.5.  Catalyst blocks such pushes behind casts, but a direct
+        DSv2 caller can hand one over — keep it for Spark to re-check."""
+        def ok(v) -> bool:
+            return not (
+                isinstance(v, (float, np.floating))
+                and not float(v).is_integer()
+            )
+
+        if op == "in":
+            return value is not None and all(ok(v) for v in value)
+        return ok(value)
+
     def pushFilters(self, filters):
         """eq/lt/le/gt/ge/in on any stored column are accepted and
         become plane-word kernel masks (string columns translate
         through their order-preserving dictionary, dict-encoding.h:
         461-541); IS NULL / IS NOT NULL ride the validity words (the
-        def-level path).  Everything else is yielded back as a residual
+        def-level path).  Everything else — including comparisons whose
+        literal is not exactly integral — is yielded back as a residual
         Spark re-evaluates after the scan — the pushed-vs-residual
         conjunct split (§2A #5/#6, hdfs-parquet-scanner.cc:1825-1834)."""
         for f in filters:
             col = getattr(f, "attribute", None)
             op = _PUSHABLE_OPS.get(type(f).__name__)
-            if op and isinstance(col, tuple) and len(col) == 1:
-                self.pushed.append(
-                    (col[0], op, getattr(f, "value", None))
-                )
+            value = getattr(f, "value", None)
+            if (
+                op
+                and isinstance(col, tuple)
+                and len(col) == 1
+                and self._literal_pushable(op, value)
+            ):
+                self.pushed.append((col[0], op, value))
                 continue
             yield f
 
@@ -468,8 +522,16 @@ class FleDirReader(DataSourceReader):
         cols = {c.name: c for c in seg.columns}
         for col_name, op, value in self.pushed:
             c = cols.get(col_name)
-            if c is None:  # column not stored here: leave to residual
-                continue
+            if c is None:
+                # pushFilters already CONSUMED this conjunct (it is not a
+                # residual), so silently skipping it would return
+                # unfiltered rows — fail loudly instead: heterogeneous
+                # segment schemas are outside the format contract
+                raise ValueError(
+                    f"fledir: pushed filter references column "
+                    f"{col_name!r} absent from a segment — heterogeneous "
+                    "segment schemas are not supported"
+                )
             k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
             if op == "is_null":
                 _and(k.is_null())
@@ -653,75 +715,125 @@ def segment_stats(seg: ParsedSegment) -> dict:
 
 
 class _FleCommit(WriterCommitMessage):
-    def __init__(self, files: list[str], stats: list[str]):
+    def __init__(self, files: list[str], stats: list[str],
+                 tmps: "list[str] | None" = None):
         self.files = files
         self.stats = stats
+        self.tmps = tmps or []
 
 
 def _clear_segments(path: str) -> None:
-    """Remove every segment file + manifest under `path` (overwrite and
-    unsealed-retry hygiene — stale seg_*.fle from a crashed attempt or a
-    previous layout must not survive into a new write)."""
+    """Remove every segment file + manifest under `path` (unsealed-retry
+    hygiene — stale seg_*.fle / task temp files from a crashed attempt
+    or a previous layout must not survive into a new write)."""
     if not os.path.isdir(path):
         return
     for f in os.listdir(path):
-        if f.endswith(".fle") or f == "_DONE":
+        if f.endswith(".fle") or f == "_DONE" or ".fle.tmp-" in f:
             try:
                 os.remove(os.path.join(path, f))
             except OSError:
                 pass
 
 
+def _manifest_entries(path: str) -> list[tuple[str, str]]:
+    """(name, stats-json) pairs of the committed manifest, [] if none."""
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        return []
+    out = []
+    with open(done) as fh:
+        for ln in fh.read().splitlines():
+            if ln:
+                name, _, s = ln.partition("\t")
+                out.append((name, s))
+    return out
+
+
 class FleDirWriter(DataSourceWriter):
     """Writer half (§2A #17/#18 for this format): input rows are
-    pre-encoded segments (seg_id bigint, payload binary); each task
-    persists its payloads as `seg_<id>.fle`, `commit` seals the dir with
-    the `_DONE` manifest, `abort` removes this attempt's files.
-    `overwrite` clears pre-existing segments + manifest up front, so
-    mode('overwrite') replaces the directory instead of appending into
-    it."""
+    pre-encoded segments (seg_id bigint, payload binary).  Each task
+    persists its payloads under TEMP names (`seg_<id>.fle.tmp-<token>`
+    — invisible to both reader halves, which list `.fle` / manifest
+    names only), so a half-written or aborted attempt can never be
+    observed.  `commit` renames every temp into its final `seg_<id>.fle`
+    name, seals the dir by atomically replacing the `_DONE` manifest
+    (append mode merges the previous manifest), and ONLY THEN — for
+    mode('overwrite') — removes the stale previous segments: a failed
+    or aborted overwrite leaves the old committed data fully readable."""
 
     def __init__(self, options, overwrite: bool):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
         self.overwrite = overwrite
-        if overwrite:
-            _clear_segments(self.dir)
 
     def write(self, rows):
         import json as _json
+        import uuid as _uuid
 
         os.makedirs(self.dir, exist_ok=True)
+        token = _uuid.uuid4().hex[:12]
         written: list[str] = []
+        tmps: list[str] = []
         stats: list[str] = []
         for row in rows:
             name = f"seg_{row.seg_id}.fle"
+            tmp = f"{name}.tmp-{token}"
             payload = bytes(row.payload)
-            with open(os.path.join(self.dir, name), "wb") as fh:
+            with open(os.path.join(self.dir, tmp), "wb") as fh:
                 fh.write(payload)
             written.append(name)
+            tmps.append(tmp)
             # per-segment column stats, computed on the encoded planes
             # (no decode) — carried to the manifest at commit
             stats.append(_json.dumps(segment_stats(parse_segment(payload))))
-        return _FleCommit(written, stats)
+        return _FleCommit(written, stats, tmps)
 
     def commit(self, messages):
-        entries = sorted(
-            (f, s)
-            for m in messages
-            for f, s in zip(m.files, getattr(m, "stats", [""] * len(m.files)))
-        )
-        with open(os.path.join(self.dir, "_DONE"), "w") as fh:
+        previous = _manifest_entries(self.dir)
+        new_entries: list[tuple[str, str]] = []
+        for m in messages:
+            tmps = getattr(m, "tmps", None) or m.files
+            stats = getattr(m, "stats", [""] * len(m.files))
+            for name, tmp, s in zip(m.files, tmps, stats):
+                os.replace(
+                    os.path.join(self.dir, tmp),
+                    os.path.join(self.dir, name),
+                )
+                new_entries.append((name, s))
+        new_names = {n for n, _ in new_entries}
+        if not self.overwrite:
+            # append: previous committed segments stay in the manifest
+            # (a re-written name takes this attempt's entry)
+            new_entries += [
+                (n, s) for n, s in previous if n not in new_names
+            ]
+        entries = sorted(new_entries)
+        done = os.path.join(self.dir, "_DONE")
+        tmp_done = done + ".tmp"
+        with open(tmp_done, "w") as fh:
             fh.write("\n".join(
                 f"{name}\t{s}" if s else name for name, s in entries
             ))
+        os.replace(tmp_done, done)  # atomic manifest swap
+        if self.overwrite:
+            # destruction happens ONLY after the new _DONE is durable:
+            # sweep every .fle not in the new manifest (covers stale
+            # committed segments AND unsealed leftovers from crashes)
+            keep = {n for n, _ in entries}
+            for f in os.listdir(self.dir):
+                if f.endswith(".fle") and f not in keep:
+                    try:
+                        os.remove(os.path.join(self.dir, f))
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         for m in messages:
             if m is None:
                 continue
-            for f in m.files:
+            for f in getattr(m, "tmps", None) or m.files:
                 try:
                     os.remove(os.path.join(self.dir, f))
                 except OSError:
@@ -819,12 +931,26 @@ try:  # streaming half (Spark >= 4.0)
                     ))
             return out
 
+        def _sealed(self, name: str) -> bool:
+            """True iff the file parses as a complete segment.  The
+            engine's writer makes torn files unobservable (temp-name +
+            rename), but a FOREIGN producer writing `.fle` names in
+            place can still be caught mid-write — such a file is left
+            out of the batch AND the offset, so it is retried complete
+            on a later micro-batch instead of poisoning the feed."""
+            try:
+                with open(os.path.join(self.dir, name), "rb") as fh:
+                    parse_segment(fh.read())
+                return True
+            except Exception:
+                return False
+
         def read(self, start: dict):
             seen = set(start.get("names", []))
             current = sorted(
                 f for f in os.listdir(self.dir) if f.endswith(".fle")
             )
-            fresh = [f for f in current if f not in seen]
+            fresh = [f for f in current if f not in seen and self._sealed(f)]
             # iter() over the materialized list: the framework requires
             # an ITERATOR, and a list_iterator pickles
             return iter(self._rows(fresh)), {

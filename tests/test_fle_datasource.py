@@ -321,13 +321,123 @@ def test_fledir_commit_protocol(tmp_path):
     )
     assert rows == 40
 
-    # abort path: a second attempt's files are removed, committed ones stay
+    # abort path: pre-commit the attempt's data lives under TEMP names
+    # only (never a visible .fle), and abort removes them; committed
+    # files stay untouched
     w2 = FleDirWriter({"path": out}, overwrite=False)
     msg2 = w2.write([_Row(9, payload)])
-    assert os.path.exists(os.path.join(out, "seg_9.fle"))
-    w2.abort([msg2, None])
     assert not os.path.exists(os.path.join(out, "seg_9.fle"))
+    assert any(".fle.tmp-" in f for f in os.listdir(out))
+    w2.abort([msg2, None])
+    assert not any(".fle.tmp-" in f for f in os.listdir(out))
     assert os.path.exists(os.path.join(out, "seg_1.fle"))
+
+
+def test_fledir_append_merges_manifest_and_overwrite_is_deferred(tmp_path):
+    """Append commits MERGE the previous manifest (old segments stay
+    readable); an overwrite that never commits leaves the previous
+    committed data fully intact — destruction happens only after the
+    new _DONE is durable (ADVICE r7: planning-time deletion destroyed
+    old data on a failed overwrite)."""
+    import os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        FleDirWriter,
+    )
+
+    class _Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    out = str(tmp_path / "fle_def")
+    payload = encode_segment(
+        np.array(["A", "R"], dtype=object), np.array([1.0, 2.0])
+    )
+    w1 = FleDirWriter({"path": out}, overwrite=True)
+    w1.commit([w1.write([_Row(1, payload)])])
+
+    # append: new segment joins the old one in the manifest
+    w2 = FleDirWriter({"path": out}, overwrite=False)
+    w2.commit([w2.write([_Row(2, payload)])])
+    parts = FleDirReader({"path": out}).partitions()
+    names = sorted(
+        os.path.basename(p) for part in parts for p in part.paths
+    )
+    assert names == ["seg_1.fle", "seg_2.fle"]
+
+    # overwrite attempt that aborts: old directory state survives
+    w3 = FleDirWriter({"path": out}, overwrite=True)
+    msg3 = w3.write([_Row(3, payload)])
+    assert os.path.exists(os.path.join(out, "seg_1.fle"))  # still there
+    w3.abort([msg3])
+    parts = FleDirReader({"path": out}).partitions()
+    names = sorted(
+        os.path.basename(p) for part in parts for p in part.paths
+    )
+    assert names == ["seg_1.fle", "seg_2.fle"]  # nothing destroyed
+
+    # overwrite that commits: only the new segment remains
+    w4 = FleDirWriter({"path": out}, overwrite=True)
+    w4.commit([w4.write([_Row(4, payload)])])
+    assert sorted(os.listdir(out)) == ["_DONE", "seg_4.fle"]
+
+
+def test_encode_object_ints_beyond_2_53_exact():
+    """Object-dtype integer columns must NOT detour through float64:
+    2**60 + 1 has no float64 representation, so a lossy path would
+    round-trip a different value (ADVICE r7 medium)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        decode_segment_columns,
+        encode_segment_columns,
+        parse_segment,
+    )
+
+    big = np.array([2**60 + 1, 5, None, 2**63 - 1], dtype=object)
+    payload = encode_segment_columns([("v", big)])
+    vals, valid = decode_segment_columns(parse_segment(payload))["v"]
+    assert valid.tolist() == [True, True, False, True]
+    got = [int(np.uint64(v)) for v, ok in zip(vals, valid) if ok]
+    assert got == [2**60 + 1, 5, 2**63 - 1]
+    with pytest.raises(ValueError, match="non-integral"):
+        encode_segment_columns([("v", np.array([1, 2.5], dtype=object))])
+    with pytest.raises(ValueError, match="negative"):
+        encode_segment_columns([("v", np.array([1, -2], dtype=object))])
+    with pytest.raises(ValueError, match="bigint decode"):
+        encode_segment_columns([("v", np.array([2**63], dtype=object))])
+
+
+def test_pushdown_rejects_fractional_literals_and_missing_columns():
+    """A fractional literal stays residual (int(10.5) would answer the
+    wrong predicate), and a pushed conjunct whose column is absent from
+    a segment fails loudly instead of returning unfiltered rows
+    (ADVICE r7)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+    )
+
+    class _Lt:
+        def __init__(self, col, value):
+            self.attribute, self.value = (col,), value
+
+    _Lt.__name__ = "LessThan"
+
+    r = FleDirReader({"path": "/nonexistent"})
+    residual = list(r.pushFilters([_Lt("q", 10.5), _Lt("q", 10.0)]))
+    assert len(residual) == 1 and residual[0].value == 10.5
+    assert r.pushed == [("q", "lt", 10.0)]
+
+    payload = encode_segment(
+        np.array(["A"], dtype=object), np.array([1.0])
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        parse_segment,
+    )
+
+    r2 = FleDirReader({"path": "/nonexistent"})
+    r2.pushed = [("absent_col", "lt", 5)]
+    with pytest.raises(ValueError, match="absent"):
+        r2._segment_mask(parse_segment(payload))
 
 
 def test_multicolumn_segment_roundtrip():

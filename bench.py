@@ -173,39 +173,64 @@ def main() -> None:
     # Min-of-N timed executions per query: a single reading occasionally
     # eats a GC pause / page-cache miss blip (observed +3x on one query in
     # an otherwise idle run).  Two reps baseline; queries living on the
-    # sub-0.8s job floor get up to four more, because there a
-    # single scheduler hiccup IS the measurement (round-5's
-    # selectivity_080 ratio jumped 9.9->16.5 on an unchanged plan from
-    # exactly this noise).  Every rep executes the full plan.
-    times: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        reps = 0
-        floor = max(2, EXTRA_REPS.get(name, 0))
-        # 0.8s band (was 0.5): queries just above the old threshold kept
-        # flapping 10-60% between rounds on 2 reps (r7: q12/q19) while
-        # their 10x points moved the other way — classic rep noise
-        while reps < floor or (best < 0.8 and reps < 6):
+    # job floor get more, because there a single scheduler hiccup IS the
+    # measurement (round-5's selectivity_080 ratio jumped 9.9->16.5 on an
+    # unchanged plan; round-7's selectivity_002 flapped +61% even at 6
+    # reps on a visibly-loaded VM).  Sub-0.5s points now take min-of-8
+    # and every query's rep count + min/median/max land in BENCH_FULL's
+    # rep_stats, so a noisy machine-weather run is self-diagnosing: if
+    # median >> min across the board, believe the mins.
+    def timed_best(run, base_floor: int = 2) -> tuple[float, dict]:
+        durs: list[float] = []
+        while True:
             t0 = time.time()
-            REGISTRY[name].fn(spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-            reps += 1
+            run()
+            durs.append(time.time() - t0)
+            best = min(durs)
+            floor = max(
+                base_floor,
+                8 if best < 0.5 else 6 if best < 0.8 else 2,
+            )
+            if len(durs) >= floor:
+                break
+        s = sorted(durs)
+        return best, {
+            "reps": len(durs),
+            "min": round(s[0], 4),
+            "median": round(s[len(s) // 2], 4),
+            "max": round(s[-1], 4),
+        }
+
+    times: dict[str, float] = {}
+    rep_stats: dict[str, dict] = {}
+    for name in names:
+        best, stats = timed_best(
+            lambda: REGISTRY[name].fn(spark, sf_dir).collect(),
+            base_floor=max(2, EXTRA_REPS.get(name, 0)),
+        )
         times[name] = round(best, 4)
+        rep_stats[name] = stats
 
     out = {
         "metric": "headline_total_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "rep_stats": rep_stats,
         "sf": sf_dir,
     }
 
     # Spark's fixed per-job cost on this setup: a 1-row parquet count.
     # Sub-second headline times sit on this floor; subtract it mentally
     # when reading sf0.1 ratios.
-    t0 = time.time()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    out["spark_floor_sec"] = round(time.time() - t0, 4)
+    floor_best, floor_stats = timed_best(
+        lambda: spark.read.parquet(
+            os.path.join(sf_dir, "region.parquet")
+        ).count(),
+        base_floor=3,
+    )
+    out["spark_floor_sec"] = round(floor_best, 4)
+    out["spark_floor_stats"] = floor_stats
 
     # Yardstick extras are best-effort: the headline JSON contract must
     # survive any failure in them (missing duckdb, full /tmp, ...).
@@ -224,24 +249,22 @@ def main() -> None:
             try:
                 big = synth_scale10_dir(spark, sf_dir)
                 s10: dict[str, float] = {}
+                s10_stats: dict[str, dict] = {}
                 for name in SCALE10_QUERIES:
                     REGISTRY[name].fn(spark, big).collect()  # warm plan
-                    best = float("inf")
-                    reps = 0
                     # same adaptive floor policy as the sf0.1 loop: on
                     # sub-half-second points one scheduler hiccup IS the
                     # measurement
-                    while reps < max(2, EXTRA_REPS.get(name, 0)) or (
-                        best < 0.8 and reps < 6
-                    ):
-                        t0 = time.time()
-                        REGISTRY[name].fn(spark, big).collect()
-                        best = min(best, time.time() - t0)
-                        reps += 1
+                    best, stats = timed_best(
+                        lambda: REGISTRY[name].fn(spark, big).collect(),
+                        base_floor=max(2, EXTRA_REPS.get(name, 0)),
+                    )
                     s10[name] = round(best, 4)
+                    s10_stats[name] = stats
                 d10 = duckdb_times(big, SCALE10_QUERIES)
                 out["scaled10x"] = {
                     "spark": s10,
+                    "rep_stats": s10_stats,
                     "duckdb": d10,
                     "ratio_vs_duckdb": {
                         n: round(s10[n] / d10[n], 2) for n in d10 if d10[n] > 0

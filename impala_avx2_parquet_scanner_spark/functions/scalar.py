@@ -717,3 +717,72 @@ def fn_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unhex(F.hex(F.col("p_name"))) == F.col("p_name").cast("binary")
         ).alias("hex_roundtrip"),
     )
+
+
+_CHAR_SEMANTICS_ORACLE = """
+SELECT p_brand,
+       rpad(p_brand, 12, ' ') AS brand_char12,
+       length(rpad(p_brand, 12, ' ')) AS char_len,
+       rtrim(rpad(p_brand, 12, ' ')) = p_brand AS unpad_roundtrip,
+       count(*) AS n_parts,
+       CAST(SUM(CASE WHEN length(p_type) > 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_vc10_overflow,
+       min(substring(p_type, 1, 10)) AS vc10_min_trunc,
+       CAST(SUM(CASE WHEN rpad(p_type, 30, ' ') = rpad(p_type || '  ', 30, ' ')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_padded_eq
+FROM part
+GROUP BY p_brand
+"""
+
+
+@query(
+    "fn_char_semantics",
+    oracle=_CHAR_SEMANTICS_ORACLE,
+    tags=("function", "string", "char"),
+)
+def fn_char_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR(N)/VARCHAR(N) semantics, expressed conf-independently so the
+    contract is pinned on ANY session (the driver's is vanilla):
+    CHAR(N) space-pads on read (hdfs-parquet-scanner.cc:579-596;
+    StringValue::PadWithSpaces, string-value.inline.h:105-118) —
+    `rpad(x, N, ' ')` — and comparison is trailing-space-insensitive
+    once both sides sit at the common width (`n_padded_eq` proves a
+    value and its trailing-space variant compare equal after padding,
+    per-row, in both engines).  `unpad_roundtrip` pins rtrim(pad(x)) ==
+    x (the read-then-compare identity).  VARCHAR(N) overflow is the
+    engine's DOCUMENTED DEVIATION: the reference truncates silently on
+    scan; Spark under ANSI raises instead, so this engine surfaces
+    truncation explicitly as substring(x, 1, N) — `vc10_min_trunc`
+    value-pins that explicit form and `n_vc10_overflow` counts the rows
+    where it applies (tests/test_type_edges.py::
+    test_char_varchar_semantics holds the raise-vs-truncate pin)."""
+    t = F.col("p_type")
+    b = F.col("p_brand")
+    return (
+        table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.length(t) > 10, 1).otherwise(0)
+            ).alias("n_vc10_overflow"),
+            F.min(F.substring(t, 1, 10)).alias("vc10_min_trunc"),
+            F.sum(
+                F.when(
+                    F.rpad(t, 30, " ")
+                    == F.rpad(F.concat(t, F.lit("  ")), 30, " "),
+                    1,
+                ).otherwise(0)
+            ).alias("n_padded_eq"),
+        )
+        .select(
+            "p_brand",
+            F.rpad(b, 12, " ").alias("brand_char12"),
+            F.length(F.rpad(b, 12, " ")).alias("char_len"),
+            (F.rtrim(F.rpad(b, 12, " ")) == b).alias("unpad_roundtrip"),
+            "n_parts",
+            "n_vc10_overflow",
+            "vc10_min_trunc",
+            "n_padded_eq",
+        )
+    )

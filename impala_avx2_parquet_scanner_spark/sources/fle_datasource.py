@@ -593,8 +593,10 @@ class FleDirReader(DataSourceReader):
         if codeop == "in":
             cand = np.zeros(mins.size, dtype=bool)
             for v in arg:
-                u = np.uint64(v) if v >= 0 else None
-                if u is not None:
+                # out-of-u64-domain literals can match nothing (the
+                # kernel's domain short-circuit agrees) — no candidates
+                if 0 <= v <= 0xFFFFFFFFFFFFFFFF:
+                    u = np.uint64(v)
                     cand |= (mins <= u) & (maxs >= u)
         else:
             if arg < 0:
@@ -604,8 +606,17 @@ class FleDirReader(DataSourceReader):
                     if codeop in ("gt", "ge")
                     else np.zeros(mins.size, dtype=bool)
                 )
+            elif arg > 0xFFFFFFFFFFFFFFFF:
+                # above the u64 code domain: lt/le match every valid row
+                # (chunks with any valid lane have min <= max), eq/gt/ge
+                # match none — mirrors the kernels' domain short-circuit
+                cand = (
+                    mins <= maxs
+                    if codeop in ("lt", "le")
+                    else np.zeros(mins.size, dtype=bool)
+                )
             else:
-                u = np.uint64(min(arg, 0xFFFFFFFFFFFFFFFF))
+                u = np.uint64(arg)
                 cand = {
                     "eq": (mins <= u) & (maxs >= u),
                     "lt": mins < u,

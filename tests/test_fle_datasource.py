@@ -343,6 +343,56 @@ def test_chunk_stats_footer_roundtrip_and_kernel_equivalence():
     _ = pack_validity  # silence unused-import lint in minimal envs
 
 
+def test_chunk_kernel_out_of_domain_literals():
+    """Literals outside the u64 code domain (negative, > 2^64-1) must
+    route through the same domain short-circuits as the kernels — the
+    clamp hazard: lt 2^70 against a width-64 all-max chunk matches EVERY
+    row, which a naive min<clamped(u64max) candidate test would refute."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        FleKernels,
+        fle_pack,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        ParsedColumn,
+        ParsedSegment,
+        _chunk_min_max,
+        encode_segment_columns,
+        parse_segment,
+    )
+
+    # ordinary segment via the encode layer
+    seg = parse_segment(
+        encode_segment_columns([("q", np.arange(3000, dtype=np.int64))])
+    )
+    c = seg.columns[0]
+    full = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+    for op, arg in [
+        ("eq", 2**64 + 1), ("lt", 2**70), ("ge", 2**70),
+        ("gt", -3), ("le", -1),
+        ("in", (5, 2**64 + 3)), ("in", (2**65,)), ("in", (-4, 100)),
+    ]:
+        got = FleDirReader._chunk_kernel(seg, c, 0, op, arg)
+        want = full.in_(arg) if op == "in" else getattr(full, op)(arg)
+        assert np.array_equal(got, want), (op, arg)
+
+    # width-64 all-max data (encode layer caps at int64: build directly)
+    codes = np.full(2100, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    planes, n = fle_pack(codes, 64)
+    col = ParsedColumn(name="q", kind=0, nullable=False, validity=None,
+                       dictionary=None, width=64, planes=planes)
+    mins, maxs = _chunk_min_max(codes, np.ones(n, bool), planes.shape[0])
+    wide = ParsedSegment(n=n, n_blocks=planes.shape[0], columns=[col],
+                         chunk_blocks=16, chunk_stats=[(mins, maxs)])
+    wfull = FleKernels(planes, 64, n)
+    for op, arg in [
+        ("lt", 2**70), ("le", 2**64), ("eq", 2**64),
+        ("ge", 2**64 + 1), ("gt", 2**70),
+    ]:
+        got = FleDirReader._chunk_kernel(wide, col, 0, op, arg)
+        assert np.array_equal(got, getattr(wfull, op)(arg)), (op, arg)
+
+
 def test_fledir_commit_protocol(tmp_path):
     """Writer commit seals the directory with a _DONE manifest listing
     every segment; an unsealed directory is unreadable (parquet-style

@@ -1250,6 +1250,61 @@ def materialize_fle_sorted_dir(spark, sf_dir: str) -> str:
     return out
 
 
+def materialize_fle_chunked_dir(spark, sf_dir: str) -> str:
+    """Write-once: lineitem (l_returnflag, l_quantity) sorted WITHIN
+    partitions but NOT range-partitioned across them — every segment
+    spans (nearly) the full quantity domain, so the manifest's
+    file-level min/max can refute nothing, while within a segment
+    values ascend and the per-chunk BSTA stats become maximally
+    selective.  This is the mid-file regime the round-8 chunk-skip
+    tier exists for: a boundary file the file stats must keep, whose
+    interior the page-level stats skip
+    (hdfs-parquet-scanner.cc:1125-1132)."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_chunked_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        # round-robin repartition (hash of nothing = arbitrary) then
+        # sort within: each partition holds a full-domain sample in
+        # ascending order — file stats useless, chunk stats sharp
+        .repartition(8)
+        .sortWithinPartitions("l_quantity")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
 def materialize_fle_multi_dir(spark, sf_dir: str) -> str:
     """Write-once: the GENERAL container shape — four lineitem columns
     (two order-preserving dictionary strings + one nullable int + one

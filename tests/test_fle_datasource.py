@@ -964,6 +964,84 @@ def test_sorted_fle_layout_prunes_files_for_range(spark, sf_dir):
     )
 
 
+def test_chunked_fle_layout_skips_mid_file(spark):
+    """The chunk-skip tier's own layout (round 8): locally-sorted,
+    non-range-partitioned segments — the MANIFEST must keep every file
+    (each spans ~the full domain), every segment must carry a BSTA
+    footer whose stats refute most chunks for a narrow band predicate,
+    and the results must match the parquet base exactly.  Runs at
+    sf0.01 (60k rows): the sf0.001 fixture's ~750-row partitions fit in
+    one 1024-value chunk, which leaves nothing to skip."""
+    import os as _os
+
+    import numpy as _np
+
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        materialize_fle_chunked_dir,
+        parse_segment,
+        register_fledir,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    path = materialize_fle_chunked_dir(spark, sf_dir)
+    with open(_os.path.join(path, "_DONE")) as fh:
+        names = [
+            ln.partition("\t")[0] for ln in fh.read().splitlines() if ln
+        ]
+    assert len(names) >= 8
+
+    # file tier: nothing refutable — partitions() keeps every file
+    r = FleDirReader({"path": path})
+    r.pushed = [("l_quantity", "ge", 23), ("l_quantity", "le", 24)]
+    surviving = sum(len(p.paths) for p in r.partitions())
+    assert surviving == len(names)
+
+    # chunk tier: within each multi-chunk segment, most chunks refuted
+    checked = 0
+    for name in names:
+        with open(_os.path.join(path, name), "rb") as fh:
+            seg = parse_segment(fh.read())
+        assert seg.chunk_stats is not None
+        mins, maxs = seg.chunk_stats[
+            [c.name for c in seg.columns].index("l_quantity")
+        ]
+        if mins.size < 4:
+            continue  # tiny tail segment: no skip potential
+        cand = (mins <= _np.uint64(24)) & (maxs >= _np.uint64(23))
+        assert cand.sum() <= max(1, mins.size // 2), (
+            name, int(cand.sum()), int(mins.size)
+        )
+        checked += 1
+    assert checked >= 4  # locally-sorted layout produced real chunk runs
+
+    register_fledir(spark)
+    got = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(F.col("l_quantity").between(23, 24))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    want = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("l_quantity"),
+        )
+        .filter(F.col("l_quantity").between(23, 24))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_fledir_streaming_exactly_once(spark, tmp_path):
     """The streaming FLE scanner must deliver every segment's rows
     exactly once across micro-batches, with late-arriving segment files

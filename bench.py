@@ -274,7 +274,11 @@ def main() -> None:
                         "cost DuckDB's in-process engine does not; subtract "
                         "spark_floor_sec for marginal throughput. 100x-data runs "
                         "were measured by hand but are IO-bound on this VM's "
-                        "shared disk (2 GB page cache) and too noisy to report."
+                        "shared disk (2 GB page cache) and too noisy to report. "
+                        "tpch_q2's ratio specifically swings 6.4-23x with "
+                        "DuckDB's page-cache state (Spark wall stable ~2.4-3.2s "
+                        "across runs; MICROBENCH.md round-7 section) — read the "
+                        "spark+rep_stats columns, not the ratio, for q2."
                     ),
                 }
             except Exception as exc:  # noqa: BLE001

@@ -398,6 +398,10 @@ def parse_segment(payload: bytes) -> ParsedSegment:
             maxs = np.frombuffer(payload, "<u8", n_chunks, off)
             off += 8 * n_chunks
             chunk_stats.append((mins, maxs))
+        if chunk_blocks == 0:
+            # degenerate footer (foreign writer): stats that cannot map
+            # to blocks must never refute — fall back to full kernels
+            chunk_stats = None
     return ParsedSegment(
         n=n, n_blocks=n_blocks, columns=cols,
         chunk_blocks=chunk_blocks, chunk_stats=chunk_stats,

@@ -95,6 +95,10 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_custom_datasource_pushdown", "documents"),
     ("scan_fle_multicolumn", "lineitem"),
     ("scan_fle_stat_pruned", "lineitem"),
+    # round-8 additions: the mid-file chunk-skip tier on its own
+    # locally-sorted layout + the CHAR/VARCHAR semantics contract
+    ("scan_fle_chunk_pruned", "lineitem"),
+    ("fn_char_semantics", "part"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these
@@ -240,7 +244,7 @@ def main() -> int:
     print("| query | input (data x) | sf0.01 s | sf0.1 s | time x |")
     print("|---|---|---|---|---|")
     ratios = {"lineitem": 10, "lineitem+orders": 10, "events": 10,
-              "documents": 10, "embeddings": 4}
+              "documents": 10, "embeddings": 4, "part": 10}
     _run(spark, "dedup_exact", SF_WARM)  # JVM warmup
     _warm_tables(spark, [sf_a, sf_b])
     for name, _ in CHECKED:

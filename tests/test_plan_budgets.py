@@ -81,6 +81,11 @@ BUDGETS = {
     "agg_entropy_gini": 4,  # persisted (user,type) histogram + rollup/entropy joins
     "pred_like_advanced": 0,
     "text_bm25_topk": 4,  # 1 token->doc agg + stats/dfreq aggs over the tiny persisted doc table + topk
+    # round-8 additions (PLANS.md: every fledir scan is one keyed rollup)
+    "scan_fle_multicolumn": 1,
+    "scan_fle_stat_pruned": 1,
+    "scan_fle_chunk_pruned": 1,
+    "fn_char_semantics": 1,
 }
 
 

@@ -807,6 +807,7 @@ class AvroDirWriter(DataSourceWriter):
             raise ValueError("avrodir requires option 'path'")
         self.codec = options.get("codec", "deflate")
         self.avro_schema = avro_schema
+        self.overwrite = overwrite
 
     def write(self, rows):
         import uuid
@@ -824,9 +825,31 @@ class AvroDirWriter(DataSourceWriter):
         return _AvroCommit([name])
 
     def commit(self, messages):
-        all_files = sorted(f for m in messages for f in m.files)
-        with open(os.path.join(self.dir, "_DONE"), "w") as fh:
-            fh.write("\n".join(all_files))
+        """Round 8: append mode MERGES the previous manifest (old
+        containers stayed on disk but silently vanished from the
+        manifest before), the manifest swap is atomic, and overwrite
+        deletes stale `.avro` files only AFTER the new `_DONE` is
+        durable — task files are uuid-named so they never collide with
+        committed data, and the reader consumes only manifest-listed
+        names, so an aborted overwrite leaves the old data readable."""
+        done = os.path.join(self.dir, "_DONE")
+        new_files = sorted(f for m in messages for f in m.files)
+        if not self.overwrite and os.path.exists(done):
+            with open(done) as fh:
+                previous = [ln for ln in fh.read().splitlines() if ln]
+            new_files = sorted(set(new_files) | set(previous))
+        tmp_done = done + ".tmp"
+        with open(tmp_done, "w") as fh:
+            fh.write("\n".join(new_files))
+        os.replace(tmp_done, done)
+        if self.overwrite:
+            keep = set(new_files)
+            for f in os.listdir(self.dir):
+                if f.endswith(".avro") and f not in keep:
+                    try:
+                        os.remove(os.path.join(self.dir, f))
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         for m in messages:

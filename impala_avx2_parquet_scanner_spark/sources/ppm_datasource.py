@@ -173,19 +173,24 @@ try:  # writer half needs the same Spark >= 4 module
     from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
     class _PpmCommit(WriterCommitMessage):
-        def __init__(self, files: list[str]):
+        def __init__(self, files: list[str], tmps: "list[str] | None" = None):
             self.files = files
+            self.tmps = tmps or []
 
     class PpmDirWriter(DataSourceWriter):  # type: ignore[no-redef]
         """Custom SINK (the writer half of the scanner registration —
-        §2A #17's role for this format): each task writes its rows'
-        payloads as `doc_<id>.ppm` files and reports them in a commit
-        message; `commit` seals the directory with a `_DONE` manifest
-        listing every file (readers treat manifest-less dirs as
-        uncommitted), `abort` deletes this attempt's files — the same
-        write-visibility protocol a parquet job's _SUCCESS provides.
-        Input schema: (doc_id bigint, payload binary) where payload is a
-        complete P6 file."""
+        §2A #17's role for this format), hardened round 8 to the same
+        protocol as the fledir writer: each task writes its rows'
+        payloads under TEMP names (`doc_<id>.ppm.tmp-<token>` —
+        invisible to both reader halves, which list/consume `.ppm`
+        names only), so a half-written or aborted attempt can never be
+        observed; `commit` renames every temp into its final name,
+        atomically replaces the `_DONE` manifest (append mode merges
+        the previous manifest), and only then — for mode('overwrite')
+        — removes stale previous `.ppm` files; `abort` deletes this
+        attempt's temps — a failed or aborted overwrite leaves the old
+        committed data fully readable.  Input schema: (doc_id bigint,
+        payload binary) where payload is a complete P6 file."""
 
         def __init__(self, options, overwrite: bool):
             self.dir = options.get("path")
@@ -194,25 +199,58 @@ try:  # writer half needs the same Spark >= 4 module
             self.overwrite = overwrite
 
         def write(self, rows):
+            import uuid as _uuid
+
             os.makedirs(self.dir, exist_ok=True)
+            token = _uuid.uuid4().hex[:12]
             written: list[str] = []
+            tmps: list[str] = []
             for row in rows:
                 name = f"doc_{row.doc_id}.ppm"
-                with open(os.path.join(self.dir, name), "wb") as fh:
+                tmp = f"{name}.tmp-{token}"
+                with open(os.path.join(self.dir, tmp), "wb") as fh:
                     fh.write(bytes(row.payload))
                 written.append(name)
-            return _PpmCommit(written)
+                tmps.append(tmp)
+            return _PpmCommit(written, tmps)
 
         def commit(self, messages):
-            all_files = sorted(f for m in messages for f in m.files)
-            with open(os.path.join(self.dir, "_DONE"), "w") as fh:
+            done = os.path.join(self.dir, "_DONE")
+            previous: list[str] = []
+            if os.path.exists(done):
+                with open(done) as fh:
+                    previous = [ln for ln in fh.read().splitlines() if ln]
+            new_files: list[str] = []
+            for m in messages:
+                tmps = getattr(m, "tmps", None) or m.files
+                for name, tmp in zip(m.files, tmps):
+                    os.replace(
+                        os.path.join(self.dir, tmp),
+                        os.path.join(self.dir, name),
+                    )
+                    new_files.append(name)
+            if not self.overwrite:
+                new_files += [f for f in previous if f not in set(new_files)]
+            all_files = sorted(set(new_files))
+            tmp_done = done + ".tmp"
+            with open(tmp_done, "w") as fh:
                 fh.write("\n".join(all_files))
+            os.replace(tmp_done, done)  # atomic manifest swap
+            if self.overwrite:
+                # destruction only after the new manifest is durable
+                keep = set(all_files)
+                for f in os.listdir(self.dir):
+                    if f.endswith(".ppm") and f not in keep:
+                        try:
+                            os.remove(os.path.join(self.dir, f))
+                        except OSError:
+                            pass
 
         def abort(self, messages):
             for m in messages:
                 if m is None:
                     continue
-                for f in m.files:
+                for f in getattr(m, "tmps", None) or m.files:
                     try:
                         os.remove(os.path.join(self.dir, f))
                     except OSError:
@@ -407,12 +445,31 @@ try:  # streaming half (Spark >= 4.0)
                 )
             return out
 
+        def _sealed(self, name: str) -> bool:
+            """True iff the file parses as a complete P6 image.  The
+            engine's writer makes torn files unobservable (temp-name +
+            rename), but a FOREIGN producer writing `.ppm` names in
+            place can be caught mid-write — such a file stays out of
+            the batch AND the offset until it parses complete."""
+            try:
+                with open(os.path.join(self.dir, name), "rb") as fh:
+                    payload = fh.read()
+                parts = payload.split(b"\n", 3)
+                if parts[0] != b"P6" or len(parts) < 4:
+                    return False
+                w, h = (int(x) for x in parts[1].split())
+                return len(parts[3]) >= w * h * 3
+            except Exception:
+                return False
+
         def read(self, start: dict):
             seen = set(start.get("names", []))
             current = sorted(
                 f for f in os.listdir(self.dir) if f.endswith(".ppm")
             )
-            fresh = [f for f in current if f not in seen]
+            fresh = [
+                f for f in current if f not in seen and self._sealed(f)
+            ]
             # iter() over the materialized list: the framework requires an
             # ITERATOR, and a list_iterator pickles (a generator does not)
             return iter(self._parse(fresh)), {"names": sorted(seen | set(fresh))}

@@ -557,3 +557,90 @@ def test_ppm_datasource_streaming_exactly_once(spark, tmp_path):
     assert len(rows) == 5  # exactly once, no re-delivery of batch-1 files
     assert {r.doc_id: r.raster_sha for r in rows} == want
     assert all(r.width == 4 and r.n_raster_bytes == 12 for r in rows)
+
+
+def test_ppm_writer_atomic_protocol(tmp_path):
+    """Round-8 hardening (mirrors the fledir writer): pre-commit data
+    lives under temp names invisible to both reader halves; append
+    commits merge the previous manifest; an overwrite that aborts
+    leaves the old committed data intact; a committed overwrite sweeps
+    stale files only after the new _DONE is durable."""
+    import os
+
+    from impala_avx2_parquet_scanner_spark.sources.ppm_datasource import (
+        PpmDirWriter,
+    )
+
+    class _Row:
+        def __init__(self, doc_id, payload):
+            self.doc_id, self.payload = doc_id, payload
+
+    payload = b"P6\n2 1\n255\n" + bytes(6)
+    out = str(tmp_path / "ppm_proto")
+    w1 = PpmDirWriter({"path": out}, overwrite=True)
+    msg1 = w1.write([_Row(1, payload)])
+    # pre-commit: only the temp name exists
+    assert not os.path.exists(os.path.join(out, "doc_1.ppm"))
+    assert any(".ppm.tmp-" in f for f in os.listdir(out))
+    w1.commit([msg1])
+    assert os.path.exists(os.path.join(out, "doc_1.ppm"))
+    assert not any(".ppm.tmp-" in f for f in os.listdir(out))
+
+    # append merges the manifest
+    w2 = PpmDirWriter({"path": out}, overwrite=False)
+    w2.commit([w2.write([_Row(2, payload)])])
+    with open(os.path.join(out, "_DONE")) as fh:
+        assert fh.read().splitlines() == ["doc_1.ppm", "doc_2.ppm"]
+
+    # aborted overwrite: nothing destroyed
+    w3 = PpmDirWriter({"path": out}, overwrite=True)
+    msg3 = w3.write([_Row(3, payload)])
+    assert os.path.exists(os.path.join(out, "doc_1.ppm"))
+    w3.abort([msg3, None])
+    assert sorted(f for f in os.listdir(out) if f.endswith(".ppm")) == [
+        "doc_1.ppm", "doc_2.ppm"
+    ]
+
+    # committed overwrite: only the new file + manifest remain
+    w4 = PpmDirWriter({"path": out}, overwrite=True)
+    w4.commit([w4.write([_Row(7, payload)])])
+    assert sorted(os.listdir(out)) == ["_DONE", "doc_7.ppm"]
+
+
+def test_avro_writer_append_merges_and_overwrite_sweeps(spark, tmp_path):
+    """Round-8 hardening: avrodir append no longer drops the previous
+    manifest's containers (they used to stay on disk but vanish from
+    the manifest); overwrite removes stale containers only after the
+    new _DONE is durable."""
+    import os
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroDataSource,
+    )
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass  # already registered on this session
+    out = str(tmp_path / "avro_proto")
+    df1 = spark.range(3).selectExpr("id AS v")
+    df1.coalesce(1).write.format("avrodir").option("path", out).mode(
+        "append"
+    ).save()
+    df2 = spark.range(3, 5).selectExpr("id AS v")
+    df2.coalesce(1).write.format("avrodir").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.format("avrodir").option("path", out).load()
+    assert sorted(r.v for r in back.collect()) == [0, 1, 2, 3, 4]
+    n_files = len([f for f in os.listdir(out) if f.endswith(".avro")])
+    assert n_files == 2
+
+    # overwrite replaces everything and sweeps the stale containers
+    df3 = spark.range(100, 102).selectExpr("id AS v")
+    df3.coalesce(1).write.format("avrodir").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format("avrodir").option("path", out).load()
+    assert sorted(r.v for r in back.collect()) == [100, 101]
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 1

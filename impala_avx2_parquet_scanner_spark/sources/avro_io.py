@@ -902,6 +902,85 @@ class AvroDataSource(DataSource):
         )
 
 
+try:  # streaming half (Spark >= 4.0) — completes the custom-format trio
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class AvroStreamReader(SimpleDataSourceStreamReader):
+        """Streaming form of the Avro scanner: the directory is a live
+        CONTAINER feed — each micro-batch decodes `.avro` files not yet
+        processed, and the OFFSET is the exact sorted file-name set, so
+        `readBetweenOffsets` replays any batch deterministically after
+        a failure (exactly-once container processing under
+        checkpointing, arrival-order independent) — the same protocol
+        as the fledir and ppmdir streaming halves.  A torn file from a
+        foreign in-place producer fails the per-block sync-marker check
+        and stays out of both the batch and the offset until it parses
+        complete (the engine's own writer publishes via temp-name +
+        commit-time rename, so its files are never observable torn)."""
+
+        def __init__(self, options):
+            self.dir = options.get("path")
+            if not self.dir:
+                raise ValueError("avrodir requires option 'path'")
+
+        def initialOffset(self) -> dict:
+            return {"names": []}
+
+        def _decode(self, name):
+            with open(os.path.join(self.dir, name), "rb") as fh:
+                _schema, rows = decode_avro(fh.read())
+            return rows
+
+        def _sealed(self, name: str) -> bool:
+            try:
+                self._decode(name)
+                return True
+            except Exception:
+                return False
+
+        def _rows(self, names):
+            # a LIST of plain tuples: the stream framework pickles
+            # prefetched rows
+            out = []
+            for name in names:
+                out.extend(tuple(r) for r in self._decode(name))
+            return out
+
+        def read(self, start: dict):
+            seen = set(start.get("names", []))
+            current = sorted(
+                f for f in os.listdir(self.dir) if f.endswith(".avro")
+            )
+            fresh = [
+                f for f in current if f not in seen and self._sealed(f)
+            ]
+            return iter(self._rows(fresh)), {
+                "names": sorted(seen | set(fresh))
+            }
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            fresh = sorted(
+                set(end.get("names", [])) - set(start.get("names", []))
+            )
+            return iter(self._rows(fresh))
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in the query checkpoint; nothing to prune
+
+    AVRO_STREAM_API_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    AVRO_STREAM_API_AVAILABLE = False
+
+
+def _avro_simple_stream_reader(self, schema):
+    if not AVRO_STREAM_API_AVAILABLE:
+        raise NotImplementedError("streaming DataSource requires Spark >= 4.0")
+    return AvroStreamReader(self.options)
+
+
+AvroDataSource.simpleStreamReader = _avro_simple_stream_reader
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked round-trip query
 # ---------------------------------------------------------------------------

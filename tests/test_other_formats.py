@@ -971,3 +971,113 @@ def test_avrodir_nested_struct_array_spark_roundtrip(spark, tmp_path):
         (2, ("b", None), []),
         (3, None, [7]),
     ]
+
+
+def test_avrodir_streaming_exactly_once(spark, tmp_path):
+    """The streaming Avro scanner (round 8 — completes the custom-format
+    trio next to fledir/ppmdir): every container's rows delivered
+    exactly once across micro-batches, late-arriving files picked up by
+    the next batch, torn foreign files deferred until complete."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroDataSource,
+        encode_avro,
+    )
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception:
+        pass
+    d = str(tmp_path / "avro_stream_in")
+    _os.makedirs(d)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+
+    def put(i: int):
+        data = encode_avro([(i, f"v{i}")], schema, codec="null")
+        with open(_os.path.join(d, f"part-{i:04d}.avro"), "wb") as fh:
+            fh.write(data)
+
+    for i in (1, 2, 3):
+        put(i)
+    stream = spark.readStream.format("avrodir").option("path", d).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avro_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in (4, 5):  # late arrivals
+            put(i)
+        q.processAllAvailable()
+        rows = spark.table("avro_stream_out").collect()
+    finally:
+        q.stop()
+    assert sorted((r.k, r.s) for r in rows) == [
+        (i, f"v{i}") for i in (1, 2, 3, 4, 5)
+    ]
+
+
+def test_avro_stream_replay_between_offsets_matches_batch(tmp_path):
+    """Checkpoint-recovery: readBetweenOffsets rebuilds each micro-batch
+    exactly from a fresh reader; torn foreign files stay out of batch
+    AND offset until complete; micro-batch union == batch decode."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.avro_io import (
+        AvroStreamReader,
+        decode_avro,
+        encode_avro,
+    )
+
+    d = str(tmp_path / "avro_replay")
+    _os.makedirs(d)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+
+    def put(i: int):
+        with open(_os.path.join(d, f"part-{i:04d}.avro"), "wb") as fh:
+            fh.write(encode_avro([(i,)], schema, codec="null"))
+
+    put(1)
+    put(2)
+    r = AvroStreamReader({"path": d})
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    rows1 = list(rows1)
+    assert sorted(off1["names"]) == ["part-0001.avro", "part-0002.avro"]
+
+    put(3)
+    with open(_os.path.join(d, "part-0004.avro"), "wb") as fh:
+        fh.write(b"Obj\x01\x02")  # torn mid-header
+    rows2, off2 = r.read(off1)
+    rows2 = list(rows2)
+    assert "part-0004.avro" not in off2["names"]
+
+    r2 = AvroStreamReader({"path": d})  # post-crash replay
+    assert list(r2.readBetweenOffsets(off0, off1)) == rows1
+    assert list(r2.readBetweenOffsets(off1, off2)) == rows2
+
+    put(4)  # torn file completed (overwritten whole)
+    rows3, off3 = r.read(off2)
+    rows3 = list(rows3)
+    assert "part-0004.avro" in off3["names"]
+
+    batch = []
+    for name in sorted(_os.listdir(d)):
+        if name.endswith(".avro"):
+            with open(_os.path.join(d, name), "rb") as fh:
+                batch.extend(tuple(t) for t in decode_avro(fh.read())[1])
+    assert sorted(rows1 + rows2 + rows3) == sorted(batch)

@@ -1225,3 +1225,68 @@ def test_datasource_in_and_isnull_pushdown_e2e(spark, sf_dir):
     assert sorted(map(tuple, got_null.collect())) == sorted(
         map(tuple, want_null.collect())
     )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),                                   # overwrite?
+            st.lists(st.integers(0, 4), min_size=1, max_size=3,
+                     unique=True),                           # seg ids
+            st.booleans(),                                   # commit?
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_writer_protocol_fuzz_matches_model(jobs):
+    """Stateful fuzz of the round-8 atomic writer protocol: any sequence
+    of append/overwrite jobs, each committed or aborted, must leave the
+    directory's COMMITTED view (manifest ∩ files, byte-for-byte) equal
+    to a trivial in-memory model — aborted jobs change nothing,
+    committed appends merge (collision → new payload wins), committed
+    overwrites replace everything, and no temp file ever survives."""
+    import os
+    import tempfile
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirWriter,
+        _manifest_entries,
+        encode_segment_columns,
+    )
+
+    class _Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    with tempfile.TemporaryDirectory() as d:
+        model: dict[str, bytes] = {}
+        for job_idx, (overwrite, ids, do_commit) in enumerate(jobs):
+            payloads = {
+                f"seg_{i}.fle": encode_segment_columns(
+                    [("q", np.array([job_idx * 1000 + i], dtype=np.int64))]
+                )
+                for i in ids
+            }
+            w = FleDirWriter({"path": d}, overwrite=overwrite)
+            msg = w.write([
+                _Row(i, payloads[f"seg_{i}.fle"]) for i in sorted(ids)
+            ])
+            if do_commit:
+                w.commit([msg])
+                if overwrite:
+                    model = dict(payloads)
+                else:
+                    model.update(payloads)
+            else:
+                w.abort([msg, None])
+
+            # committed view == model, byte-for-byte
+            names = [n for n, _ in _manifest_entries(d)]
+            assert sorted(names) == sorted(model)
+            for n in names:
+                with open(os.path.join(d, n), "rb") as fh:
+                    assert fh.read() == model[n], n
+            # no temp file ever survives a finished job
+            assert not any(".fle.tmp-" in f for f in os.listdir(d))

@@ -914,6 +914,46 @@ def test_user_schema_prunes_decoded_columns(spark, sf_dir):
     )
 
 
+def test_pushed_filter_on_pruned_column(spark, sf_dir):
+    """A filter column FULLY consumed by pushdown can be pruned out of
+    the read schema by Catalyst (the conjunct is not residual, so
+    nothing above the scan references it) — the kernels must still
+    evaluate it on the plane words even though its values are never
+    decoded, and the surviving rows must match the base table."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_multi_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_multi_dir(spark, sf_dir)
+    register_fledir(spark)
+    got = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(F.col("l_quantity") >= 40)  # pushable: no residual
+        .select("l_returnflag")  # filter column NOT selected
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.nullif(F.col("l_quantity").cast("bigint"), F.lit(10)).alias("q"),
+        )
+        .filter(F.col("q") >= 40)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_sorted_fle_layout_prunes_files_for_range(spark, sf_dir):
     """End-to-end stat pruning on the engine-materialized sorted FLE
     layout: a narrow quantity range must leave MOST manifest files

@@ -1384,3 +1384,37 @@ def test_fle_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     got = sorted(int(r.l_quantity) for r in rows)
     assert got == [1, 2, 3, 4]  # each segment exactly once across runs
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+        min_size=1,
+        max_size=4000,
+    )
+)
+def test_chunk_stats_agree_with_file_stats(values):
+    """Coherence of the two stats tiers: the manifest's file-level
+    min/max (computed on the PLANES by plane_min_max) must equal the
+    min/max over the BSTA footer's per-chunk stats (computed on the
+    CODES at encode time) — a divergence would mean one tier prunes
+    what the other would keep."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        encode_segment_columns,
+        parse_segment,
+        segment_stats,
+    )
+
+    arr = np.array(
+        [float("nan") if v is None else float(v) for v in values]
+    )
+    seg = parse_segment(encode_segment_columns([("q", arr)]))
+    file_stats = segment_stats(seg)["q"]
+    mins, maxs = seg.chunk_stats[0]
+    nonempty = mins <= maxs  # all-NULL chunks carry the empty interval
+    if file_stats["min"] is None:
+        assert not nonempty.any()
+    else:
+        assert int(mins[nonempty].min()) == file_stats["min"]
+        assert int(maxs[nonempty].max()) == file_stats["max"]

@@ -774,6 +774,62 @@ def scan_fle_chunk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_SIGNED_ORACLE = """
+WITH stored AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) - 25 AS balance
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(balance) AS BIGINT) AS sum_bal,
+       CAST(MIN(balance) AS BIGINT) AS min_bal,
+       CAST(MAX(balance) AS BIGINT) AS max_bal
+FROM stored
+WHERE balance >= -10 AND balance <= 5
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_signed",
+    oracle=_FLE_SIGNED_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown"),
+)
+def scan_fle_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED integers in the FLE container (round 8): the plane codes
+    are unsigned (fle-encoding.h packs non-negative codes only), so a
+    signed column stores as the OFFSET kind — an i64 base (the column
+    minimum) plus ``value - base`` codes, the order-preserving remap
+    the reference applies to dictionaries (dict-encoding.h:393-447)
+    carried over to the integer domain.  Pushed literals translate by
+    the same subtraction, so the BitWeaving kernels, the per-chunk
+    BSTA stats, and the manifest's value-space min/max all work
+    unchanged; the crossing-zero range here exercises negative
+    literals, a negative stored domain, and both stats tiers at once.
+    The DuckDB oracle replays the aggregate from raw parquet rows —
+    one wrong offset anywhere flips sum, extrema, and count."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_signed_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_signed_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(F.col("balance").between(-10, 5))
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("balance").alias("sum_bal"),
+        F.min("balance").alias("min_bal"),
+        F.max("balance").alias("max_bal"),
+    )
+
+
 _FLE_MULTICOLUMN_ORACLE = """
 WITH stored AS (
   SELECT l_returnflag,

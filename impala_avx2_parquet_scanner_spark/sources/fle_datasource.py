@@ -100,6 +100,14 @@ _MAGIC = b"FLE2"
 _STATS_MAGIC = b"BSTA"
 _KIND_INT = 0
 _KIND_DICT = 1
+#: signed int64 column stored as order-preserving OFFSET codes: the
+#: section carries an i64 base (the column minimum) and plane codes are
+#: ``value - base`` — the "order-preserving offset" the unsigned plane
+#: encoding needs for signed domains (dict-encoding.h:393-447's
+#: order-preserving remap applied to integers); literals translate by
+#: the same subtraction, so every kernel and both stats tiers work
+#: unchanged in code space
+_KIND_OFFSET = 2
 #: blocks per stats chunk: 16 blocks = 1024 values per (min, max) pair —
 #: fine enough that a selective range predicate on sorted/clustered data
 #: refutes most of a segment, coarse enough that the footer stays ~0.2%
@@ -111,6 +119,25 @@ _SCHEMA = "l_returnflag string, l_quantity bigint"
 
 def _is_null_cell(v) -> bool:
     return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def _has_negative(vals: np.ndarray) -> bool:
+    """True iff any non-null lane of a numeric column is negative —
+    routes the column to the offset-code kind."""
+    v = np.asarray(vals)
+    if v.dtype == object:
+        return any(
+            not _is_null_cell(x)
+            and isinstance(x, (int, np.integer, float, np.floating))
+            and x < 0
+            for x in v
+        )
+    if v.dtype.kind == "f":
+        ok = ~np.isnan(v)
+        return bool(ok.any() and (v[ok] < 0).any())
+    if v.dtype.kind in ("i",):
+        return bool(v.size and v.min() < 0)
+    return False
 
 
 def _encode_int_column(name: str, values: np.ndarray) -> tuple[
@@ -180,6 +207,63 @@ def _encode_int_column(name: str, values: np.ndarray) -> tuple[
         )
     width = max(int(codes.max()).bit_length(), 1) if codes.size else 1
     return codes, valid, width, nullable
+
+
+def _encode_offset_column(name: str, values: np.ndarray) -> tuple[
+    np.ndarray, np.ndarray, int, int, bool
+]:
+    """→ (codes uint64, valid bool, base i64, width, nullable) for a
+    SIGNED integer column: codes are ``value - base`` (base = column
+    minimum), computed in modular u64 arithmetic so any int64 span up
+    to 2^64-1 round-trips exactly (two's complement in, two's
+    complement out)."""
+    vals = np.asarray(values)
+    if vals.dtype == object:
+        valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
+        ints = np.zeros(vals.size, dtype=np.int64)
+        for i in np.flatnonzero(valid):
+            v = vals[i]
+            if isinstance(v, (float, np.floating)):
+                if not float(v).is_integer():
+                    raise ValueError(
+                        f"fledir: column {name!r} has non-integral values "
+                        "— the FLE plane encoding stores integers exactly"
+                    )
+                v = int(v)
+            iv = int(v)
+            if not (-(2**63) <= iv <= 2**63 - 1):
+                raise ValueError(
+                    f"fledir: column {name!r} exceeds the bigint decode "
+                    "range"
+                )
+            ints[i] = iv
+    elif vals.dtype.kind == "f":
+        valid = ~np.isnan(vals)
+        filled = np.where(valid, vals, 0.0)
+        ints = filled.astype(np.int64)
+        if not np.array_equal(
+            ints[valid].astype(np.float64), filled[valid]
+        ):
+            raise ValueError(
+                f"fledir: column {name!r} has non-integral values — the "
+                "FLE plane encoding stores integers exactly"
+            )
+    else:
+        valid = np.ones(vals.size, dtype=bool)
+        ints = vals.astype(np.int64)
+    nullable = bool((~valid).any())
+    base = int(ints[valid].min()) if valid.any() else 0
+    # modular subtraction: (value - base) mod 2^64 is the exact
+    # non-negative offset for any int64 pair, and order-preserving
+    # because base is the minimum
+    codes = (
+        ints.view(np.uint64) - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
+    )
+    codes = np.where(valid, codes, np.uint64(0))
+    width = (
+        max(int(codes[valid].max()).bit_length(), 1) if valid.any() else 1
+    )
+    return codes.astype(np.uint64), valid, base, width, nullable
 
 
 def _encode_dict_column(values: np.ndarray) -> tuple[
@@ -254,20 +338,27 @@ def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
             )
         else:
             is_dict = False
+        base = None
         if is_dict:
             codes, valid, dictionary, width, nullable = (
                 _encode_dict_column(vals)
             )
+            kind = _KIND_DICT
+        elif _has_negative(vals):
+            codes, valid, base, width, nullable = _encode_offset_column(
+                name, vals
+            )
+            dictionary = None
+            kind = _KIND_OFFSET
         else:
             codes, valid, width, nullable = _encode_int_column(name, vals)
             dictionary = None
+            kind = _KIND_INT
         planes, pn = fle_pack(codes, width)
         assert pn == n
         raw_name = name.encode("utf-8")
         sec = [struct.pack("<H", len(raw_name)), raw_name,
-               struct.pack("<BB",
-                           _KIND_DICT if is_dict else _KIND_INT,
-                           1 if nullable else 0)]
+               struct.pack("<BB", kind, 1 if nullable else 0)]
         if nullable:
             sec.append(
                 np.ascontiguousarray(pack_validity(valid), "<u8").tobytes()
@@ -282,6 +373,8 @@ def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
                         "bytes — not representable in the segment format"
                     )
                 sec.append(struct.pack("<H", len(raw)) + raw)
+        if kind == _KIND_OFFSET:
+            sec.append(struct.pack("<q", base))
         sec.append(struct.pack("<B", width))
         sec.append(np.ascontiguousarray(planes, "<u8").tobytes())
         if n_blocks is None:
@@ -322,6 +415,7 @@ class ParsedColumn:
     dictionary: list[str] | None  # kind 1 only
     width: int
     planes: np.ndarray  # (n_blocks, width) u64
+    base: int = 0  # kind 2 only: value = base + code
 
 
 @dataclass
@@ -372,6 +466,10 @@ def parse_segment(payload: bytes) -> ParsedSegment:
                 off += 2
                 dictionary.append(payload[off:off + ln].decode("utf-8"))
                 off += ln
+        base = 0
+        if kind == _KIND_OFFSET:
+            (base,) = struct.unpack_from("<q", payload, off)
+            off += 8
         (width,) = struct.unpack_from("<B", payload, off)
         off += 1
         words = n_blocks * width
@@ -382,7 +480,7 @@ def parse_segment(payload: bytes) -> ParsedSegment:
         cols.append(ParsedColumn(
             name=name, kind=kind, nullable=bool(nullable),
             validity=validity, dictionary=dictionary, width=width,
-            planes=planes,
+            planes=planes, base=base,
         ))
     chunk_blocks, chunk_stats = 0, None
     if payload[off:off + 4] == _STATS_MAGIC:
@@ -486,6 +584,13 @@ def _codes_to_values(
             if c.dictionary
             else np.full(n, None, dtype=object)
         )
+    if c.kind == _KIND_OFFSET:
+        # modular add then two's-complement view: exact for any int64
+        # base + code pair the encoder accepted
+        return (
+            codes.astype(np.uint64)
+            + np.uint64(c.base & 0xFFFFFFFFFFFFFFFF)
+        ).view(np.int64)
     return codes.astype(np.int64)
 
 
@@ -689,13 +794,22 @@ class FleDirReader(DataSourceReader):
                     continue  # non-nullable: all rows qualify
                 k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
                 _and(k.is_not_null())
-            elif c.kind == _KIND_INT:
+            elif c.kind in (_KIND_INT, _KIND_OFFSET):
+                # offset columns translate the literal into code space
+                # by the same subtraction the encoder applied — the
+                # order-preserving remap, so every comparison kernel
+                # works unchanged (out-of-range results go through the
+                # kernels' domain short-circuits)
+                shift = c.base if c.kind == _KIND_OFFSET else 0
                 if op == "in":
                     _and(self._chunk_kernel(
-                        seg, c, i, "in", tuple(int(v) for v in value)
+                        seg, c, i, "in",
+                        tuple(int(v) - shift for v in value),
                     ))
                 else:
-                    _and(self._chunk_kernel(seg, c, i, op, int(value)))
+                    _and(self._chunk_kernel(
+                        seg, c, i, op, int(value) - shift
+                    ))
             else:  # dictionary column: literal → code space
                 if op == "in":
                     codes = [
@@ -870,6 +984,10 @@ def segment_stats(seg: ParsedSegment) -> dict:
             mn, mx = plane_min_max(
                 c.planes, c.width, seg.n, validity=c.validity
             )
+            if c.kind == _KIND_OFFSET:
+                # manifest stats live in VALUE space so the driver can
+                # refute with the query's original literals
+                mn, mx = c.base + mn, c.base + mx
         out[c.name] = {"min": mn, "max": mx, "has_null": has_null}
     return out
 
@@ -1300,6 +1418,57 @@ def materialize_fle_chunked_dir(spark, sf_dir: str) -> str:
         # ascending order — file stats useless, chunk stats sharp
         .repartition(8)
         .sortWithinPartitions("l_quantity")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
+def materialize_fle_signed_dir(spark, sf_dir: str) -> str:
+    """Write-once: lineitem (l_returnflag, l_quantity - 25 AS balance)
+    — a SIGNED column crossing zero, stored through the offset kind
+    (the container's own order-preserving offset; round 8).  Negative
+    domains are what the reference's unsigned FLE codes cannot hold
+    directly — the sorted-dictionary remap idea applied to integers."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_signed_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                (
+                    "balance",
+                    pdf["balance"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            (F.col("l_quantity").cast("long") - F.lit(25)).alias("balance"),
+        )
         .mapInPandas(encode, schema="seg_id long, payload binary")
         .write.format("fledir")
         .mode("overwrite")

@@ -511,8 +511,11 @@ def test_encode_object_ints_beyond_2_53_exact():
     assert got == [2**60 + 1, 5, 2**63 - 1]
     with pytest.raises(ValueError, match="non-integral"):
         encode_segment_columns([("v", np.array([1, 2.5], dtype=object))])
-    with pytest.raises(ValueError, match="negative"):
+    # negatives now route to the OFFSET kind and round-trip
+    neg = decode_segment_columns(parse_segment(
         encode_segment_columns([("v", np.array([1, -2], dtype=object))])
+    ))["v"][0]
+    assert neg.tolist() == [1, -2]
     with pytest.raises(ValueError, match="bigint decode"):
         encode_segment_columns([("v", np.array([2**63], dtype=object))])
 
@@ -578,15 +581,86 @@ def test_multicolumn_segment_roundtrip():
     assert cols["ln"][0].tolist() == [1, 2, 3, 4] and cols["ln"][1].all()
 
 
-def test_encode_rejects_fractional_and_negative():
+def test_encode_rejects_fractional_and_offsets_negative():
+    """Fractional input still raises; negative integers now route to
+    the OFFSET kind (round 8): the container applies the
+    order-preserving offset itself instead of asking the caller to."""
     from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _KIND_OFFSET,
+        decode_segment_columns,
         encode_segment_columns,
+        parse_segment,
     )
 
     with pytest.raises(ValueError, match="non-integral"):
         encode_segment_columns([("q", np.array([1.0, 2.5]))])
-    with pytest.raises(ValueError, match="negative"):
+    with pytest.raises(ValueError, match="non-integral"):
+        encode_segment_columns([("q", np.array([-1.5, 2.0]))])
+
+    seg = parse_segment(
         encode_segment_columns([("q", np.array([-1, 2], dtype=np.int64))])
+    )
+    assert seg.columns[0].kind == _KIND_OFFSET
+    vals, valid = decode_segment_columns(seg)["q"]
+    assert vals.tolist() == [-1, 2] and valid.all()
+
+
+def test_offset_kind_signed_roundtrip_and_pushdown():
+    """Signed int64 columns (incl. extremes and NULLs) round-trip via
+    the offset kind, and pushed conjuncts with negative / crossing-zero
+    literals evaluate correctly in translated code space — both kernel
+    and chunk-stats tiers."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        decode_segment_columns,
+        encode_segment_columns,
+        parse_segment,
+        segment_stats,
+    )
+
+    lo, hi = -(2**63), 2**63 - 1
+    vals = np.array(
+        [lo, -5, None, 0, 7, hi, -1000000, 42], dtype=object
+    )
+    seg = parse_segment(encode_segment_columns([("v", vals)]))
+    got, valid = decode_segment_columns(seg)["v"]
+    assert valid.tolist() == [True, True, False, True, True, True, True, True]
+    assert [int(got[i]) for i in np.flatnonzero(valid)] == [
+        lo, -5, 0, 7, hi, -1000000, 42
+    ]
+
+    # manifest stats live in value space
+    s = segment_stats(seg)["v"]
+    assert s["min"] == lo and s["max"] == hi and s["has_null"]
+
+    # pushed predicates with signed literals, validated against direct
+    # evaluation (NULL satisfies no comparison)
+    raw = [None if v is None else int(v) for v in vals]
+    for op, lit, direct in [
+        ("ge", 0, lambda x: x >= 0),
+        ("lt", 0, lambda x: x < 0),
+        ("le", -5, lambda x: x <= -5),
+        ("gt", -1000001, lambda x: x > -1000001),
+        ("eq", lo, lambda x: x == lo),
+        ("in", (-5, 42, 999), lambda x: x in (-5, 42, 999)),
+    ]:
+        r = FleDirReader({"path": "x"})
+        r.pushed = [("v", op, lit)]
+        mask = r._segment_mask(seg)
+        kept, _ = decode_segment_columns(seg, mask=mask)["v"]
+        want = [x for x in raw if x is not None and direct(x)]
+        assert sorted(int(k) for k in kept) == sorted(want), (op, lit)
+
+    # ordered data: chunk stats refute in translated code space
+    big = np.arange(-3000, 2000, dtype=np.int64)
+    seg2 = parse_segment(encode_segment_columns([("v", big)]))
+    r = FleDirReader({"path": "x"})
+    r.pushed = [("v", "ge", -10), ("v", "le", 10)]
+    mask = r._segment_mask(seg2)
+    kept, _ = decode_segment_columns(seg2, mask=mask)["v"]
+    assert kept.tolist() == list(range(-10, 11))
+    # blocks far from the band carry zero mask words (chunk-refuted)
+    assert mask[:40].sum() == 0 and mask[-20:].sum() == 0
 
 
 def test_long_dictionary_entry_roundtrips():

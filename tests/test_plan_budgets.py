@@ -85,6 +85,7 @@ BUDGETS = {
     "scan_fle_multicolumn": 1,
     "scan_fle_stat_pruned": 1,
     "scan_fle_chunk_pruned": 1,
+    "scan_fle_signed": 1,
     "fn_char_semantics": 1,
 }
 

@@ -96,9 +96,11 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_multicolumn", "lineitem"),
     ("scan_fle_stat_pruned", "lineitem"),
     # round-8 additions: the mid-file chunk-skip tier on its own
-    # locally-sorted layout + the CHAR/VARCHAR semantics contract
+    # locally-sorted layout, the CHAR/VARCHAR semantics contract, and
+    # the signed-domain offset kind
     ("scan_fle_chunk_pruned", "lineitem"),
     ("fn_char_semantics", "part"),
+    ("scan_fle_signed", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

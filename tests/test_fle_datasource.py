@@ -1492,3 +1492,53 @@ def test_chunk_stats_agree_with_file_stats(values):
     else:
         assert int(mins[nonempty].min()) == file_stats["min"]
         assert int(maxs[nonempty].max()) == file_stats["max"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(), st.integers(min_value=-(2**40), max_value=2**40)
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["ge", "gt", "le", "lt", "eq"]),
+            st.integers(min_value=-(2**41), max_value=2**41),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_signed_pushdown_fuzz_matches_direct_eval(values, comparisons):
+    """Offset-kind fuzz: any conjunction of signed comparisons over a
+    random signed column (NULLs included) must keep exactly the rows
+    direct evaluation keeps — the literal translation, kernels, chunk
+    stats, and validity semantics all under random data."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        decode_segment_columns,
+        encode_segment_columns,
+        parse_segment,
+    )
+
+    arr = np.array(values, dtype=object)
+    seg = parse_segment(encode_segment_columns([("v", arr)]))
+    r = FleDirReader({"path": "x"})
+    r.pushed = [("v", op, lit) for op, lit in comparisons]
+    mask = r._segment_mask(seg)
+    kept, kvalid = decode_segment_columns(seg, mask=mask)["v"]
+    assert kvalid.all()  # NULL satisfies no comparison
+
+    import operator as _op
+
+    ops = {"ge": _op.ge, "gt": _op.gt, "le": _op.le,
+           "lt": _op.lt, "eq": _op.eq}
+    want = [
+        v for v in values
+        if v is not None
+        and all(ops[op](v, lit) for op, lit in comparisons)
+    ]
+    assert sorted(int(k) for k in kept) == sorted(want)

@@ -830,6 +830,139 @@ def scan_fle_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_DOUBLE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_extendedprice > 901.5 AND l_extendedprice <= 25000.25
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_double",
+    oracle=_FLE_DOUBLE_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "layout"),
+)
+def scan_fle_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLE columns in the FLE container (round 8): IEEE-754 doubles
+    store through the SORTABLE-BITS bijection (flip the sign bit of
+    non-negatives, all bits of negatives) minus a per-segment code
+    base — a monotone map onto the u64 plane domain, so the unsigned
+    BitWeaving comparison kernels answer double range predicates
+    EXACTLY on encoded data, fractional literals included (the
+    order-preserving-dictionary idea, dict-encoding.h:393-447, applied
+    to the double domain without a dictionary; the reference's own
+    kernels are int-only, fle-encoding.h:212-217).  The layout is
+    range-partitioned + sorted by price, so BOTH stats tiers engage in
+    value space: the manifest's typed (f64-tagged) min/max prunes
+    whole files on the driver, and the per-chunk BSTA footer skips
+    plane words mid-file.  The DuckDB oracle replays the aggregate
+    from raw parquet rows — a single ULP of error anywhere in the
+    map, the base arithmetic, or the literal translation flips min,
+    max, and count."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_typed_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_typed_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("price") > 901.5) & (F.col("price") <= 25000.25)
+        )
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.sum(F.col("price").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+_FLE_TEMPORAL_ORACLE = """
+WITH stored AS (
+  SELECT l_shipdate AS ship_ts,
+         CAST(l_shipdate AS DATE) AS ship_date,
+         (l_returnflag = 'R') AS returned,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+  FROM lineitem
+)
+SELECT CAST(EXTRACT(YEAR FROM ship_date) AS INT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(price_dec) AS sum_dec,
+       MIN(ship_ts) AS min_ts,
+       MAX(ship_date) AS max_date
+FROM stored
+WHERE ship_ts >= TIMESTAMP '1995-06-17 00:00:00'
+  AND ship_date < DATE '1997-01-01'
+  AND returned
+  AND price_dec < 30000.50
+GROUP BY ship_year
+"""
+
+
+@query(
+    "scan_fle_temporal",
+    oracle=_FLE_TEMPORAL_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown"),
+)
+def scan_fle_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP / DATE / BOOLEAN / DECIMAL columns in the FLE
+    container (round 8) — the rest of the reference scanner's type
+    dispatch (hdfs-parquet-scanner.cc:670-720: INT96 timestamps,
+    bit-packed booleans at width 1, FIXED_LEN_BYTE_ARRAY decimals as
+    exact unscaled integers; DATE, which the reference declares NYI at
+    parquet-common.h:51-53, comes free because the kernels are
+    domain-agnostic).  Every kind reduces to the same u64 planes
+    through an order-preserving integer map (epoch micros / days /
+    unscaled via the signed offset), so all four pushed conjuncts —
+    a timestamp bound, a date bound, a boolean equality, and a
+    DECIMAL literal with MORE fractional digits than the column scale
+    (30000.50 < scale-2 domain translates via exact floor/ceil
+    bounds) — run as plane-word kernels with both stats tiers.  The
+    DuckDB oracle replays everything from raw parquet rows."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_typed_dir,
+        register_fledir,
+    )
+    from decimal import Decimal
+
+    path = materialize_fle_typed_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("ship_ts")
+             >= F.lit("1995-06-17 00:00:00").cast("timestamp"))
+            & (F.col("ship_date") < F.lit("1997-01-01").cast("date"))
+            & F.col("returned")
+            & (F.col("price_dec") < Decimal("30000.50"))
+        )
+    )
+    return (
+        df.groupBy(F.year("ship_date").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_dec").alias("sum_dec"),
+            F.min("ship_ts").alias("min_ts"),
+            F.max("ship_date").alias("max_date"),
+        )
+    )
+
+
 _FLE_MULTICOLUMN_ORACLE = """
 WITH stored AS (
   SELECT l_returnflag,

@@ -47,6 +47,15 @@ Scale: encoding runs inside `mapInPandas` Arrow batches on executors
 `InputPartition` on read — the same elasticity as any file source.
 The `_DONE` manifest gives the directory parquet-style commit
 visibility (uncommitted dirs are unreadable).
+
+Known Spark 4.1 framework caveat (verified against a minimal stock
+DataSource, so it is not specific to this reader): the JVM caches the
+last PLANNED read function per loaded relation, and a pushdown
+planning run overwrites it — so reusing ONE `load()` result across a
+filtered action and a later UNFILTERED action replays the filtered
+scan for the unfiltered plan.  Every engine query path creates a
+fresh `spark.read...load()` per query (never affected); direct users
+should do the same.
 """
 
 from __future__ import annotations
@@ -108,6 +117,36 @@ _KIND_DICT = 1
 #: the same subtraction, so every kernel and both stats tiers work
 #: unchanged in code space
 _KIND_OFFSET = 2
+#: IEEE-754 double stored through the SORTABLE-BITS bijection (flip the
+#: sign bit of non-negatives, flip ALL bits of negatives): total order
+#: on the u64 codes == numeric order on the doubles, so every
+#: comparison kernel and both stats tiers run unchanged on encoded
+#: data — the order-preserving-dictionary idea (dict-encoding.h:
+#: 393-447) applied to the double domain without a dictionary.  The
+#: section carries a u64 code base (the minimum code) so clustered
+#: doubles still pack to narrow widths.  NaN marks NULL (the Arrow
+#: batch convention of this container's float input path); -0.0
+#: normalizes to +0.0 at encode so SQL equality survives the bijection
+_KIND_F64 = 3
+#: TIMESTAMP: microseconds since the epoch (session-UTC wall time, the
+#: engine pins spark.sql.session.timeZone=UTC) through the signed
+#: offset map — hdfs-parquet-scanner.cc's INT96 timestamp column
+#: re-expressed on the container's own order-preserving offset
+_KIND_TS = 4
+#: DATE: days since the epoch through the signed offset map (the
+#: reference declares DATE "NYI", parquet-common.h:51-53 — this
+#: container carries it because the kernels are domain-agnostic)
+_KIND_DATE = 5
+#: BOOLEAN: width-1 planes (hdfs-parquet-scanner.cc:607-634's
+#: bit-packed boolean column — FLE *is* bit-packing at width 1)
+_KIND_BOOL = 6
+#: DECIMAL(p,s): the exact unscaled integer through the signed offset
+#: map; p/s ride the section header so decode re-attaches the scale
+#: (the FIXED_LEN_BYTE_ARRAY decimal convention, parquet-common.h:
+#: 120-163, with the unscaled int as the code domain).  Pushed
+#: literals with MORE fractional digits than s translate exactly via
+#: floor/ceil bounds (x < 10.005 on scale 2 ⇔ code < ceil(1000.5))
+_KIND_DEC = 7
 #: blocks per stats chunk: 16 blocks = 1024 values per (min, max) pair —
 #: fine enough that a selective range predicate on sorted/clustered data
 #: refutes most of a segment, coarse enough that the footer stays ~0.2%
@@ -266,6 +305,201 @@ def _encode_offset_column(name: str, values: np.ndarray) -> tuple[
     return codes.astype(np.uint64), valid, base, width, nullable
 
 
+_SIGN_BIT = np.uint64(1 << 63)
+_EPOCH_DATE = None  # initialized lazily (datetime import stays local)
+
+
+def _f64_code_array(vals: np.ndarray) -> np.ndarray:
+    """double[] → order-preserving u64[] (sortable bits): non-negative
+    doubles flip the sign bit, negatives flip every bit; the map is a
+    monotone bijection on normalized doubles, so ``a < b  ⇔  map(a) <
+    map(b)`` and the unsigned BitWeaving kernels answer double
+    comparisons exactly.  -0.0 is normalized to +0.0 first (SQL treats
+    them equal; the raw bit patterns would not be)."""
+    v = np.where(vals == 0.0, 0.0, vals)  # -0.0 == 0.0 → +0.0
+    bits = np.ascontiguousarray(v, dtype="<f8").view(np.uint64)
+    neg = (bits & _SIGN_BIT) != 0
+    return np.where(neg, ~bits, bits | _SIGN_BIT)
+
+
+def _f64_code_scalar(value: float) -> int:
+    return int(_f64_code_array(np.asarray([float(value)]))[0])
+
+
+def _f64_from_code_array(codes: np.ndarray) -> np.ndarray:
+    """Inverse sortable-bits map: u64 codes → float64."""
+    c = codes.astype(np.uint64)
+    was_neg = (c & _SIGN_BIT) == 0  # negatives mapped below the pivot
+    bits = np.where(was_neg, ~c, c & ~_SIGN_BIT)
+    return bits.astype("<u8").view("<f8").astype(np.float64)
+
+
+def _ts_micros(value) -> int:
+    """datetime → exact microseconds since the epoch (integer
+    arithmetic — float seconds would round near the range edges).
+    tz-aware literals convert to UTC, matching the engine's pinned
+    session timezone."""
+    import datetime as _dtm
+
+    if value.tzinfo is not None:
+        value = value.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
+    d = value - _dtm.datetime(1970, 1, 1)
+    return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+def _date_days(value) -> int:
+    import datetime as _dtm
+
+    return (value - _dtm.date(1970, 1, 1)).days
+
+
+def _dec_code_bound(op: str, value, scale: int):
+    """Translate ``column OP literal`` on a DECIMAL(p,s) column into an
+    exact UNSCALED-integer predicate.  A literal with more fractional
+    digits than s has no unscaled peer, but every comparison still
+    translates exactly through floor/ceil (x < 10.005 at s=2 ⇔
+    unscaled < ceil(1000.5) = 1001); eq against such a literal matches
+    nothing.  Returns (op', unscaled) or False for match-nothing."""
+    import decimal as _decm
+    import math as _math
+
+    q = (
+        value if isinstance(value, _decm.Decimal) else _decm.Decimal(value)
+    ).scaleb(scale)
+    i = int(q)
+    if op == "eq":
+        return ("eq", i) if q == i else False
+    if op == "lt":
+        return ("lt", _math.ceil(q))
+    if op == "le":
+        return ("le", _math.floor(q))
+    if op == "gt":
+        return ("gt", _math.floor(q))
+    if op == "ge":
+        return ("ge", _math.ceil(q))
+    raise ValueError(f"unknown decimal op {op!r}")
+
+
+def _encode_f64_column(name: str, values: np.ndarray) -> tuple[
+    np.ndarray, np.ndarray, int, int, bool
+]:
+    """→ (codes u64, valid bool, code_base, width, nullable) for a
+    DOUBLE column: sortable-bits map, then subtract the minimum code so
+    clustered domains pack narrow (every non-negative double maps at or
+    above 2^63 — without the base the width would always be 64)."""
+    vals = np.asarray(values, dtype=np.float64)
+    valid = ~np.isnan(vals)
+    nullable = bool((~valid).any())
+    fill = vals[valid][0] if valid.any() else 0.0
+    mapped = _f64_code_array(np.where(valid, vals, fill))
+    base = int(mapped[valid].min()) if valid.any() else 0
+    codes = np.where(valid, mapped - np.uint64(base), np.uint64(0))
+    width = (
+        max(int(codes[valid].max()).bit_length(), 1) if valid.any() else 1
+    )
+    return codes.astype(np.uint64), valid, base, width, nullable
+
+
+def _encode_bool_column(values: np.ndarray) -> tuple[
+    np.ndarray, np.ndarray, bool
+]:
+    """→ (codes u64 of 0/1, valid bool, nullable); width is always 1 —
+    FLE at width 1 IS the reference's bit-packed boolean path."""
+    vals = np.asarray(values)
+    if vals.dtype == object:
+        valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
+        codes = np.array(
+            [1 if (valid[i] and bool(vals[i])) else 0
+             for i in range(vals.size)],
+            dtype=np.uint64,
+        )
+    else:
+        valid = np.ones(vals.size, dtype=bool)
+        codes = vals.astype(bool).astype(np.uint64)
+    return codes, valid, bool((~valid).any())
+
+
+def _encode_ts_column(name: str, values: np.ndarray) -> tuple[
+    np.ndarray, np.ndarray, int, int, bool
+]:
+    """→ offset-coded MICROSECONDS since epoch (NaT marks NULL)."""
+    vals = np.asarray(values)
+    if vals.dtype.kind == "M":
+        valid = ~np.isnat(vals)
+        micros = np.where(
+            valid, vals.astype("datetime64[us]").astype(np.int64), 0
+        )
+    else:  # object array of datetimes / None
+        valid = np.array([not _is_null_cell(v) and v is not None
+                          for v in vals], dtype=bool)
+        micros = np.zeros(vals.size, dtype=np.int64)
+        for i in np.flatnonzero(valid):
+            micros[i] = _ts_micros(vals[i])
+    # fill NULL lanes with a VALID value so the offset base/width are
+    # computed over the real domain (a 0 filler would widen the planes)
+    fill = micros[valid][0] if valid.any() else 0
+    codes, _, base, width, _ = _encode_offset_column(
+        name, np.where(valid, micros, fill)
+    )
+    codes = np.where(valid, codes, np.uint64(0))
+    return codes, valid, base, width, bool((~valid).any())
+
+
+def _encode_date_column(name: str, values: np.ndarray) -> tuple[
+    np.ndarray, np.ndarray, int, int, bool
+]:
+    """→ offset-coded DAYS since epoch (None/NaT marks NULL)."""
+    vals = np.asarray(values)
+    if vals.dtype.kind == "M":
+        valid = ~np.isnat(vals)
+        days = np.where(
+            valid, vals.astype("datetime64[D]").astype(np.int64), 0
+        )
+    else:
+        valid = np.array(
+            [not _is_null_cell(v) and v is not None for v in vals],
+            dtype=bool,
+        )
+        days = np.zeros(vals.size, dtype=np.int64)
+        for i in np.flatnonzero(valid):
+            days[i] = _date_days(vals[i])
+    fill = days[valid][0] if valid.any() else 0
+    codes, _, base, width, _ = _encode_offset_column(
+        name, np.where(valid, days, fill)
+    )
+    codes = np.where(valid, codes, np.uint64(0))
+    return codes, valid, base, width, bool((~valid).any())
+
+
+def _encode_dec_column(
+    name: str, values: np.ndarray, precision: int, scale: int
+) -> tuple[np.ndarray, np.ndarray, int, int, bool]:
+    """→ offset-coded UNSCALED integers of a DECIMAL(p,s) column.  A
+    value with more fractional digits than s would silently lose
+    precision — raise instead (the writer's strict-overflow stance,
+    hdfs-parquet-table-writer.cc's decimal path)."""
+    import decimal as _decm
+
+    vals = np.asarray(values, dtype=object)
+    valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
+    unscaled = np.zeros(vals.size, dtype=np.int64)
+    for i in np.flatnonzero(valid):
+        q = _decm.Decimal(vals[i]).scaleb(scale)
+        iv = int(q)
+        if q != iv:
+            raise ValueError(
+                f"fledir: column {name!r} value {vals[i]} does not fit "
+                f"scale {scale} — the unscaled encoding is exact"
+            )
+        unscaled[i] = iv
+    fill = unscaled[valid][0] if valid.any() else 0
+    codes, _, base, width, _ = _encode_offset_column(
+        name, np.where(valid, unscaled, fill)
+    )
+    codes = np.where(valid, codes, np.uint64(0))
+    return codes, valid, base, width, bool((~valid).any())
+
+
 def _encode_dict_column(values: np.ndarray) -> tuple[
     np.ndarray, np.ndarray, list[str], int, bool
 ]:
@@ -305,55 +539,123 @@ def _chunk_min_max(
     return mins, maxs
 
 
-def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
+def _infer_kind(name: str, vals: np.ndarray, hint) -> tuple[int, tuple]:
+    """→ (kind, dec_meta) for one column.  `hint` overrides inference:
+    None (infer), "f64", "ts", "date", "bool", or ("dec", p, s).
+    Inference: datetime64 → ts, bool dtype → bool, string → dict,
+    object arrays route by their non-null cell type (str → dict,
+    datetime → ts, date → date, Decimal → dec with inferred p/s,
+    bool → bool, numeric → int/offset planes); plain numeric dtypes
+    keep the legacy int/offset routing (an integral-valued float
+    column stays an int column — schema stability over cleverness;
+    genuinely fractional doubles need the explicit "f64" hint or a
+    float literal set that makes inference unambiguous is NOT enough)."""
+    import datetime as _dtm
+    import decimal as _decm
+
+    if hint is not None:
+        if isinstance(hint, tuple) and hint[0] == "dec":
+            return _KIND_DEC, (int(hint[1]), int(hint[2]))
+        return {
+            "int": _KIND_INT, "dict": _KIND_DICT, "offset": _KIND_OFFSET,
+            "f64": _KIND_F64, "ts": _KIND_TS, "date": _KIND_DATE,
+            "bool": _KIND_BOOL,
+        }[hint], ()
+    if vals.dtype.kind == "M":
+        return _KIND_TS, ()
+    if vals.dtype.kind == "b":
+        return _KIND_BOOL, ()
+    if vals.dtype.kind in ("U", "S"):
+        return _KIND_DICT, ()
+    if vals.dtype == object:
+        non_null = [v for v in vals if not _is_null_cell(v)]
+        if not non_null:
+            return _KIND_DICT, ()
+        first_types_all = lambda t: all(isinstance(v, t) for v in non_null)
+        if first_types_all((bool, np.bool_)):
+            return _KIND_BOOL, ()
+        if first_types_all(_dtm.datetime):
+            return _KIND_TS, ()
+        if first_types_all(_dtm.date):  # datetime is a date subclass —
+            return _KIND_DATE, ()      # checked AFTER datetime above
+        if first_types_all(_decm.Decimal):
+            s = max(
+                max(-v.as_tuple().exponent, 0) for v in non_null
+            )
+            return _KIND_DEC, (38, s)
+        if first_types_all((int, np.integer, float, np.floating)):
+            return (
+                (_KIND_OFFSET, ()) if _has_negative(vals)
+                else (_KIND_INT, ())
+            )
+        return _KIND_DICT, ()
+    # plain numeric dtype: legacy int/offset planes
+    return (
+        (_KIND_OFFSET, ()) if _has_negative(vals) else (_KIND_INT, ())
+    )
+
+
+def encode_segment_columns(columns: list[tuple]) -> bytes:
     """N named arrays (one Arrow batch) → one self-contained FLE segment.
 
-    Column kind is inferred from dtype: string/object arrays become
-    order-preserving dictionary columns, numeric arrays become unsigned
-    int plane columns (NaN marks NULL in float input).  Dictionary
-    entries carry a u16 length prefix, so entries up to 65535 UTF-8
-    bytes round-trip (longer raises a clear error).  A trailing BSTA
-    footer carries per-chunk code-space min/max for every column, so the
-    reader's kernels can skip plane words mid-file (older readers stop
-    after the column sections and never see it)."""
+    Each entry is ``(name, values)`` or ``(name, values, kind_hint)``
+    where the hint is "f64" / "ts" / "date" / "bool" / ("dec", p, s)
+    (see :func:`_infer_kind`).  Without a hint the kind is inferred
+    from dtype: string/object-of-str arrays become order-preserving
+    dictionary columns, datetime64 becomes timestamp, bool dtype
+    becomes width-1 boolean planes, object-of-date/-Decimal become
+    date/decimal, and numeric arrays become unsigned int planes (NaN
+    marks NULL in float input; negative domains route through the
+    signed offset kind).  Dictionary entries carry a u16 length
+    prefix, so entries up to 65535 UTF-8 bytes round-trip (longer
+    raises a clear error).  A trailing BSTA footer carries per-chunk
+    code-space min/max for every column, so the reader's kernels can
+    skip plane words mid-file (older readers stop after the column
+    sections and never see it)."""
     if not columns:
         raise ValueError("fledir: segment needs at least one column")
     n = int(np.asarray(columns[0][1]).size)
     parts: list[bytes] = []
     chunk_sections: list[bytes] = []
     n_blocks = None
-    for name, values in columns:
+    for entry in columns:
+        name, values = entry[0], entry[1]
+        hint = entry[2] if len(entry) > 2 else None
         vals = np.asarray(values)
         if vals.size != n:
             raise ValueError("fledir: ragged columns in one segment")
-        if vals.dtype.kind in ("U", "S"):
-            is_dict = True
-        elif vals.dtype == object:
-            # object arrays hold strings (→ dict) unless every non-null
-            # cell is numeric (→ int planes); empty defaults to dict
-            non_null = [v for v in vals if not _is_null_cell(v)]
-            is_dict = not non_null or not all(
-                isinstance(v, (int, np.integer, float, np.floating))
-                for v in non_null
-            )
-        else:
-            is_dict = False
+        kind, dec_meta = _infer_kind(name, vals, hint)
         base = None
-        if is_dict:
+        dictionary = None
+        if kind == _KIND_DICT:
             codes, valid, dictionary, width, nullable = (
                 _encode_dict_column(vals)
             )
-            kind = _KIND_DICT
-        elif _has_negative(vals):
+        elif kind == _KIND_OFFSET:
             codes, valid, base, width, nullable = _encode_offset_column(
                 name, vals
             )
-            dictionary = None
-            kind = _KIND_OFFSET
+        elif kind == _KIND_F64:
+            codes, valid, base, width, nullable = _encode_f64_column(
+                name, vals
+            )
+        elif kind == _KIND_TS:
+            codes, valid, base, width, nullable = _encode_ts_column(
+                name, vals
+            )
+        elif kind == _KIND_DATE:
+            codes, valid, base, width, nullable = _encode_date_column(
+                name, vals
+            )
+        elif kind == _KIND_BOOL:
+            codes, valid, nullable = _encode_bool_column(vals)
+            width = 1
+        elif kind == _KIND_DEC:
+            codes, valid, base, width, nullable = _encode_dec_column(
+                name, vals, dec_meta[0], dec_meta[1]
+            )
         else:
             codes, valid, width, nullable = _encode_int_column(name, vals)
-            dictionary = None
-            kind = _KIND_INT
         planes, pn = fle_pack(codes, width)
         assert pn == n
         raw_name = name.encode("utf-8")
@@ -363,18 +665,22 @@ def encode_segment_columns(columns: list[tuple[str, np.ndarray]]) -> bytes:
             sec.append(
                 np.ascontiguousarray(pack_validity(valid), "<u8").tobytes()
             )
-        if is_dict:
+        if kind == _KIND_DICT:
             sec.append(struct.pack("<H", len(dictionary)))
-            for entry in dictionary:
-                raw = entry.encode("utf-8")
+            for entry_s in dictionary:
+                raw = entry_s.encode("utf-8")
                 if len(raw) > 0xFFFF:
                     raise ValueError(
                         "fledir: dictionary entry exceeds 65535 UTF-8 "
                         "bytes — not representable in the segment format"
                     )
                 sec.append(struct.pack("<H", len(raw)) + raw)
-        if kind == _KIND_OFFSET:
+        if kind in (_KIND_OFFSET, _KIND_TS, _KIND_DATE, _KIND_DEC):
             sec.append(struct.pack("<q", base))
+        elif kind == _KIND_F64:
+            sec.append(struct.pack("<Q", base))
+        if kind == _KIND_DEC:
+            sec.append(struct.pack("<BB", dec_meta[0], dec_meta[1]))
         sec.append(struct.pack("<B", width))
         sec.append(np.ascontiguousarray(planes, "<u8").tobytes())
         if n_blocks is None:
@@ -415,7 +721,11 @@ class ParsedColumn:
     dictionary: list[str] | None  # kind 1 only
     width: int
     planes: np.ndarray  # (n_blocks, width) u64
-    base: int = 0  # kind 2 only: value = base + code
+    #: kinds 2/4/5/7: value-space i64 base (value = base + code);
+    #: kind 3: u64 SORTABLE-BITS code base (double = unmap(base + code))
+    base: int = 0
+    precision: int = 0  # kind 7 only
+    scale: int = 0  # kind 7 only
 
 
 @dataclass
@@ -467,9 +777,16 @@ def parse_segment(payload: bytes) -> ParsedSegment:
                 dictionary.append(payload[off:off + ln].decode("utf-8"))
                 off += ln
         base = 0
-        if kind == _KIND_OFFSET:
+        precision = scale = 0
+        if kind in (_KIND_OFFSET, _KIND_TS, _KIND_DATE, _KIND_DEC):
             (base,) = struct.unpack_from("<q", payload, off)
             off += 8
+        elif kind == _KIND_F64:
+            (base,) = struct.unpack_from("<Q", payload, off)
+            off += 8
+        if kind == _KIND_DEC:
+            precision, scale = struct.unpack_from("<BB", payload, off)
+            off += 2
         (width,) = struct.unpack_from("<B", payload, off)
         off += 1
         words = n_blocks * width
@@ -480,7 +797,7 @@ def parse_segment(payload: bytes) -> ParsedSegment:
         cols.append(ParsedColumn(
             name=name, kind=kind, nullable=bool(nullable),
             validity=validity, dictionary=dictionary, width=width,
-            planes=planes, base=base,
+            planes=planes, base=base, precision=precision, scale=scale,
         ))
     chunk_blocks, chunk_stats = 0, None
     if payload[off:off + 4] == _STATS_MAGIC:
@@ -554,12 +871,14 @@ def decode_segment_columns(
     n_sub = live.size * 64
     for c in decode_cols:
         if live.size == 0:
-            empty_vals = (
-                np.empty(0, dtype=object)
-                if c.kind == _KIND_DICT
-                else np.empty(0, dtype=np.int64)
+            empty_dtype = {
+                _KIND_DICT: object,
+                _KIND_F64: np.float64,
+                _KIND_BOOL: bool,
+            }.get(c.kind, np.int64)
+            out[c.name] = (
+                np.empty(0, dtype=empty_dtype), np.empty(0, dtype=bool)
             )
-            out[c.name] = (empty_vals, np.empty(0, dtype=bool))
             continue
         codes = fle_unpack(c.planes[live], c.width, n_sub)[keep]
         if c.validity is None:
@@ -584,13 +903,21 @@ def _codes_to_values(
             if c.dictionary
             else np.full(n, None, dtype=object)
         )
-    if c.kind == _KIND_OFFSET:
+    if c.kind in (_KIND_OFFSET, _KIND_TS, _KIND_DATE, _KIND_DEC):
         # modular add then two's-complement view: exact for any int64
-        # base + code pair the encoder accepted
+        # base + code pair the encoder accepted.  Timestamp/date/decimal
+        # values stay in their integer domain here (micros / days /
+        # unscaled) — the Arrow boundary attaches the logical type.
         return (
             codes.astype(np.uint64)
             + np.uint64(c.base & 0xFFFFFFFFFFFFFFFF)
         ).view(np.int64)
+    if c.kind == _KIND_F64:
+        return _f64_from_code_array(
+            codes.astype(np.uint64) + np.uint64(c.base)
+        )
+    if c.kind == _KIND_BOOL:
+        return codes.astype(bool)
     return codes.astype(np.int64)
 
 
@@ -639,20 +966,79 @@ class FleDirReader(DataSourceReader):
         #: mirrors the per-slot scanner split
         #: (hdfs-parquet-scanner.cc:1410-1451)
         self.pushed: list[tuple[str, str, object]] = []
+        self._kinds_cache: "dict[str, ParsedColumn] | None" = None
 
-    @staticmethod
-    def _literal_pushable(op: str, value) -> bool:
-        """A fractional numeric literal must stay RESIDUAL: the int
-        kernels (and the manifest-stat refutation) compare in integer
-        space, so int(10.5) would silently answer x<10 instead of
-        x<10.5.  Catalyst blocks such pushes behind casts, but a direct
-        DSv2 caller can hand one over — keep it for Spark to re-check."""
+    def _column_kinds(self) -> "dict[str, ParsedColumn]":
+        """Probe the first committed segment's header for column kinds
+        (driver-side, one file read) — pushability is TYPE-DIRECTED:
+        a fractional literal is pushable on a double column (the
+        sortable-bits map translates it exactly) but not on an int
+        column (the kernels would answer a different predicate)."""
+        if self._kinds_cache is None:
+            try:
+                done = os.path.join(self.dir, "_DONE")
+                with open(done) as fh:
+                    first = next(
+                        ln.partition("\t")[0]
+                        for ln in fh.read().splitlines()
+                        if ln
+                    )
+                with open(os.path.join(self.dir, first), "rb") as fh:
+                    seg = parse_segment(fh.read())
+                self._kinds_cache = {c.name: c for c in seg.columns}
+            except Exception:
+                self._kinds_cache = {}
+        return self._kinds_cache
+
+    def _literal_pushable(self, col: str, op: str, value) -> bool:
+        """Type-directed pushability.  The rule per kind mirrors what
+        `_segment_mask` can translate EXACTLY into code space; anything
+        else must stay RESIDUAL for Spark to re-check (the reference's
+        pushed-vs-residual conjunct split).  Unknown columns (probe
+        failure / empty dir) fall back to the legacy integer rule: a
+        fractional numeric literal stays residual, since int kernels
+        would silently answer x<10 instead of x<10.5."""
+        import datetime as _dtm
+        import decimal as _decm
+
+        c = self._column_kinds().get(col)
+        kind = c.kind if c is not None else None
+
         def ok(v) -> bool:
+            if kind == _KIND_F64:
+                # any non-NaN double literal maps exactly (±inf too);
+                # NaN stays residual — Spark's NaN ordering semantics
+                # (NaN == NaN, NaN greatest) differ from the kernels'
+                return isinstance(v, (int, float, np.integer, np.floating)) \
+                    and not (isinstance(v, (float, np.floating))
+                             and math.isnan(v))
+            if kind == _KIND_TS:
+                return isinstance(v, _dtm.datetime)
+            if kind == _KIND_DATE:
+                # datetime is a date subclass: a datetime literal on a
+                # date column has sub-day precision — keep it residual
+                return isinstance(v, _dtm.date) \
+                    and not isinstance(v, _dtm.datetime)
+            if kind == _KIND_BOOL:
+                return isinstance(v, (bool, np.bool_))
+            if kind == _KIND_DEC:
+                # any finite numeric/Decimal literal translates exactly
+                # through floor/ceil bounds on the unscaled domain
+                if isinstance(v, _decm.Decimal):
+                    return v.is_finite()
+                if isinstance(v, (float, np.floating)):
+                    return math.isfinite(v)
+                return isinstance(v, (int, np.integer))
+            if kind == _KIND_DICT:
+                return isinstance(v, str)
+            # int/offset planes (or unknown column): integral only
             return not (
                 isinstance(v, (float, np.floating))
                 and not float(v).is_integer()
             )
 
+        if op in ("is_null", "is_not_null"):
+            return True
         if op == "in":
             return value is not None and all(ok(v) for v in value)
         return ok(value)
@@ -674,7 +1060,7 @@ class FleDirReader(DataSourceReader):
                 op
                 and isinstance(col, tuple)
                 and len(col) == 1
-                and self._literal_pushable(op, value)
+                and self._literal_pushable(col[0], op, value)
             ):
                 self.pushed.append((col[0], op, value))
                 continue
@@ -794,22 +1180,77 @@ class FleDirReader(DataSourceReader):
                     continue  # non-nullable: all rows qualify
                 k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
                 _and(k.is_not_null())
-            elif c.kind in (_KIND_INT, _KIND_OFFSET):
-                # offset columns translate the literal into code space
-                # by the same subtraction the encoder applied — the
-                # order-preserving remap, so every comparison kernel
-                # works unchanged (out-of-range results go through the
-                # kernels' domain short-circuits)
-                shift = c.base if c.kind == _KIND_OFFSET else 0
+            elif c.kind in (
+                _KIND_INT, _KIND_OFFSET, _KIND_TS, _KIND_DATE, _KIND_BOOL,
+            ):
+                # integer-domain kinds translate the literal into code
+                # space by the same map the encoder applied (offset
+                # subtraction; datetimes → micros; dates → days; bools
+                # → 0/1) — the order-preserving remap, so every
+                # comparison kernel works unchanged (out-of-range
+                # results go through the kernels' domain short-circuits)
+                if c.kind == _KIND_TS:
+                    to_int = _ts_micros
+                elif c.kind == _KIND_DATE:
+                    to_int = _date_days
+                elif c.kind == _KIND_BOOL:
+                    to_int = lambda v: int(bool(v))  # noqa: E731
+                else:
+                    to_int = int
+                shift = c.base  # int/bool sections carry no base (0)
                 if op == "in":
                     _and(self._chunk_kernel(
                         seg, c, i, "in",
-                        tuple(int(v) - shift for v in value),
+                        tuple(to_int(v) - shift for v in value),
                     ))
                 else:
                     _and(self._chunk_kernel(
-                        seg, c, i, op, int(value) - shift
+                        seg, c, i, op, to_int(value) - shift
                     ))
+            elif c.kind == _KIND_F64:
+                # double literals ride the SAME monotone bijection the
+                # encoder applied, then shift by the stored code base —
+                # comparisons on sortable-bits codes ARE comparisons on
+                # the doubles (±inf literals map fine; NaN never reaches
+                # here, pushability keeps it residual)
+                if op == "in":
+                    _and(self._chunk_kernel(
+                        seg, c, i, "in",
+                        tuple(
+                            _f64_code_scalar(float(v)) - c.base
+                            for v in value
+                        ),
+                    ))
+                else:
+                    _and(self._chunk_kernel(
+                        seg, c, i, op,
+                        _f64_code_scalar(float(value)) - c.base,
+                    ))
+            elif c.kind == _KIND_DEC:
+                # decimal literals translate to the UNSCALED domain via
+                # exact floor/ceil bounds (a literal finer than the
+                # column scale still compares exactly; eq against one
+                # matches nothing), then shift by the offset base
+                if op == "in":
+                    codes = [
+                        b[1] - c.base
+                        for v in value
+                        for b in (_dec_code_bound("eq", v, c.scale),)
+                        if b is not False
+                    ]
+                    _and(
+                        self._chunk_kernel(seg, c, i, "in", tuple(codes))
+                        if codes
+                        else zeros.copy()
+                    )
+                else:
+                    b = _dec_code_bound(op, value, c.scale)
+                    if b is False:
+                        _and(zeros.copy())
+                    else:
+                        _and(self._chunk_kernel(
+                            seg, c, i, b[0], b[1] - c.base
+                        ))
             else:  # dictionary column: literal → code space
                 if op == "in":
                     codes = [
@@ -860,7 +1301,32 @@ class FleDirReader(DataSourceReader):
                 return True  # is_not_null and all comparisons fail
             if op == "is_not_null":
                 continue
-            conv = str if isinstance(mn, str) else int
+            # typed manifest entries ("t" tag) convert the literal into
+            # the stored stat domain; untagged entries keep the legacy
+            # str/int rule.  Every map is monotone, so the interval
+            # tests below are domain-agnostic once both sides align.
+            tag = s.get("t")
+            if tag == "ts":
+                conv = _ts_micros
+            elif tag == "date":
+                conv = _date_days
+            elif tag == "bool":
+                conv = lambda v: int(bool(v))  # noqa: E731
+            elif tag == "f64":
+                conv = float
+            elif tag == "dec":
+                import decimal as _decm
+
+                sc = int(s.get("s", 0))
+
+                def conv(v, _sc=sc):  # literal → exact unscaled Decimal
+                    q = (
+                        v if isinstance(v, _decm.Decimal)
+                        else _decm.Decimal(v)
+                    ).scaleb(_sc)
+                    return q  # compares exactly against int unscaled
+            else:
+                conv = str if isinstance(mn, str) else int
             try:
                 if op == "in":
                     vs = [conv(v) for v in value]
@@ -868,7 +1334,7 @@ class FleDirReader(DataSourceReader):
                         return True
                     continue
                 v = conv(value)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, AttributeError):
                 continue  # untranslatable literal: cannot refute
             if (
                 (op == "eq" and (v < mn or v > mx))
@@ -934,16 +1400,40 @@ class FleDirReader(DataSourceReader):
             arrays, names = [], []
             for c in out_cols:
                 vals, valid = cols[c.name]
+                mask = ~valid if c.nullable else None
                 if c.kind == _KIND_DICT:
+                    arr = pa.array(vals, type=pa.string(), mask=mask)
+                elif c.kind == _KIND_F64:
+                    arr = pa.array(vals, type=pa.float64(), mask=mask)
+                elif c.kind == _KIND_TS:
+                    # decode leaves micros in int64; attach the logical
+                    # type with a zero-copy cast at the Arrow boundary
                     arr = pa.array(
-                        vals, type=pa.string(),
-                        mask=~valid if c.nullable else None,
+                        vals.astype("datetime64[us]"),
+                        type=pa.timestamp("us"), mask=mask,
+                    )
+                elif c.kind == _KIND_DATE:
+                    arr = pa.array(
+                        vals.astype("datetime64[D]"),
+                        type=pa.date32(), mask=mask,
+                    )
+                elif c.kind == _KIND_BOOL:
+                    arr = pa.array(
+                        vals.astype(bool), type=pa.bool_(), mask=mask
+                    )
+                elif c.kind == _KIND_DEC:
+                    import decimal as _decm
+
+                    arr = pa.array(
+                        [
+                            _decm.Decimal(int(u)).scaleb(-c.scale)
+                            for u in vals
+                        ],
+                        type=pa.decimal128(c.precision, c.scale),
+                        mask=mask,
                     )
                 else:
-                    arr = pa.array(
-                        vals, type=pa.int64(),
-                        mask=~valid if c.nullable else None,
-                    )
+                    arr = pa.array(vals, type=pa.int64(), mask=mask)
                 arrays.append(arr)
                 names.append(c.name)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
@@ -980,15 +1470,35 @@ def segment_stats(seg: ParsedSegment) -> dict:
             # code range without decoding
             cr = plane_min_max(c.planes, c.width, seg.n, validity=c.validity)
             mn, mx = c.dictionary[cr[0]], c.dictionary[cr[1]]
+            extra = {}
         else:
             mn, mx = plane_min_max(
                 c.planes, c.width, seg.n, validity=c.validity
             )
-            if c.kind == _KIND_OFFSET:
-                # manifest stats live in VALUE space so the driver can
-                # refute with the query's original literals
+            extra = {}
+            # manifest stats live in VALUE space so the driver can
+            # refute with the query's original literals; every kind's
+            # map is monotone, so code min/max ARE value min/max
+            if c.kind in (_KIND_OFFSET, _KIND_TS, _KIND_DATE, _KIND_DEC):
                 mn, mx = c.base + mn, c.base + mx
-        out[c.name] = {"min": mn, "max": mx, "has_null": has_null}
+            elif c.kind == _KIND_F64:
+                mn = float(_f64_from_code_array(
+                    np.asarray([c.base + mn], dtype=np.uint64))[0])
+                mx = float(_f64_from_code_array(
+                    np.asarray([c.base + mx], dtype=np.uint64))[0])
+            # typed kinds tag the entry so `_stats_refute` converts the
+            # query literal into the SAME domain (micros/days/unscaled)
+            if c.kind == _KIND_TS:
+                extra = {"t": "ts"}
+            elif c.kind == _KIND_DATE:
+                extra = {"t": "date"}
+            elif c.kind == _KIND_BOOL:
+                extra = {"t": "bool"}
+            elif c.kind == _KIND_F64:
+                extra = {"t": "f64"}
+            elif c.kind == _KIND_DEC:
+                extra = {"t": "dec", "s": c.scale}
+        out[c.name] = {"min": mn, "max": mx, "has_null": has_null, **extra}
     return out
 
 
@@ -1122,20 +1632,50 @@ def infer_fledir_schema(path: str) -> str | None:
     """Probe the first committed segment's header for the stored column
     names/kinds → Spark DDL (the footer-schema read the parquet path
     gets for free; here the segment header is the footer)."""
+    def _try(name: str) -> "str | None":
+        try:
+            with open(os.path.join(path, name), "rb") as fh:
+                seg = parse_segment(fh.read())
+            return ", ".join(
+                f"{c.name} {_column_ddl(c)}" for c in seg.columns
+            )
+        except Exception:
+            return None
+
     try:
         done = os.path.join(path, "_DONE")
-        with open(done) as fh:
-            first = next(
-                ln.partition("\t")[0] for ln in fh.read().splitlines() if ln
-            )
-        with open(os.path.join(path, first), "rb") as fh:
-            seg = parse_segment(fh.read())
-        return ", ".join(
-            f"{c.name} {'string' if c.kind == _KIND_DICT else 'bigint'}"
-            for c in seg.columns
-        )
+        if os.path.exists(done):
+            with open(done) as fh:
+                first = next(
+                    ln.partition("\t")[0]
+                    for ln in fh.read().splitlines()
+                    if ln
+                )
+            return _try(first)
+        # no manifest: a live STREAM feed — probe any sealed segment
+        # (skip files a foreign producer is mid-writing)
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".fle"):
+                ddl = _try(name)
+                if ddl:
+                    return ddl
+        return None
     except Exception:
         return None
+
+
+def _column_ddl(c: ParsedColumn) -> str:
+    """Stored kind → Spark DDL type (the full §1.2 scanner dispatch:
+    hdfs-parquet-scanner.cc:670-720 re-expressed as container kinds)."""
+    if c.kind == _KIND_DEC:
+        return f"decimal({c.precision},{c.scale})"
+    return {
+        _KIND_DICT: "string",
+        _KIND_F64: "double",
+        _KIND_TS: "timestamp",
+        _KIND_DATE: "date",
+        _KIND_BOOL: "boolean",
+    }.get(c.kind, "bigint")
 
 
 class FleDataSource(DataSource):
@@ -1189,23 +1729,44 @@ try:  # streaming half (Spark >= 4.0)
             # returns a LIST of plain-python tuples: the stream
             # framework pickles prefetched rows (numpy scalars do not
             # survive Spark's type verification)
+            import datetime as _dtm
+            import decimal as _decm
+
+            def cell(c: ParsedColumn, v):
+                # plain-python scalars per kind (numpy scalars do not
+                # survive Spark's stream type verification)
+                if c.kind == _KIND_DICT:
+                    return str(v)
+                if c.kind == _KIND_F64:
+                    return float(v)
+                if c.kind == _KIND_TS:
+                    return _dtm.datetime(1970, 1, 1) + _dtm.timedelta(
+                        microseconds=int(v)
+                    )
+                if c.kind == _KIND_DATE:
+                    return _dtm.date(1970, 1, 1) + _dtm.timedelta(
+                        days=int(v)
+                    )
+                if c.kind == _KIND_BOOL:
+                    return bool(v)
+                if c.kind == _KIND_DEC:
+                    return _decm.Decimal(int(v)).scaleb(-c.scale)
+                return int(v)
+
             out = []
             for name in names:
                 with open(os.path.join(self.dir, name), "rb") as fh:
                     seg = parse_segment(fh.read())
                 cols = decode_segment_columns(seg)
-                order = [c.name for c in seg.columns]
-                kinds = {c.name: c.kind for c in seg.columns}
+                order = seg.columns
                 for j in range(seg.n):
                     out.append(tuple(
                         (
                             None
-                            if not cols[cn][1][j]
-                            else str(cols[cn][0][j])
-                            if kinds[cn] == _KIND_DICT
-                            else int(cols[cn][0][j])
+                            if not cols[c.name][1][j]
+                            else cell(c, cols[c.name][0][j])
                         )
-                        for cn in order
+                        for c in order
                     ))
             return out
 
@@ -1469,6 +2030,69 @@ def materialize_fle_signed_dir(spark, sf_dir: str) -> str:
             "l_returnflag",
             (F.col("l_quantity").cast("long") - F.lit(25)).alias("balance"),
         )
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
+def materialize_fle_typed_dir(spark, sf_dir: str) -> str:
+    """Write-once: the FULL TYPE MATRIX of the reference scanner's
+    dispatch (hdfs-parquet-scanner.cc:670-720) in one container —
+    double / timestamp / date / boolean / decimal(12,2) columns all
+    reduced to the SAME u64 plane kernels by per-kind order-preserving
+    maps (sortable bits for doubles; epoch micros/days and the unscaled
+    integer through the signed offset).  Segments are range-partitioned
+    + sorted by the double column, so the manifest's typed min/max
+    stats (f64 tag) prune files on the driver for price predicates."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_typed_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                ("price", pdf["price"].to_numpy(), "f64"),
+                ("ship_ts", pdf["ship_ts"].to_numpy()),
+                ("ship_date", pdf["ship_date"].to_numpy()),
+                ("returned", pdf["returned"].to_numpy()),
+                ("price_dec", pdf["price_dec"].to_numpy(), ("dec", 12, 2)),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_shipdate").alias("ship_ts"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            (F.col("l_returnflag") == F.lit("R")).alias("returned"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias(
+                "price_dec"
+            ),
+        )
+        .repartitionByRange(8, "price")
+        .sortWithinPartitions("price")
         .mapInPandas(encode, schema="seg_id long, payload binary")
         .write.format("fledir")
         .mode("overwrite")

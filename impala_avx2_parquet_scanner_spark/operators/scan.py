@@ -963,6 +963,64 @@ def scan_fle_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_LIKE_ORACLE = """
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(p_name) AS min_name,
+       MAX(p_name) AS max_name,
+       CAST(SUM(p_size) AS BIGINT) AS sum_size
+FROM part
+WHERE p_brand LIKE 'Brand#1%'
+  AND p_name LIKE '%ol%'
+  AND p_name LIKE '%t'
+GROUP BY p_type
+"""
+
+
+@query(
+    "scan_fle_like",
+    oracle=_FLE_LIKE_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "string"),
+)
+def scan_fle_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING predicates on dictionary columns (round 8): LIKE
+    'Brand#1%' / '%ol%' / '%t' push into the container as
+    StringStartsWith / StringContains / StringEndsWith and evaluate
+    ONCE PER DICTIONARY ENTRY — |dict| string tests instead of |rows|
+    (the reference's dictionary-predicate evaluation,
+    dict-encoding.h:461-541; Impala's dictionary filtering taken to
+    row granularity).  On the sorted order-preserving dictionary the
+    prefix match is a CONTIGUOUS code range (two range kernels with
+    chunk-stat skipping); suffix/infix matches run the in-kernel over
+    the matching code set.  The p_brand-sorted layout additionally
+    lets the manifest's string min/max refute whole files for the
+    prefix on the driver.  The DuckDB oracle replays all three LIKEs
+    from raw parquet rows."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_part_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_part_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            F.col("p_brand").startswith("Brand#1")
+            & F.col("p_name").contains("ol")
+            & F.col("p_name").endswith("t")
+        )
+    )
+    return df.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("p_name").alias("min_name"),
+        F.max("p_name").alias("max_name"),
+        F.sum("p_size").alias("sum_size"),
+    )
+
+
 _FLE_MULTICOLUMN_ORACLE = """
 WITH stored AS (
   SELECT l_returnflag,

@@ -944,6 +944,14 @@ _PUSHABLE_OPS = {
     "In": "in",
     "IsNull": "is_null",
     "IsNotNull": "is_not_null",
+    # string predicates on dictionary columns: evaluated ONCE per
+    # dictionary entry (not per row), then mapped to code kernels —
+    # the reference evaluates dictionary predicates the same way
+    # (dict-encoding.h:461-541's per-entry compare; Impala's
+    # dictionary-filtering row-group skip generalized to row level)
+    "StringStartsWith": "startswith",
+    "StringEndsWith": "endswith",
+    "StringContains": "contains",
 }
 
 
@@ -1039,6 +1047,10 @@ class FleDirReader(DataSourceReader):
 
         if op in ("is_null", "is_not_null"):
             return True
+        if op in ("startswith", "endswith", "contains"):
+            # string predicates evaluate per DICTIONARY ENTRY — only a
+            # dictionary column has one to evaluate against
+            return kind == _KIND_DICT and isinstance(value, str)
         if op == "in":
             return value is not None and all(ok(v) for v in value)
         return ok(value)
@@ -1251,6 +1263,32 @@ class FleDirReader(DataSourceReader):
                         _and(self._chunk_kernel(
                             seg, c, i, b[0], b[1] - c.base
                         ))
+            elif op in ("startswith", "endswith", "contains"):
+                # string predicate on a dictionary column: evaluate the
+                # predicate ONCE PER DICTIONARY ENTRY (|dict| tests, not
+                # |rows| — the reference's dictionary-predicate idea,
+                # dict-encoding.h:461-541), then run the matching codes
+                # through the kernels.  On the SORTED order-preserving
+                # dictionary a prefix match is a CONTIGUOUS code range,
+                # so LIKE 'abc%' becomes two range kernels with full
+                # chunk-stat skipping; suffix/infix matches use the
+                # in-kernel over the matching code set.
+                d = c.dictionary or []
+                test = {
+                    "startswith": str.startswith,
+                    "endswith": str.endswith,
+                    "contains": str.__contains__,
+                }[op]
+                match = [
+                    j for j, e in enumerate(d) if test(e, str(value))
+                ]
+                if not match:
+                    _and(zeros.copy())
+                elif match[-1] - match[0] + 1 == len(match):
+                    _and(self._chunk_kernel(seg, c, i, "ge", match[0]))
+                    _and(self._chunk_kernel(seg, c, i, "le", match[-1]))
+                else:
+                    _and(self._chunk_kernel(seg, c, i, "in", tuple(match)))
             else:  # dictionary column: literal → code space
                 if op == "in":
                     codes = [
@@ -1300,6 +1338,19 @@ class FleDirReader(DataSourceReader):
             if mn is None or mx is None:  # every lane NULL
                 return True  # is_not_null and all comparisons fail
             if op == "is_not_null":
+                continue
+            if op in ("startswith", "endswith", "contains"):
+                # only the PREFIX predicate is range-refutable: s
+                # startswith p ⇒ s >= p, so max < p refutes; and
+                # s >= min ⇒ prefix_k(s) >= prefix_k(min), so a min
+                # whose k-prefix already exceeds p refutes too
+                if (
+                    op == "startswith"
+                    and isinstance(mn, str)
+                    and isinstance(value, str)
+                    and (mx < value or mn[: len(value)] > value)
+                ):
+                    return True
                 continue
             # typed manifest entries ("t" tag) convert the literal into
             # the stored stat domain; untagged entries keep the legacy
@@ -2093,6 +2144,54 @@ def materialize_fle_typed_dir(spark, sf_dir: str) -> str:
         )
         .repartitionByRange(8, "price")
         .sortWithinPartitions("price")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
+def materialize_fle_part_dir(spark, sf_dir: str) -> str:
+    """Write-once: the PART table's string columns (p_brand, p_name,
+    p_type as order-preserving dictionaries + p_size int planes),
+    range-partitioned + sorted by p_brand so the manifest's string
+    min/max make PREFIX predicates file-prunable — the layout for the
+    dictionary-predicate queries (LIKE evaluated per dictionary entry,
+    dict-encoding.h:461-541)."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_part_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("p_brand", pdf["p_brand"].to_numpy()),
+                ("p_name", pdf["p_name"].to_numpy()),
+                ("p_type", pdf["p_type"].to_numpy()),
+                ("p_size", pdf["p_size"].to_numpy().astype(np.int64)),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    (
+        table(spark, sf_dir, "part")
+        .select("p_brand", "p_name", "p_type", "p_size")
+        .repartitionByRange(4, "p_brand")
+        .sortWithinPartitions("p_brand")
         .mapInPandas(encode, schema="seg_id long, payload binary")
         .write.format("fledir")
         .mode("overwrite")

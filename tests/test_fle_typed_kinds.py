@@ -366,6 +366,81 @@ def test_pushability_is_type_directed(tmp_path):
     assert not r._literal_pushable("m", "lt", dec.Decimal("NaN"))
 
 
+# -------------------------- string predicates on dictionary columns
+
+def test_string_predicates_on_dictionary_matches_direct_eval():
+    rng = np.random.default_rng(21)
+    words = ["Brand#1", "Brand#12", "Brand#2", "cold bolt", "cold rod",
+             "large bolt", "small widget", "wide widget", "xolt"]
+    col = np.array(
+        [None if rng.random() < 0.1 else words[rng.integers(len(words))]
+         for _ in range(400)],
+        dtype=object,
+    )
+    seg = parse_segment(encode_segment_columns([("s", col)]))
+    cases = [
+        ("startswith", "Brand#1"), ("startswith", "cold"),
+        ("startswith", ""), ("startswith", "zzz"),
+        ("endswith", "t"), ("endswith", "bolt"), ("endswith", ""),
+        ("contains", "ol"), ("contains", "widget"), ("contains", "#"),
+        ("contains", "nope"),
+    ]
+    py = {"startswith": str.startswith, "endswith": str.endswith,
+          "contains": lambda s, p: p in s}
+    for op, lit in cases:
+        kept, kvalid = _mask_keep(seg, [("s", op, lit)])["s"]
+        assert kvalid.all()  # NULL never matches a LIKE
+        want = sorted(v for v in col if v is not None and py[op](v, lit))
+        assert sorted(kept) == want, (op, lit)
+    # conjunction across ops
+    kept, _ = _mask_keep(
+        seg, [("s", "startswith", "cold"), ("s", "endswith", "t")]
+    )["s"]
+    assert sorted(set(kept)) == ["cold bolt"]
+
+
+def test_startswith_is_contiguous_code_range_and_prefix_refutes():
+    col = np.array(
+        ["apple", "apricot", "banana", "cherry", "applet"], dtype=object
+    )
+    seg = parse_segment(encode_segment_columns([("s", col)]))
+    kept, _ = _mask_keep(seg, [("s", "startswith", "app")])["s"]
+    assert sorted(kept) == ["apple", "applet"]
+
+    stats = segment_stats(seg)
+    r = FleDirReader({"path": "x"})
+    # max 'cherry' < 'da' → refute; prefix of min above literal → refute
+    r.pushed = [("s", "startswith", "da")]
+    assert r._stats_refute(stats)
+    r.pushed = [("s", "startswith", "aa")]
+    assert r._stats_refute(stats)  # min 'apple'[:2]='ap' > 'aa'
+    r.pushed = [("s", "startswith", "ap")]
+    assert not r._stats_refute(stats)
+    # suffix/infix predicates never refute from range stats
+    r.pushed = [("s", "endswith", "zzz")]
+    assert not r._stats_refute(stats)
+
+
+def test_string_pushability_requires_dict_column(tmp_path):
+    import json
+    import os
+
+    payload = encode_segment_columns([
+        ("s", np.array(["a", "b"], dtype=object)),
+        ("q", np.array([1, 2], dtype=np.int64)),
+    ])
+    (tmp_path / "seg_0.fle").write_bytes(payload)
+    (tmp_path / "_DONE").write_text(
+        "seg_0.fle\t"
+        + json.dumps(segment_stats(parse_segment(payload)))
+    )
+    r = FleDirReader({"path": os.fspath(tmp_path)})
+    assert r._literal_pushable("s", "startswith", "a")
+    assert r._literal_pushable("s", "contains", "a")
+    assert not r._literal_pushable("q", "startswith", "a")
+    assert not r._literal_pushable("s", "startswith", 5)
+
+
 # -------------------------------------------------- spark end-to-end
 
 def test_typed_dir_spark_roundtrip_and_pushdown(spark, sf_dir):

@@ -900,7 +900,7 @@ WITH stored AS (
 )
 SELECT CAST(EXTRACT(YEAR FROM ship_date) AS INT) AS ship_year,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       SUM(price_dec) AS sum_dec,
+       CAST(SUM(price_dec) AS DOUBLE) AS sum_dec,
        MIN(ship_ts) AS min_ts,
        MAX(ship_date) AS max_date
 FROM stored
@@ -956,7 +956,11 @@ def scan_fle_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy(F.year("ship_date").alias("ship_year"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("price_dec").alias("sum_dec"),
+            # exact decimal sum, then ONE deterministic double cast —
+            # the engine's sum_dbl convention (a float-space sum would
+            # be order-dependent; DuckDB also surfaces decimal sums as
+            # doubles, so both sides canonicalize identically)
+            F.sum("price_dec").cast("double").alias("sum_dec"),
             F.min("ship_ts").alias("min_ts"),
             F.max("ship_date").alias("max_date"),
         )
@@ -1018,6 +1022,66 @@ def scan_fle_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_name").alias("min_name"),
         F.max("p_name").alias("max_name"),
         F.sum("p_size").alias("sum_size"),
+    )
+
+
+_FLE_NEGATION_ORACLE = """
+WITH stored AS (
+  SELECT l_returnflag,
+         NULLIF(CAST(l_quantity AS BIGINT), 10) AS l_quantity
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+       CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+FROM stored
+WHERE l_quantity != 30
+  AND l_quantity NOT IN (1, 2, 3)
+  AND l_returnflag != 'A'
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_negation",
+    oracle=_FLE_NEGATION_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown"),
+)
+def scan_fle_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound NOT pushed into the container (round 8): `!=`, NOT IN,
+    and a negated string equality arrive as Not(EqualTo)/Not(In) and
+    evaluate as the COMPLEMENT of the child's kernel mask against the
+    valid-lane words — SQL three-valued semantics preserved, since a
+    NULL operand fails the negated comparison exactly like the
+    positive one (compound-predicates.cc:24-245's NotPredicate over
+    the def-level words).  The stored l_quantity is genuinely nullable
+    (NULLIF at encode), so the NULL-excluded-by-NOT path runs on real
+    validity words; the DuckDB oracle replays the same NOT/NOT-IN
+    conjunction from raw rows."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("l_quantity") != 30)
+            & ~F.col("l_quantity").isin(1, 2, 3)
+            & (F.col("l_returnflag") != "A")
+        )
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
     )
 
 

@@ -937,6 +937,7 @@ class _FleFilesPartition(InputPartition):
 
 _PUSHABLE_OPS = {
     "EqualTo": "eq",
+    "EqualNullSafe": "eqns",
     "LessThan": "lt",
     "LessThanOrEqual": "le",
     "GreaterThan": "gt",
@@ -1047,6 +1048,8 @@ class FleDirReader(DataSourceReader):
 
         if op in ("is_null", "is_not_null"):
             return True
+        if op == "eqns" and value is None:
+            return True  # <=> NULL rides the validity words on any kind
         if op in ("startswith", "endswith", "contains"):
             # string predicates evaluate per DICTIONARY ENTRY — only a
             # dictionary column has one to evaluate against
@@ -1063,18 +1066,28 @@ class FleDirReader(DataSourceReader):
         def-level path).  Everything else — including comparisons whose
         literal is not exactly integral — is yielded back as a residual
         Spark re-evaluates after the scan — the pushed-vs-residual
-        conjunct split (§2A #5/#6, hdfs-parquet-scanner.cc:1825-1834)."""
+        conjunct split (§2A #5/#6, hdfs-parquet-scanner.cc:1825-1834).
+        NOT over any pushable conjunct also pushes (compound NOT with
+        SQL three-valued semantics: a NULL operand fails the negated
+        predicate too — compound-predicates.cc:24-245's NotPredicate);
+        `<=>` pushes as eqns (never NULL, so its negation keeps NULL
+        rows — the one complement taken over ALL lanes)."""
         for f in filters:
-            col = getattr(f, "attribute", None)
-            op = _PUSHABLE_OPS.get(type(f).__name__)
-            value = getattr(f, "value", None)
+            g, neg = f, False
+            if type(f).__name__ == "Not":
+                g, neg = f.child, True
+            col = getattr(g, "attribute", None)
+            op = _PUSHABLE_OPS.get(type(g).__name__)
+            value = getattr(g, "value", None)
             if (
                 op
                 and isinstance(col, tuple)
                 and len(col) == 1
                 and self._literal_pushable(col[0], op, value)
             ):
-                self.pushed.append((col[0], op, value))
+                self.pushed.append(
+                    (col[0], f"not_{op}" if neg else op, value)
+                )
                 continue
             yield f
 
@@ -1155,11 +1168,37 @@ class FleDirReader(DataSourceReader):
         out[live] = m
         return out
 
+    @staticmethod
+    def _full_lane_mask(seg: ParsedSegment) -> np.ndarray:
+        """Every real lane set (tail padding zeroed) — the complement
+        universe for negated `<=>` (the one predicate whose negation
+        keeps NULL rows)."""
+        m = np.full(
+            seg.n_blocks, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64
+        )
+        rem = seg.n % 64
+        if seg.n_blocks and rem:
+            m[-1] = np.uint64((1 << rem) - 1)
+        return m
+
+    @classmethod
+    def _valid_lane_mask(cls, seg: ParsedSegment, c: ParsedColumn) -> np.ndarray:
+        """Non-NULL lanes (tail-clipped) — the complement universe for
+        every negated comparison: a NULL operand makes the comparison
+        NULL, and NOT(NULL) is NULL, so the row stays excluded."""
+        full = cls._full_lane_mask(seg)
+        if c.validity is None:
+            return full
+        return c.validity.astype(np.uint64) & full
+
     def _segment_mask(self, seg: ParsedSegment) -> "np.ndarray | None":
         """AND together every pushed conjunct's kernel bitset for one
         segment — all work happens on plane words, zero values decoded
         (comparisons additionally skip stat-refuted chunks entirely).
-        Returns None when nothing constrains the segment (decode all)."""
+        A `not_`-prefixed conjunct complements its child's mask against
+        the right universe (valid lanes for comparisons, all lanes for
+        `<=>`, the validity flip for IS [NOT] NULL).  Returns None when
+        nothing constrains the segment (decode all)."""
         if not self.pushed:
             return None
         mask = None
@@ -1168,7 +1207,6 @@ class FleDirReader(DataSourceReader):
             nonlocal mask
             mask = m if mask is None else mask & m
 
-        zeros = np.zeros(seg.n_blocks, dtype=np.uint64)
         cols = {c.name: c for c in seg.columns}
         col_idx = {c.name: i for i, c in enumerate(seg.columns)}
         for col_name, op, value in self.pushed:
@@ -1184,142 +1222,164 @@ class FleDirReader(DataSourceReader):
                     "segment schemas are not supported"
                 )
             i = col_idx[col_name]
-            if op == "is_null":
-                k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
-                _and(k.is_null())
-            elif op == "is_not_null":
-                if c.validity is None:
-                    continue  # non-nullable: all rows qualify
-                k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
-                _and(k.is_not_null())
-            elif c.kind in (
-                _KIND_INT, _KIND_OFFSET, _KIND_TS, _KIND_DATE, _KIND_BOOL,
-            ):
-                # integer-domain kinds translate the literal into code
-                # space by the same map the encoder applied (offset
-                # subtraction; datetimes → micros; dates → days; bools
-                # → 0/1) — the order-preserving remap, so every
-                # comparison kernel works unchanged (out-of-range
-                # results go through the kernels' domain short-circuits)
-                if c.kind == _KIND_TS:
-                    to_int = _ts_micros
-                elif c.kind == _KIND_DATE:
-                    to_int = _date_days
-                elif c.kind == _KIND_BOOL:
-                    to_int = lambda v: int(bool(v))  # noqa: E731
-                else:
-                    to_int = int
-                shift = c.base  # int/bool sections carry no base (0)
-                if op == "in":
-                    _and(self._chunk_kernel(
-                        seg, c, i, "in",
-                        tuple(to_int(v) - shift for v in value),
-                    ))
-                else:
-                    _and(self._chunk_kernel(
-                        seg, c, i, op, to_int(value) - shift
-                    ))
-            elif c.kind == _KIND_F64:
-                # double literals ride the SAME monotone bijection the
-                # encoder applied, then shift by the stored code base —
-                # comparisons on sortable-bits codes ARE comparisons on
-                # the doubles (±inf literals map fine; NaN never reaches
-                # here, pushability keeps it residual)
-                if op == "in":
-                    _and(self._chunk_kernel(
-                        seg, c, i, "in",
-                        tuple(
-                            _f64_code_scalar(float(v)) - c.base
-                            for v in value
-                        ),
-                    ))
-                else:
-                    _and(self._chunk_kernel(
-                        seg, c, i, op,
-                        _f64_code_scalar(float(value)) - c.base,
-                    ))
-            elif c.kind == _KIND_DEC:
-                # decimal literals translate to the UNSCALED domain via
-                # exact floor/ceil bounds (a literal finer than the
-                # column scale still compares exactly; eq against one
-                # matches nothing), then shift by the offset base
-                if op == "in":
-                    codes = [
-                        b[1] - c.base
-                        for v in value
-                        for b in (_dec_code_bound("eq", v, c.scale),)
-                        if b is not False
-                    ]
-                    _and(
-                        self._chunk_kernel(seg, c, i, "in", tuple(codes))
-                        if codes
-                        else zeros.copy()
+            neg = op.startswith("not_")
+            base = op[4:] if neg else op
+            m = self._conjunct_mask(seg, c, i, base, value)
+            if neg:
+                if base == "is_null":
+                    m = self._valid_lane_mask(seg, c)
+                elif base == "is_not_null":
+                    m = self._full_lane_mask(seg) & ~self._valid_lane_mask(
+                        seg, c
+                    )
+                elif base == "eqns":
+                    # <=> is never NULL: complement over ALL lanes
+                    # (value None reduces to IS NOT NULL = valid lanes)
+                    m = (
+                        self._valid_lane_mask(seg, c)
+                        if value is None
+                        else self._full_lane_mask(seg) & ~m
                     )
                 else:
-                    b = _dec_code_bound(op, value, c.scale)
-                    if b is False:
-                        _and(zeros.copy())
-                    else:
-                        _and(self._chunk_kernel(
-                            seg, c, i, b[0], b[1] - c.base
-                        ))
-            elif op in ("startswith", "endswith", "contains"):
-                # string predicate on a dictionary column: evaluate the
-                # predicate ONCE PER DICTIONARY ENTRY (|dict| tests, not
-                # |rows| — the reference's dictionary-predicate idea,
-                # dict-encoding.h:461-541), then run the matching codes
-                # through the kernels.  On the SORTED order-preserving
-                # dictionary a prefix match is a CONTIGUOUS code range,
-                # so LIKE 'abc%' becomes two range kernels with full
-                # chunk-stat skipping; suffix/infix matches use the
-                # in-kernel over the matching code set.
-                d = c.dictionary or []
-                test = {
-                    "startswith": str.startswith,
-                    "endswith": str.endswith,
-                    "contains": str.__contains__,
-                }[op]
-                match = [
-                    j for j, e in enumerate(d) if test(e, str(value))
-                ]
-                if not match:
-                    _and(zeros.copy())
-                elif match[-1] - match[0] + 1 == len(match):
-                    _and(self._chunk_kernel(seg, c, i, "ge", match[0]))
-                    _and(self._chunk_kernel(seg, c, i, "le", match[-1]))
-                else:
-                    _and(self._chunk_kernel(seg, c, i, "in", tuple(match)))
-            else:  # dictionary column: literal → code space
-                if op == "in":
-                    codes = [
-                        b[1]
-                        for v in value
-                        for b in (code_bound(
-                            np.asarray(c.dictionary), "eq", str(v)
-                        ),)
-                        if b not in (True, False)
-                    ]
-                    _and(
-                        self._chunk_kernel(seg, c, i, "in", tuple(codes))
-                        if codes
-                        else zeros.copy()
-                    )
-                    continue
-                b = code_bound(np.asarray(c.dictionary), op, str(value))
-                if b is True:
-                    # domain short-circuit: every VALID row passes (a
-                    # NULL lane still satisfies no comparison)
-                    if c.validity is not None:
-                        k = FleKernels(
-                            c.planes, c.width, seg.n, validity=c.validity
-                        )
-                        _and(k.is_not_null())
-                    continue
-                if b is False:
-                    _and(zeros.copy())
-                    continue
-                _and(self._chunk_kernel(seg, c, i, b[0], b[1]))
+                    m = self._valid_lane_mask(seg, c) & ~m
+            _and(m)
         return mask
+
+    def _conjunct_mask(
+        self, seg: ParsedSegment, c: ParsedColumn, i: int, op: str, value
+    ) -> np.ndarray:
+        """One conjunct's kernel bitset (positive form).  Always returns
+        a concrete mask — a no-op conjunct (IS NOT NULL on a
+        non-nullable column) returns the full valid-lane mask so
+        negation stays well-defined."""
+        zeros = np.zeros(seg.n_blocks, dtype=np.uint64)
+        if op == "eqns":
+            # null-safe equality: <=> NULL matches exactly the NULL
+            # rows; a non-null literal matches like eq (the eq kernel
+            # already excludes NULL lanes)
+            if value is None:
+                k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+                return k.is_null()
+            op = "eq"
+        if op == "is_null":
+            k = FleKernels(c.planes, c.width, seg.n, validity=c.validity)
+            return k.is_null()
+        elif op == "is_not_null":
+            return self._valid_lane_mask(seg, c)
+        elif c.kind in (
+            _KIND_INT, _KIND_OFFSET, _KIND_TS, _KIND_DATE, _KIND_BOOL,
+        ):
+            # integer-domain kinds translate the literal into code
+            # space by the same map the encoder applied (offset
+            # subtraction; datetimes → micros; dates → days; bools
+            # → 0/1) — the order-preserving remap, so every
+            # comparison kernel works unchanged (out-of-range
+            # results go through the kernels' domain short-circuits)
+            if c.kind == _KIND_TS:
+                to_int = _ts_micros
+            elif c.kind == _KIND_DATE:
+                to_int = _date_days
+            elif c.kind == _KIND_BOOL:
+                to_int = lambda v: int(bool(v))  # noqa: E731
+            else:
+                to_int = int
+            shift = c.base  # int/bool sections carry no base (0)
+            if op == "in":
+                return self._chunk_kernel(
+                    seg, c, i, "in",
+                    tuple(to_int(v) - shift for v in value),
+                )
+            return self._chunk_kernel(
+                seg, c, i, op, to_int(value) - shift
+            )
+        elif c.kind == _KIND_F64:
+            # double literals ride the SAME monotone bijection the
+            # encoder applied, then shift by the stored code base —
+            # comparisons on sortable-bits codes ARE comparisons on
+            # the doubles (±inf literals map fine; NaN never reaches
+            # here, pushability keeps it residual)
+            if op == "in":
+                return self._chunk_kernel(
+                    seg, c, i, "in",
+                    tuple(
+                        _f64_code_scalar(float(v)) - c.base
+                        for v in value
+                    ),
+                )
+            return self._chunk_kernel(
+                seg, c, i, op,
+                _f64_code_scalar(float(value)) - c.base,
+            )
+        elif c.kind == _KIND_DEC:
+            # decimal literals translate to the UNSCALED domain via
+            # exact floor/ceil bounds (a literal finer than the
+            # column scale still compares exactly; eq against one
+            # matches nothing), then shift by the offset base
+            if op == "in":
+                codes = [
+                    b[1] - c.base
+                    for v in value
+                    for b in (_dec_code_bound("eq", v, c.scale),)
+                    if b is not False
+                ]
+                return (
+                    self._chunk_kernel(seg, c, i, "in", tuple(codes))
+                    if codes
+                    else zeros
+                )
+            b = _dec_code_bound(op, value, c.scale)
+            if b is False:
+                return zeros
+            return self._chunk_kernel(seg, c, i, b[0], b[1] - c.base)
+        elif op in ("startswith", "endswith", "contains"):
+            # string predicate on a dictionary column: evaluate the
+            # predicate ONCE PER DICTIONARY ENTRY (|dict| tests, not
+            # |rows| — the reference's dictionary-predicate idea,
+            # dict-encoding.h:461-541), then run the matching codes
+            # through the kernels.  On the SORTED order-preserving
+            # dictionary a prefix match is a CONTIGUOUS code range,
+            # so LIKE 'abc%' becomes two range kernels with full
+            # chunk-stat skipping; suffix/infix matches use the
+            # in-kernel over the matching code set.
+            d = c.dictionary or []
+            test = {
+                "startswith": str.startswith,
+                "endswith": str.endswith,
+                "contains": str.__contains__,
+            }[op]
+            match = [
+                j for j, e in enumerate(d) if test(e, str(value))
+            ]
+            if not match:
+                return zeros
+            if match[-1] - match[0] + 1 == len(match):
+                return self._chunk_kernel(
+                    seg, c, i, "ge", match[0]
+                ) & self._chunk_kernel(seg, c, i, "le", match[-1])
+            return self._chunk_kernel(seg, c, i, "in", tuple(match))
+        else:  # dictionary column: literal → code space
+            if op == "in":
+                codes = [
+                    b[1]
+                    for v in value
+                    for b in (code_bound(
+                        np.asarray(c.dictionary), "eq", str(v)
+                    ),)
+                    if b not in (True, False)
+                ]
+                return (
+                    self._chunk_kernel(seg, c, i, "in", tuple(codes))
+                    if codes
+                    else zeros
+                )
+            b = code_bound(np.asarray(c.dictionary), op, str(value))
+            if b is True:
+                # domain short-circuit: every VALID row passes (a
+                # NULL lane still satisfies no comparison)
+                return self._valid_lane_mask(seg, c)
+            if b is False:
+                return zeros
+            return self._chunk_kernel(seg, c, i, b[0], b[1])
 
     def _stats_refute(self, stats: dict) -> bool:
         """True iff the pushed conjunction PROVABLY matches no row of a
@@ -1331,10 +1391,31 @@ class FleDirReader(DataSourceReader):
             if not isinstance(s, dict):
                 continue  # stat-less column: cannot refute
             mn, mx, has_null = s.get("min"), s.get("max"), s.get("has_null")
+            if op.startswith("not_"):
+                base = op[4:]
+                if base == "is_not_null":  # NOT(IS NOT NULL) ≡ IS NULL
+                    if has_null is False:
+                        return True
+                elif base == "eqns":
+                    # NOT(x <=> NULL) ≡ IS NOT NULL refutes on all-NULL;
+                    # NOT(x <=> v) KEEPS NULL rows (<=> is never NULL),
+                    # so nothing else refutes it here
+                    if value is None and mn is None and mx is None:
+                        return True
+                elif mn is None or mx is None:
+                    # negated comparison/in/string: NULL never matches
+                    return True
+                continue  # finer negated refutation left to the kernels
             if op == "is_null":
                 if has_null is False:
                     return True
                 continue
+            if op == "eqns" and value is None:
+                if has_null is False:
+                    return True  # <=> NULL needs a NULL lane
+                continue
+            if op == "eqns":
+                op = "eq"  # non-null literal: refutes exactly like eq
             if mn is None or mx is None:  # every lane NULL
                 return True  # is_not_null and all comparisons fail
             if op == "is_not_null":

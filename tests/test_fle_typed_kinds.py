@@ -441,6 +441,155 @@ def test_string_pushability_requires_dict_column(tmp_path):
     assert not r._literal_pushable("s", "startswith", 5)
 
 
+# ------------------------------------- NOT / null-safe-equality push
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(), st.integers(min_value=-50, max_value=50)
+        ),
+        min_size=1,
+        max_size=150,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from([
+                "eq", "lt", "le", "gt", "ge", "eqns",
+                "not_eq", "not_lt", "not_le", "not_gt", "not_ge",
+                "not_eqns", "is_null", "is_not_null",
+                "not_is_null", "not_is_not_null",
+            ]),
+            st.one_of(
+                st.none(), st.integers(min_value=-60, max_value=60)
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_negation_and_nullsafe_fuzz_matches_sql_semantics(values, conjs):
+    """NOT over every pushable conjunct + <=> under SQL three-valued
+    logic: a NULL operand fails BOTH a comparison and its negation,
+    while <=> (never NULL) negates over all rows.  Random columns and
+    random (possibly NULL-literal) conjunctions must keep exactly the
+    rows a direct Python evaluation of the SQL semantics keeps."""
+    conjs = [
+        (op, lit if "eqns" in op or lit is not None else 0)
+        for op, lit in conjs
+    ]
+    arr = np.array(values, dtype=object)
+    seg = parse_segment(encode_segment_columns([("v", arr)]))
+    kept_cols = _mask_keep(seg, [("v", op, lit) for op, lit in conjs])
+    kept, kvalid = kept_cols["v"]
+
+    def sql_keep(v):
+        for op, lit in conjs:
+            neg = op.startswith("not_")
+            base = op[4:] if neg else op
+            if base == "is_null":
+                r = v is None
+            elif base == "is_not_null":
+                r = v is not None
+            elif base == "eqns":
+                r = (v is None and lit is None) or (
+                    v is not None and lit is not None and v == lit
+                )
+            else:  # comparison: NULL operand → NULL → excluded,
+                if v is None:  # negated or not
+                    return False
+                r = _OPS[base](v, lit)
+            if neg:
+                r = not r
+            if not r:
+                return False
+        return True
+
+    want = [v for v in values if sql_keep(v)]
+    got = [None if not kvalid[j] else int(kept[j])
+           for j in range(len(kept))]
+    assert sorted(got, key=lambda x: (x is None, x)) == sorted(
+        want, key=lambda x: (x is None, x)
+    )
+
+
+def test_not_startswith_and_not_in_on_dictionary():
+    col = np.array(
+        ["apple", "apricot", "banana", None, "cherry"], dtype=object
+    )
+    seg = parse_segment(encode_segment_columns([("s", col)]))
+    kept, kvalid = _mask_keep(seg, [("s", "not_startswith", "ap")])["s"]
+    assert kvalid.all()  # NULL fails NOT LIKE too
+    assert sorted(kept) == ["banana", "cherry"]
+    kept, _ = _mask_keep(
+        seg, [("s", "not_in", ("banana", "apple", "durian"))]
+    )["s"]
+    assert sorted(kept) == ["apricot", "cherry"]
+
+
+def test_nullsafe_refutation_and_pushability(tmp_path):
+    import json
+    import os
+
+    vals = np.array([1.0, 2.0, np.nan], dtype=np.float64)  # nullable
+    payload = encode_segment_columns([("q", vals)])
+    (tmp_path / "seg_0.fle").write_bytes(payload)
+    stats = segment_stats(parse_segment(payload))
+    (tmp_path / "_DONE").write_text(
+        "seg_0.fle\t" + json.dumps(stats)
+    )
+    r = FleDirReader({"path": os.fspath(tmp_path)})
+    assert r._literal_pushable("q", "eqns", None)
+    assert r._literal_pushable("q", "eqns", 2)
+    # <=> NULL does NOT refute (has_null True); would on a no-null file
+    r.pushed = [("q", "eqns", None)]
+    assert not r._stats_refute(stats)
+    no_null = segment_stats(parse_segment(
+        encode_segment_columns([("q", np.array([1, 2], dtype=np.int64))])
+    ))
+    assert r._stats_refute(no_null)
+    # NOT(x <=> v) keeps NULL rows: never refuted by an all-NULL file
+    all_null = segment_stats(parse_segment(
+        encode_segment_columns(
+            [("q", np.array([np.nan, np.nan], dtype=np.float64))]
+        )
+    ))
+    r.pushed = [("q", "not_eqns", 5)]
+    assert not r._stats_refute(all_null)
+    # ...but a negated plain comparison IS refuted by all-NULL
+    r.pushed = [("q", "not_lt", 5)]
+    assert r._stats_refute(all_null)
+
+
+def test_spark_pushes_not_and_nullsafe(spark, sf_dir):
+    """`!=`, NOT LIKE, and <=> push end-to-end: results match the
+    parquet-derived frame and the optimized plan keeps no residual
+    Filter (every conjunct consumed by the scan)."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_part_dir,
+    )
+
+    path = materialize_fle_part_dir(spark, sf_dir)
+    base = table(spark, sf_dir, "part").select(
+        "p_brand", "p_name", "p_type", "p_size"
+    )
+    cond = (
+        (F.col("p_type") != "PROMO")
+        & ~F.col("p_name").startswith("cold")
+        & F.col("p_brand").eqNullSafe("Brand#13")
+    )
+    df = spark.read.format("fledir").option("path", path).load()
+    q = df.filter(cond)
+    got = sorted((r.p_name, r.p_size) for r in q.collect())
+    want = sorted((r.p_name, r.p_size) for r in base.filter(cond).collect())
+    assert got == want and got
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan
+
+
 # -------------------------------------------------- spark end-to-end
 
 def test_typed_dir_spark_roundtrip_and_pushdown(spark, sf_dir):

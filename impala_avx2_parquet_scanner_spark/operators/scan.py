@@ -1085,6 +1085,64 @@ def scan_fle_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_PARTITIONED_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+  AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30
+  AND l_linestatus = 'F'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "scan_fle_partitioned",
+    oracle=_FLE_PARTITIONED_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "layout"),
+)
+def scan_fle_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE-STYLE PARTITIONED fledir (round 8): lineitem lives as
+    ``l_returnflag=A/N/R`` subdirectories — the reference's
+    HdfsPartitionDescriptor table model (descriptors.h:178-262:
+    per-partition location, partition-key LITERAL never stored in the
+    data files).  The pushed IN ('A','R') on the key prunes the N
+    directory on the DRIVER before any manifest is read (partition
+    pruning, §2A #4); the quantity range then prunes files via each
+    kept partition's manifest stats (quantity-sorted layout), the
+    linestatus equality runs as dictionary-code kernels, and the
+    reader materializes the key column from the directory name as a
+    constant.  The DuckDB oracle replays everything from the flat
+    parquet rows — a mispruned partition or a wrong constant key
+    flips group counts."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_partitioned_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_partitioned_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            F.col("l_returnflag").isin("A", "R")
+            & F.col("l_quantity").between(20, 30)
+            & (F.col("l_linestatus") == "F")
+        )
+    )
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 _FLE_MULTICOLUMN_ORACLE = """
 WITH stored AS (
   SELECT l_returnflag,

@@ -931,8 +931,50 @@ def decode_segment(payload: bytes, mask: np.ndarray | None = None):
 
 
 class _FleFilesPartition(InputPartition):
-    def __init__(self, paths: list[str]):
+    def __init__(self, paths: list[str], part_values: "list | None" = None):
         self.paths = paths
+        #: per-path partition-key value for a partitioned layout
+        #: (None → flat directory)
+        self.part_values = part_values
+
+
+def discover_fledir_partitions(path: str) -> "tuple[str, list[tuple]] | None":
+    """Detect a HIVE-STYLE PARTITIONED fledir: the root holds
+    ``col=value/`` subdirectories (each a committed fledir with its own
+    `_DONE` manifest) instead of a root manifest — the
+    HdfsPartitionDescriptor model (descriptors.h:178-262: per-partition
+    location + partition-key literal) for this container.  Returns
+    (partition_column, [(typed_value, subdir_abs_path), ...]) sorted by
+    value, or None for a flat directory.  Values type as int when every
+    directory parses as one, else string (the two key types the
+    synthetic tables use)."""
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return None
+    try:
+        entries = sorted(os.listdir(path))
+    except OSError:
+        return None
+    pairs = []
+    col = None
+    for e in entries:
+        sub = os.path.join(path, e)
+        if "=" not in e or not os.path.isdir(sub):
+            continue
+        k, _, v = e.partition("=")
+        if col is None:
+            col = k
+        elif k != col:
+            return None  # mixed keys: not a partitioned layout
+        if not os.path.exists(os.path.join(sub, "_DONE")):
+            continue  # uncommitted partition: invisible
+        pairs.append((v, sub))
+    if col is None or not pairs:
+        return None
+    try:
+        typed = sorted((int(v), sub) for v, sub in pairs)
+    except ValueError:
+        typed = sorted(pairs)
+    return col, typed
 
 
 _PUSHABLE_OPS = {
@@ -976,6 +1018,12 @@ class FleDirReader(DataSourceReader):
         #: (hdfs-parquet-scanner.cc:1410-1451)
         self.pushed: list[tuple[str, str, object]] = []
         self._kinds_cache: "dict[str, ParsedColumn] | None" = None
+        #: hive-style partitioned layout: (partition_col, [(value,
+        #: subdir), ...]) — None for a flat directory.  Conjuncts on
+        #: the partition column are consumed ENTIRELY on the driver
+        #: (partition pruning, descriptors.h:178-262's partition-key
+        #: literal exprs) and never reach the segment kernels.
+        self.partitioned = discover_fledir_partitions(self.dir)
 
     def _column_kinds(self) -> "dict[str, ParsedColumn]":
         """Probe the first committed segment's header for column kinds
@@ -985,19 +1033,52 @@ class FleDirReader(DataSourceReader):
         column (the kernels would answer a different predicate)."""
         if self._kinds_cache is None:
             try:
-                done = os.path.join(self.dir, "_DONE")
+                root = self.dir
+                if self.partitioned is not None:
+                    root = self.partitioned[1][0][1]  # first subdir
+                done = os.path.join(root, "_DONE")
                 with open(done) as fh:
                     first = next(
                         ln.partition("\t")[0]
                         for ln in fh.read().splitlines()
                         if ln
                     )
-                with open(os.path.join(self.dir, first), "rb") as fh:
+                with open(os.path.join(root, first), "rb") as fh:
                     seg = parse_segment(fh.read())
                 self._kinds_cache = {c.name: c for c in seg.columns}
             except Exception:
                 self._kinds_cache = {}
         return self._kinds_cache
+
+    @staticmethod
+    def _part_filter_keep(value, op: str, lit) -> bool:
+        """Exact driver-side evaluation of one pushed conjunct against
+        one (non-NULL, typed) partition-key value — partition pruning
+        with the same SQL semantics the kernels implement."""
+        neg = op.startswith("not_")
+        base = op[4:] if neg else op
+        if base == "is_null":
+            r = False  # directory partition keys are never NULL
+        elif base == "is_not_null":
+            r = True
+        elif base == "eqns":
+            r = lit is not None and value == lit
+        elif base == "in":
+            r = value in set(lit)
+        elif base in ("startswith", "endswith", "contains"):
+            r = {
+                "startswith": str.startswith,
+                "endswith": str.endswith,
+                "contains": str.__contains__,
+            }[base](value, lit)
+        else:
+            import operator as _o
+
+            r = {
+                "eq": _o.eq, "lt": _o.lt, "le": _o.le,
+                "gt": _o.gt, "ge": _o.ge,
+            }[base](value, lit)
+        return (not r) if neg else r
 
     def _literal_pushable(self, col: str, op: str, value) -> bool:
         """Type-directed pushability.  The rule per kind mirrors what
@@ -1009,6 +1090,34 @@ class FleDirReader(DataSourceReader):
         would silently answer x<10 instead of x<10.5."""
         import datetime as _dtm
         import decimal as _decm
+
+        if self.partitioned is not None and col == self.partitioned[0]:
+            # partition-key conjuncts are evaluated EXACTLY on the
+            # driver (typed Python values), so anything evaluable
+            # pushes: numerics (fractional included — int-vs-float
+            # compares are exact in Python) on int keys, strings +
+            # LIKE shapes on string keys.  NaN stays residual (Spark
+            # orders NaN greatest; Python compares it False).
+            int_key = isinstance(self.partitioned[1][0][0], int)
+
+            def pok(v) -> bool:
+                if int_key:
+                    return isinstance(
+                        v, (int, float, np.integer, np.floating)
+                    ) and not (
+                        isinstance(v, (float, np.floating)) and math.isnan(v)
+                    )
+                return isinstance(v, str)
+
+            if op in ("is_null", "is_not_null"):
+                return True
+            if op in ("startswith", "endswith", "contains"):
+                return not int_key and isinstance(value, str)
+            if op == "eqns":
+                return value is None or pok(value)
+            if op == "in":
+                return value is not None and all(pok(v) for v in value)
+            return pok(value)
 
         c = self._column_kinds().get(col)
         kind = c.kind if c is not None else None
@@ -1209,7 +1318,10 @@ class FleDirReader(DataSourceReader):
 
         cols = {c.name: c for c in seg.columns}
         col_idx = {c.name: i for i, c in enumerate(seg.columns)}
+        part_col = self.partitioned[0] if self.partitioned else None
         for col_name, op, value in self.pushed:
+            if col_name == part_col:
+                continue  # consumed on the driver (partition pruning)
             c = cols.get(col_name)
             if c is None:
                 # pushFilters already CONSUMED this conjunct (it is not a
@@ -1478,10 +1590,14 @@ class FleDirReader(DataSourceReader):
                 return True
         return False
 
-    def partitions(self):
-        done = os.path.join(self.dir, "_DONE")
+    def _manifest_files(self, dirpath: str) -> list[str]:
+        """Committed segment names of one directory, minus the files
+        the manifest's per-column stats refute for the pushed
+        conjunction (the parquet footer row-group skip at file
+        granularity, decided on the DRIVER)."""
+        done = os.path.join(dirpath, "_DONE")
         if not os.path.exists(done):
-            raise ValueError(f"fledir: {self.dir} has no _DONE manifest")
+            raise ValueError(f"fledir: {dirpath} has no _DONE manifest")
         files: list[str] = []
         with open(done) as fh:
             for ln in fh.read().splitlines():
@@ -1499,6 +1615,35 @@ class FleDirReader(DataSourceReader):
                     if stats and self._stats_refute(stats):
                         continue  # whole file pruned: never opened
                 files.append(name)
+        return files
+
+    def partitions(self):
+        if self.partitioned is not None:
+            pcol, pairs = self.partitioned
+            pconjs = [
+                (op, v) for c2, op, v in self.pushed if c2 == pcol
+            ]
+            tagged: list[tuple[str, object]] = []
+            for value, sub in pairs:
+                if not all(
+                    self._part_filter_keep(value, op, v)
+                    for op, v in pconjs
+                ):
+                    continue  # whole PARTITION pruned: no manifest read
+                for name in self._manifest_files(sub):
+                    tagged.append((os.path.join(sub, name), value))
+            buckets: list[list[tuple[str, object]]] = [
+                [] for _ in range(min(self.n_parts, max(len(tagged), 1)))
+            ]
+            for i, t in enumerate(tagged):
+                buckets[i % len(buckets)].append(t)
+            parts = [
+                _FleFilesPartition([p for p, _ in b], [v for _, v in b])
+                for b in buckets
+                if b
+            ]
+            return parts or [_FleFilesPartition([], [])]
+        files = self._manifest_files(self.dir)
         batches: list[list[str]] = [
             [] for _ in range(min(self.n_parts, max(len(files), 1)))
         ]
@@ -1512,7 +1657,9 @@ class FleDirReader(DataSourceReader):
     def read(self, partition):
         import pyarrow as pa
 
-        for path in partition.paths:
+        pcol = self.partitioned[0] if self.partitioned else None
+        pvals = getattr(partition, "part_values", None) or []
+        for idx, path in enumerate(partition.paths):
             with open(path, "rb") as fh:
                 payload = fh.read()
             # parse ONCE: the same parsed sections feed both the kernel
@@ -1568,6 +1715,28 @@ class FleDirReader(DataSourceReader):
                     arr = pa.array(vals, type=pa.int64(), mask=mask)
                 arrays.append(arr)
                 names.append(c.name)
+            if pcol is not None and (
+                self.wanted is None or pcol in self.wanted
+            ):
+                # constant partition-key column, materialized from the
+                # directory name — the partition-key literal expr of
+                # descriptors.h:230-244 (never stored in the segments)
+                value = pvals[idx]
+                if arrays:
+                    n_out = len(arrays[0])
+                elif mask is not None:
+                    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (  # noqa: E501
+                        popcount,
+                    )
+
+                    n_out = popcount(mask)
+                else:
+                    n_out = seg.n
+                ptype = (
+                    pa.int64() if isinstance(value, int) else pa.string()
+                )
+                arrays.append(pa.array([value] * n_out, type=ptype))
+                names.append(pcol)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
@@ -1784,6 +1953,17 @@ def infer_fledir_schema(path: str) -> str | None:
                     if ln
                 )
             return _try(first)
+        part = discover_fledir_partitions(path)
+        if part is not None:
+            # hive-style layout: data columns from the first committed
+            # partition's first segment + the partition key LAST (the
+            # Spark partition-column convention)
+            pcol, pairs = part
+            base = infer_fledir_schema(pairs[0][1])
+            if base is None:
+                return None
+            ptype = "bigint" if isinstance(pairs[0][0], int) else "string"
+            return f"{base}, {pcol} {ptype}"
         # no manifest: a live STREAM feed — probe any sealed segment
         # (skip files a foreign producer is mid-writing)
         for name in sorted(os.listdir(path)):
@@ -2279,6 +2459,71 @@ def materialize_fle_part_dir(spark, sf_dir: str) -> str:
         .option("path", out)
         .save()
     )
+    return out
+
+
+def materialize_fle_partitioned_dir(spark, sf_dir: str) -> str:
+    """Write-once: a HIVE-STYLE PARTITIONED fledir — lineitem split
+    into ``l_returnflag=A/N/R`` subdirectories (each its own committed
+    fledir of (l_linestatus, l_quantity) segments, quantity-sorted so
+    the manifest stats stay selective WITHIN a kept partition).  The
+    per-partition-location + partition-key-literal table model of
+    descriptors.h:178-262: the key column is never stored in the
+    segments, conjuncts on it prune whole directories on the driver,
+    and the reader materializes it from the directory name."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_partitioned_assets")
+    part = discover_fledir_partitions(out)
+    if part is not None and len(part[1]) == 3:
+        return out
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_linestatus", pdf["l_linestatus"].to_numpy()),
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+    )
+    # one committed write per key — the per-partition descriptor model;
+    # the key set is tiny and known (a real partitioned sink would
+    # shuffle by key first)
+    for value in ("A", "N", "R"):
+        sub = os.path.join(out, f"l_returnflag={value}")
+        if os.path.exists(os.path.join(sub, "_DONE")):
+            continue
+        _clear_segments(sub)
+        (
+            base.filter(F.col("l_returnflag") == value)
+            .select("l_linestatus", "l_quantity")
+            .repartitionByRange(4, "l_quantity")
+            .sortWithinPartitions("l_quantity")
+            .mapInPandas(encode, schema="seg_id long, payload binary")
+            .write.format("fledir")
+            .mode("overwrite")
+            .option("path", sub)
+            .save()
+        )
     return out
 
 

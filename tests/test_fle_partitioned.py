@@ -1,0 +1,160 @@
+"""Hive-style partitioned fledir (round 8): ``col=value/``
+subdirectories, each its own committed fledir — the reference's
+HdfsPartitionDescriptor model (descriptors.h:178-262).  Partition-key
+conjuncts prune whole directories on the driver; the key column is
+materialized from the directory name, never stored in segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+    FleDirReader,
+    discover_fledir_partitions,
+    encode_segment_columns,
+    infer_fledir_schema,
+    parse_segment,
+    segment_stats,
+)
+
+
+def _write_partition(root, leaf: str, cols) -> None:
+    sub = root / leaf
+    sub.mkdir(parents=True)
+    payload = encode_segment_columns(cols)
+    (sub / "seg_0.fle").write_bytes(payload)
+    st = json.dumps(segment_stats(parse_segment(payload)))
+    (sub / "_DONE").write_text(f"seg_0.fle\t{st}")
+
+
+def _mk_string_partitioned(tmp_path):
+    root = tmp_path / "pdir"
+    for flag, qty in (("A", [1, 2, 3]), ("N", [10, 11]), ("R", [20])):
+        _write_partition(
+            root, f"l_returnflag={flag}",
+            [("l_quantity", np.array(qty, dtype=np.int64))],
+        )
+    return os.fspath(root)
+
+
+def test_discovery_and_schema_inference(tmp_path):
+    root = _mk_string_partitioned(tmp_path)
+    part = discover_fledir_partitions(root)
+    assert part is not None
+    pcol, pairs = part
+    assert pcol == "l_returnflag"
+    assert [v for v, _ in pairs] == ["A", "N", "R"]
+    assert infer_fledir_schema(root) == (
+        "l_quantity bigint, l_returnflag string"
+    )
+    # int-typed keys infer bigint
+    root2 = tmp_path / "ydir"
+    for y in (1995, 1996):
+        _write_partition(
+            root2.parent / "ydir", f"year={y}",
+            [("q", np.array([y], dtype=np.int64))],
+        )
+    part2 = discover_fledir_partitions(os.fspath(root2))
+    assert part2 == ("year", [
+        (1995, os.fspath(root2 / "year=1995")),
+        (1996, os.fspath(root2 / "year=1996")),
+    ])
+    assert infer_fledir_schema(os.fspath(root2)) == (
+        "q bigint, year bigint"
+    )
+
+
+def test_partition_pruning_on_driver(tmp_path):
+    root = _mk_string_partitioned(tmp_path)
+    r = FleDirReader({"path": root})
+    assert r._literal_pushable("l_returnflag", "eq", "A")
+    assert r._literal_pushable("l_returnflag", "in", ("A", "R"))
+    assert r._literal_pushable("l_returnflag", "startswith", "A")
+    assert not r._literal_pushable("l_returnflag", "eq", 5)
+
+    r.pushed = [("l_returnflag", "in", ("A", "R"))]
+    parts = r.partitions()
+    paths = [p for part in parts for p in part.paths]
+    assert paths and all(
+        "l_returnflag=A" in p or "l_returnflag=R" in p for p in paths
+    )
+    vals = [v for part in parts for v in part.part_values]
+    assert set(vals) == {"A", "R"}
+
+    # negated key conjunct prunes too
+    r.pushed = [("l_returnflag", "not_eq", "N")]
+    paths = [p for part in r.partitions() for p in part.paths]
+    assert paths and not any("l_returnflag=N" in p for p in paths)
+
+    # key conjunct + data-stat conjunct compose: only A holds qty <= 3
+    r.pushed = [("l_returnflag", "not_eq", "R"), ("l_quantity", "le", 3)]
+    paths = [p for part in r.partitions() for p in part.paths]
+    assert paths and all("l_returnflag=A" in p for p in paths)
+
+
+def test_read_materializes_constant_key(tmp_path):
+    import pyarrow as pa  # noqa: F401
+
+    root = _mk_string_partitioned(tmp_path)
+    r = FleDirReader({"path": root})
+    r.pushed = [("l_returnflag", "eq", "N"), ("l_quantity", "gt", 10)]
+    rows = []
+    for part in r.partitions():
+        for batch in r.read(part):
+            rows += list(zip(*[c.to_pylist() for c in batch.columns]))
+    assert rows == [(11, "N")]
+
+    # projection of ONLY the partition column still yields rows
+    r2 = FleDirReader({"path": root}, wanted=["l_returnflag"])
+    r2.pushed = [("l_quantity", "le", 2)]
+    got = []
+    for part in r2.partitions():
+        for batch in r2.read(part):
+            assert batch.num_columns == 1
+            got += batch.columns[0].to_pylist()
+    assert got == ["A", "A"]
+
+
+def test_int_key_fractional_literal_pruning(tmp_path):
+    root = tmp_path / "ydir"
+    for y in (1995, 1996, 1997):
+        _write_partition(
+            root, f"year={y}", [("q", np.array([y], dtype=np.int64))]
+        )
+    r = FleDirReader({"path": os.fspath(root)})
+    # fractional literals compare EXACTLY against int keys in Python
+    assert r._literal_pushable("year", "lt", 1996.5)
+    r.pushed = [("year", "lt", 1996.5)]
+    paths = [p for part in r.partitions() for p in part.paths]
+    assert paths and all(
+        "year=1995" in p or "year=1996" in p for p in paths
+    )
+    r.pushed = [("year", "eq", 1996.5)]
+    parts = r.partitions()
+    assert all(not p.paths for p in parts)  # matches nothing
+
+
+def test_spark_e2e_partitioned(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_partitioned_dir,
+    )
+
+    path = materialize_fle_partitioned_dir(spark, sf_dir)
+    df = spark.read.format("fledir").option("path", path).load()
+    assert df.columns == ["l_linestatus", "l_quantity", "l_returnflag"]
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        "l_returnflag",
+    )
+    cond = (F.col("l_returnflag") != "N") & (F.col("l_quantity") < 5)
+    got = sorted(map(tuple, df.filter(cond).collect()))
+    want = sorted(map(tuple, base.filter(cond).collect()))
+    assert got == want and got

@@ -101,6 +101,13 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_chunk_pruned", "lineitem"),
     ("fn_char_semantics", "part"),
     ("scan_fle_signed", "lineitem"),
+    # round-8 type-matrix + predicate-surface closure: doubles via
+    # sortable bits, timestamp/date/bool/decimal kinds, dictionary
+    # LIKE, compound NOT
+    ("scan_fle_double", "lineitem"),
+    ("scan_fle_temporal", "lineitem"),
+    ("scan_fle_like", "part"),
+    ("scan_fle_negation", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

@@ -1143,6 +1143,32 @@ def scan_fle_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_fle_count_meta",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("scan", "encoding", "fle", "metadata"),
+)
+def scan_fle_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) on the FLE container (round 8): every
+    manifest entry carries its segment's row count, so the total is a
+    driver-side manifest read with ZERO segment bytes touched — the
+    same shortcut Spark's parquet aggregate pushdown takes from
+    footers (§2A #3) and the reference takes from row-group metadata
+    (hdfs-parquet-scanner.cc:1377-1396).  The count is computed at
+    planning time and surfaced as a one-row DataFrame; the DuckDB
+    oracle recomputes it from the raw parquet rows, certifying the
+    manifest counts agree with the data (the same certification
+    `scan_footer_metadata` gives parquet footers)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_row_count,
+        materialize_fle_dir,
+    )
+
+    path = materialize_fle_dir(spark, sf_dir)
+    n = fledir_row_count(path)
+    return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
 _FLE_MULTICOLUMN_ORACLE = """
 WITH stored AS (
   SELECT l_returnflag,

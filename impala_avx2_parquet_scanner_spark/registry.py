@@ -56,12 +56,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: scan_fle_multicolumn, scan_fle_stat_pruned, plus round-8 additions.
 #: Over rounds this converts parity-green into driver-green across the
 #: whole registry (ROTATION.md is the ledger; ever-hashed reaches
-#: 262/275 when this round's driver run lands — the 13-name remainder,
+#: 262/276 when this round's driver run lands — the 14-name remainder,
 #: scan_full_nation/region/supplier, scan_fle_multicolumn,
 #: scan_fle_stat_pruned, and round-8's fn_char_semantics +
 #: scan_fle_chunk_pruned + scan_fle_signed + scan_fle_double +
 #: scan_fle_temporal + scan_fle_like + scan_fle_negation +
-#: scan_fle_partitioned, completes
+#: scan_fle_partitioned + scan_fle_count_meta, completes
 #: the sweep in round 9).
 CORE_WINDOW: tuple[str, ...] = (
     # ---- 15 sentinels retained from the round-4/5/6/7 windows ----

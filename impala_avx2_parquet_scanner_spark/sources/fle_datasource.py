@@ -614,6 +614,11 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
     sections and never see it)."""
     if not columns:
         raise ValueError("fledir: segment needs at least one column")
+    if any(entry[0] == "__rows__" for entry in columns):
+        raise ValueError(
+            "fledir: column name '__rows__' is reserved (manifest "
+            "row-count key)"
+        )
     n = int(np.asarray(columns[0][1]).size)
     parts: list[bytes] = []
     chunk_sections: list[bytes] = []
@@ -1876,7 +1881,16 @@ class FleDirWriter(DataSourceWriter):
             tmps.append(tmp)
             # per-segment column stats, computed on the encoded planes
             # (no decode) — carried to the manifest at commit
-            stats.append(_json.dumps(segment_stats(parse_segment(payload))))
+            seg = parse_segment(payload)
+            entry = segment_stats(seg)
+            # manifest row count (the parquet footer num_rows analog):
+            # lets count(*) answer from the manifest alone, zero
+            # segment bytes read (hdfs-parquet-scanner.cc:1377-1396's
+            # metadata-only count).  "__rows__" cannot collide with a
+            # column: segment column names come from user schemas and
+            # the key is reserved here at write time.
+            entry["__rows__"] = seg.n
+            stats.append(_json.dumps(entry))
         return _FleCommit(written, stats, tmps)
 
     def commit(self, messages):
@@ -2460,6 +2474,40 @@ def materialize_fle_part_dir(spark, sf_dir: str) -> str:
         .save()
     )
     return out
+
+
+def fledir_row_count(path: str) -> int:
+    """Metadata-only COUNT(*) over a committed fledir (flat or
+    partitioned): each manifest entry carries its segment's row count
+    (`__rows__`), so the total is a driver-side manifest read with
+    ZERO segment bytes touched — the footer num_rows shortcut the
+    reference takes for count(*) (hdfs-parquet-scanner.cc:1377-1396).
+    Entries written before the count key fall back to reading the
+    segment's 14-byte header (n sits right after the magic)."""
+    import json as _json
+
+    part = discover_fledir_partitions(path)
+    roots = [sub for _, sub in part[1]] if part else [path]
+    total = 0
+    for root in roots:
+        entries = _manifest_entries(root)
+        if not entries and not os.path.exists(os.path.join(root, "_DONE")):
+            raise ValueError(f"fledir: {root} has no _DONE manifest")
+        for name, stats_json in entries:
+            n = None
+            if stats_json:
+                try:
+                    n = _json.loads(stats_json).get("__rows__")
+                except ValueError:
+                    n = None
+            if n is None:
+                with open(os.path.join(root, name), "rb") as fh:
+                    head = fh.read(14)
+                if head[:4] != _MAGIC:
+                    raise ValueError(f"fledir: bad segment magic in {name}")
+                (n,) = struct.unpack_from("<I", head, 4)
+            total += int(n)
+    return total
 
 
 def materialize_fle_partitioned_dir(spark, sf_dir: str) -> str:

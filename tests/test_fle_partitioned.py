@@ -138,6 +138,54 @@ def test_int_key_fractional_literal_pruning(tmp_path):
     assert all(not p.paths for p in parts)  # matches nothing
 
 
+def test_metadata_only_row_count(tmp_path):
+    import pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirWriter,
+        fledir_row_count,
+    )
+
+    # partitioned: counts sum across subdirectory manifests
+    root = _mk_string_partitioned(tmp_path)
+    assert fledir_row_count(root) == 6  # 3 + 2 + 1
+
+    # flat dir written via the WRITER protocol carries __rows__ in the
+    # manifest — assert the count needs no segment read by truncating
+    # every segment to its 14-byte header
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    w = FleDirWriter({"path": os.fspath(flat)}, overwrite=True)
+
+    class Row:
+        def __init__(self, seg_id, payload):
+            self.seg_id, self.payload = seg_id, payload
+
+    payload = encode_segment_columns(
+        [("q", np.arange(100, dtype=np.int64))]
+    )
+    msg = w.write(iter([Row(0, payload), Row(1, payload)]))
+    w.commit([msg])
+    for f in flat.iterdir():
+        if f.name.endswith(".fle"):
+            f.write_bytes(f.read_bytes()[:14])
+    assert fledir_row_count(os.fspath(flat)) == 200
+
+    # pre-count-key manifests fall back to the 14-byte header read
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / "seg_0.fle").write_bytes(payload)
+    st = json.dumps(segment_stats(parse_segment(payload)))  # no __rows__
+    (legacy / "_DONE").write_text(f"seg_0.fle\t{st}")
+    assert fledir_row_count(os.fspath(legacy)) == 100
+
+    # the manifest key is reserved
+    with pytest.raises(ValueError, match="reserved"):
+        encode_segment_columns(
+            [("__rows__", np.arange(3, dtype=np.int64))]
+        )
+
+
 def test_spark_e2e_partitioned(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -108,6 +108,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_temporal", "lineitem"),
     ("scan_fle_like", "part"),
     ("scan_fle_negation", "lineitem"),
+    ("scan_fle_partitioned", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

@@ -644,6 +644,101 @@ def test_typed_dir_spark_roundtrip_and_pushdown(spark, sf_dir):
     assert fresh.count() == base.count()
 
 
+def test_randomized_spark_pushdown_differential(spark, sf_dir):
+    """END-TO-END randomized differential: 20 seeded random typed
+    conjunctions run through REAL Spark against the fledir container
+    AND against the identical parquet-derived frame.  This exercises
+    the whole DSv2 integration — Catalyst's filter translation, the
+    type-directed pushability split, kernel evaluation, and residual
+    re-checking — not just the unit-level mask path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_typed_dir,
+    )
+
+    path = materialize_fle_typed_dir(spark, sf_dir)
+    # a FRESH load() per trial below — the Spark 4.1 planned-scan cache
+    # (module docstring) makes reusing one relation across differently-
+    # filtered actions unsafe
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_shipdate").alias("ship_ts"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+    )
+    rng = random.Random(42)
+
+    def rand_conjunct():
+        kind = rng.choice(
+            ["price", "ship_ts", "ship_date", "returned", "price_dec",
+             "l_returnflag"]
+        )
+        cmp_ops = ["<", "<=", ">", ">=", "=="]
+        if kind == "price":
+            lit = round(rng.uniform(800.0, 110000.0), rng.randint(0, 4))
+            op = rng.choice(cmp_ops)
+        elif kind == "ship_ts":
+            lit = F.lit(
+                f"199{rng.randint(2, 8)}-0{rng.randint(1, 9)}-"
+                f"{rng.randint(10, 28)}"
+            ).cast("timestamp")
+            op = rng.choice(cmp_ops[:4])
+        elif kind == "ship_date":
+            lit = F.lit(
+                f"199{rng.randint(2, 8)}-0{rng.randint(1, 9)}-"
+                f"{rng.randint(10, 28)}"
+            ).cast("date")
+            op = rng.choice(cmp_ops[:4])
+        elif kind == "returned":
+            lit, op = rng.choice([True, False]), "=="
+        elif kind == "price_dec":
+            lit = dec.Decimal(rng.randint(80000, 11000000)).scaleb(
+                -rng.randint(2, 4)
+            )
+            op = rng.choice(cmp_ops)
+        else:
+            c = F.col(kind)
+            shape = rng.choice(["eq", "in", "like", "eqns"])
+            if shape == "eq":
+                e = c == rng.choice("ANR")
+            elif shape == "in":
+                e = c.isin(*rng.sample("ANR", rng.randint(1, 2)))
+            elif shape == "like":
+                e = c.startswith(rng.choice("ANRZ"))
+            else:
+                e = c.eqNullSafe(rng.choice("ANR"))
+            return ~e if rng.random() < 0.3 else e
+        c = F.col(kind)
+        import operator as _o
+
+        e = {"<": _o.lt, "<=": _o.le, ">": _o.gt, ">=": _o.ge,
+             "==": _o.eq}[op](c, lit)
+        return ~e if rng.random() < 0.3 else e
+
+    for trial in range(20):
+        cond = rand_conjunct()
+        for _ in range(rng.randint(0, 2)):
+            cond = cond & rand_conjunct()
+        agg = lambda d: d.agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(14,2)")), 2
+            ).alias("s"),
+        )
+        got = agg(
+            spark.read.format("fledir").option("path", path).load()
+            .filter(cond)
+        ).collect()[0]
+        want = agg(base.filter(cond)).collect()[0]
+        assert got == want, (trial, str(cond), got, want)
+
+
 def test_typed_stream_delivers_python_scalars(spark, tmp_path):
     """The streaming half must surface every typed kind as the right
     Spark type (datetime/date/bool/Decimal/float plain-python cells

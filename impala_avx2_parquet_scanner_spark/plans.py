@@ -67,7 +67,9 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     plan = formatted_plan(df)
     cols: list[str] = []
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        for field in m.group(1).split(","):
+        # split on top-level commas only: parametric types like
+        # decimal(12,2) carry commas of their own
+        for field in re.split(r",(?![^()<]*[)>])", m.group(1)):
             name = field.split(":")[0].strip()
             if name:
                 cols.append(name)

@@ -873,7 +873,12 @@ def scan_fle_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = materialize_fle_typed_dir(spark, sf_dir)
     register_fledir(spark)
     df = (
-        spark.read.format("fledir")
+        # subset read schema: Python DSv2 relations don't receive
+        # Catalyst's column pruning, so the query declares the two
+        # columns it consumes and the reader decodes ONLY their plane
+        # sections (the other four never unpack)
+        spark.read.schema("l_returnflag string, price double")
+        .format("fledir")
         .option("path", path)
         .load()
         .filter(
@@ -941,7 +946,13 @@ def scan_fle_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = materialize_fle_typed_dir(spark, sf_dir)
     register_fledir(spark)
     df = (
-        spark.read.format("fledir")
+        # subset read schema (see scan_fle_double): only the four
+        # consumed columns' plane sections decode
+        spark.read.schema(
+            "ship_ts timestamp, ship_date date, returned boolean, "
+            "price_dec decimal(12,2)"
+        )
+        .format("fledir")
         .option("path", path)
         .load()
         .filter(

@@ -2047,6 +2047,15 @@ try:  # streaming half (Spark >= 4.0)
             self.dir = options.get("path")
             if not self.dir:
                 raise ValueError("fledir requires option 'path'")
+            if discover_fledir_partitions(self.dir) is not None:
+                # the live feed lists *.fle at the ROOT; a partitioned
+                # root holds only subdirectories, so the stream would
+                # silently stay empty forever — fail loudly instead
+                raise ValueError(
+                    "fledir streaming reads a FLAT segment feed; "
+                    f"{self.dir} is a partitioned (col=value) layout — "
+                    "stream each partition directory separately"
+                )
 
         def initialOffset(self) -> dict:
             return {"names": []}

@@ -186,6 +186,23 @@ def test_metadata_only_row_count(tmp_path):
         )
 
 
+def test_stream_reader_rejects_partitioned_root(tmp_path):
+    import pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FLE_STREAM_API_AVAILABLE,
+        FleStreamReader,
+    )
+
+    if not FLE_STREAM_API_AVAILABLE:
+        pytest.skip("streaming DataSource requires Spark >= 4.0")
+    root = _mk_string_partitioned(tmp_path)
+    with pytest.raises(ValueError, match="partitioned"):
+        FleStreamReader({"path": root})
+    # a single partition directory streams fine (flat layout)
+    FleStreamReader({"path": os.path.join(root, "l_returnflag=A")})
+
+
 def test_spark_e2e_partitioned(spark, sf_dir):
     from pyspark.sql import functions as F
 

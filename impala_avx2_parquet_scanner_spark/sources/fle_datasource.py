@@ -1037,22 +1037,13 @@ class FleDirReader(DataSourceReader):
         sortable-bits map translates it exactly) but not on an int
         column (the kernels would answer a different predicate)."""
         if self._kinds_cache is None:
-            try:
-                root = self.dir
-                if self.partitioned is not None:
-                    root = self.partitioned[1][0][1]  # first subdir
-                done = os.path.join(root, "_DONE")
-                with open(done) as fh:
-                    first = next(
-                        ln.partition("\t")[0]
-                        for ln in fh.read().splitlines()
-                        if ln
-                    )
-                with open(os.path.join(root, first), "rb") as fh:
-                    seg = parse_segment(fh.read())
-                self._kinds_cache = {c.name: c for c in seg.columns}
-            except Exception:
-                self._kinds_cache = {}
+            root = self.dir
+            if self.partitioned is not None:
+                root = self.partitioned[1][0][1]  # first subdir
+            seg = probe_first_segment(root)
+            self._kinds_cache = (
+                {c.name: c for c in seg.columns} if seg is not None else {}
+            )
         return self._kinds_cache
 
     @staticmethod
@@ -1154,7 +1145,12 @@ class FleDirReader(DataSourceReader):
                 return isinstance(v, (int, np.integer))
             if kind == _KIND_DICT:
                 return isinstance(v, str)
-            # int/offset planes (or unknown column): integral only
+            # int/offset planes (or unknown column): integral only.
+            # A None element (IN-lists can carry one) stays residual —
+            # int(None) has no code-space peer, and SQL gives NULL-in-
+            # list its own three-valued semantics
+            if v is None:
+                return False
             return not (
                 isinstance(v, (float, np.floating))
                 and not float(v).is_integer()
@@ -1659,6 +1655,40 @@ class FleDirReader(DataSourceReader):
         # scan is not representable)
         return parts or [_FleFilesPartition([])]
 
+    @staticmethod
+    def _column_array(pa, c: ParsedColumn, vals, valid):
+        """One decoded column → its Arrow array (kind-typed)."""
+        null_mask = ~valid if c.nullable else None
+        if c.kind == _KIND_DICT:
+            return pa.array(vals, type=pa.string(), mask=null_mask)
+        if c.kind == _KIND_F64:
+            return pa.array(vals, type=pa.float64(), mask=null_mask)
+        if c.kind == _KIND_TS:
+            # decode leaves micros in int64; attach the logical type
+            # with a zero-copy cast at the Arrow boundary
+            return pa.array(
+                vals.astype("datetime64[us]"),
+                type=pa.timestamp("us"), mask=null_mask,
+            )
+        if c.kind == _KIND_DATE:
+            return pa.array(
+                vals.astype("datetime64[D]"),
+                type=pa.date32(), mask=null_mask,
+            )
+        if c.kind == _KIND_BOOL:
+            return pa.array(
+                vals.astype(bool), type=pa.bool_(), mask=null_mask
+            )
+        if c.kind == _KIND_DEC:
+            import decimal as _decm
+
+            return pa.array(
+                [_decm.Decimal(int(u)).scaleb(-c.scale) for u in vals],
+                type=pa.decimal128(c.precision, c.scale),
+                mask=null_mask,
+            )
+        return pa.array(vals, type=pa.int64(), mask=null_mask)
+
     def read(self, partition):
         import pyarrow as pa
 
@@ -1670,79 +1700,63 @@ class FleDirReader(DataSourceReader):
             # parse ONCE: the same parsed sections feed both the kernel
             # mask and the decode (no byte is re-parsed)
             seg = parse_segment(payload)
-            mask = self._segment_mask(seg)
-            if mask is not None and not mask.any():
+            kernel_mask = self._segment_mask(seg)
+            if kernel_mask is not None and not kernel_mask.any():
                 continue  # whole segment kernel-rejected: zero decode
-            out_cols = [
-                c for c in seg.columns
-                if self.wanted is None or c.name in self.wanted
-            ]
+            stored = {c.name: c for c in seg.columns}
+            # batch columns follow the USER-SUPPLIED read-schema order
+            # when one exists — Spark maps Arrow columns positionally,
+            # so segment order would silently transpose a reordered
+            # schema's data.  Unknown names fail loudly.
+            if self.wanted is None:
+                out_names = [c.name for c in seg.columns]
+                if pcol is not None:
+                    out_names.append(pcol)
+            else:
+                out_names = list(self.wanted)
+                for name in out_names:
+                    if name not in stored and name != pcol:
+                        raise ValueError(
+                            f"fledir: read schema references column "
+                            f"{name!r} not present in the directory"
+                        )
             cols = decode_segment_columns(
-                seg, mask=mask,
-                columns=[c.name for c in out_cols],
+                seg, mask=kernel_mask,
+                columns=[n for n in out_names if n in stored],
             )
-            arrays, names = [], []
-            for c in out_cols:
-                vals, valid = cols[c.name]
-                mask = ~valid if c.nullable else None
-                if c.kind == _KIND_DICT:
-                    arr = pa.array(vals, type=pa.string(), mask=mask)
-                elif c.kind == _KIND_F64:
-                    arr = pa.array(vals, type=pa.float64(), mask=mask)
-                elif c.kind == _KIND_TS:
-                    # decode leaves micros in int64; attach the logical
-                    # type with a zero-copy cast at the Arrow boundary
-                    arr = pa.array(
-                        vals.astype("datetime64[us]"),
-                        type=pa.timestamp("us"), mask=mask,
-                    )
-                elif c.kind == _KIND_DATE:
-                    arr = pa.array(
-                        vals.astype("datetime64[D]"),
-                        type=pa.date32(), mask=mask,
-                    )
-                elif c.kind == _KIND_BOOL:
-                    arr = pa.array(
-                        vals.astype(bool), type=pa.bool_(), mask=mask
-                    )
-                elif c.kind == _KIND_DEC:
-                    import decimal as _decm
-
-                    arr = pa.array(
-                        [
-                            _decm.Decimal(int(u)).scaleb(-c.scale)
-                            for u in vals
-                        ],
-                        type=pa.decimal128(c.precision, c.scale),
-                        mask=mask,
-                    )
-                else:
-                    arr = pa.array(vals, type=pa.int64(), mask=mask)
-                arrays.append(arr)
-                names.append(c.name)
-            if pcol is not None and (
-                self.wanted is None or pcol in self.wanted
-            ):
-                # constant partition-key column, materialized from the
-                # directory name — the partition-key literal expr of
-                # descriptors.h:230-244 (never stored in the segments)
-                value = pvals[idx]
-                if arrays:
-                    n_out = len(arrays[0])
-                elif mask is not None:
+            n_out = None
+            for n in out_names:
+                if n in stored:
+                    n_out = cols[n][0].size
+                    break
+            if n_out is None:  # projection of ONLY the partition key
+                if kernel_mask is not None:
                     from impala_avx2_parquet_scanner_spark.sources.fle_codec import (  # noqa: E501
                         popcount,
                     )
 
-                    n_out = popcount(mask)
+                    n_out = popcount(kernel_mask)
                 else:
                     n_out = seg.n
-                ptype = (
-                    pa.int64() if isinstance(value, int) else pa.string()
-                )
-                arrays.append(pa.array([value] * n_out, type=ptype))
-                names.append(pcol)
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            arrays = []
+            for n in out_names:
+                if n in stored:
+                    vals, valid = cols[n]
+                    arrays.append(
+                        self._column_array(pa, stored[n], vals, valid)
+                    )
+                else:
+                    # constant partition-key column, materialized from
+                    # the directory name — the partition-key literal
+                    # expr of descriptors.h:230-244 (never stored in
+                    # the segments)
+                    value = pvals[idx]
+                    ptype = (
+                        pa.int64() if isinstance(value, int)
+                        else pa.string()
+                    )
+                    arrays.append(pa.array([value] * n_out, type=ptype))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
 def segment_stats(seg: ParsedSegment) -> dict:
@@ -1943,30 +1957,38 @@ class FleDirWriter(DataSourceWriter):
                     pass
 
 
+def probe_first_segment(path: str) -> "ParsedSegment | None":
+    """Parse the first COMMITTED segment of a flat fledir (manifest's
+    first entry) — the one probe both schema inference and the
+    reader's type-directed pushability share.  None when the directory
+    has no readable committed segment."""
+    try:
+        done = os.path.join(path, "_DONE")
+        with open(done) as fh:
+            first = next(
+                ln.partition("\t")[0]
+                for ln in fh.read().splitlines()
+                if ln
+            )
+        with open(os.path.join(path, first), "rb") as fh:
+            return parse_segment(fh.read())
+    except Exception:
+        return None
+
+
 def infer_fledir_schema(path: str) -> str | None:
     """Probe the first committed segment's header for the stored column
     names/kinds → Spark DDL (the footer-schema read the parquet path
     gets for free; here the segment header is the footer)."""
-    def _try(name: str) -> "str | None":
-        try:
-            with open(os.path.join(path, name), "rb") as fh:
-                seg = parse_segment(fh.read())
-            return ", ".join(
-                f"{c.name} {_column_ddl(c)}" for c in seg.columns
-            )
-        except Exception:
-            return None
+    def _ddl(seg: ParsedSegment) -> str:
+        return ", ".join(
+            f"{c.name} {_column_ddl(c)}" for c in seg.columns
+        )
 
     try:
-        done = os.path.join(path, "_DONE")
-        if os.path.exists(done):
-            with open(done) as fh:
-                first = next(
-                    ln.partition("\t")[0]
-                    for ln in fh.read().splitlines()
-                    if ln
-                )
-            return _try(first)
+        if os.path.exists(os.path.join(path, "_DONE")):
+            seg = probe_first_segment(path)
+            return _ddl(seg) if seg is not None else None
         part = discover_fledir_partitions(path)
         if part is not None:
             # hive-style layout: data columns from the first committed
@@ -1982,9 +2004,11 @@ def infer_fledir_schema(path: str) -> str | None:
         # (skip files a foreign producer is mid-writing)
         for name in sorted(os.listdir(path)):
             if name.endswith(".fle"):
-                ddl = _try(name)
-                if ddl:
-                    return ddl
+                try:
+                    with open(os.path.join(path, name), "rb") as fh:
+                        return _ddl(parse_segment(fh.read()))
+                except Exception:
+                    continue
         return None
     except Exception:
         return None

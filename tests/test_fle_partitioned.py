@@ -203,6 +203,89 @@ def test_stream_reader_rejects_partitioned_root(tmp_path):
     FleStreamReader({"path": os.path.join(root, "l_returnflag=A")})
 
 
+def test_reordered_read_schema_maps_by_position(tmp_path):
+    """Spark maps Arrow batch columns POSITIONALLY against the read
+    schema, so batches must follow the user-supplied order — segment
+    order would silently transpose same-typed columns (found by
+    review; regression pin)."""
+    import pytest
+
+    # flat dir with two same-typed columns
+    flat = tmp_path / "flat2"
+    flat.mkdir()
+    payload = encode_segment_columns([
+        ("a", np.array(["a1", "a2"], dtype=object)),
+        ("b", np.array(["b1", "b2"], dtype=object)),
+    ])
+    (flat / "seg_0.fle").write_bytes(payload)
+    (flat / "_DONE").write_text(
+        "seg_0.fle\t"
+        + json.dumps(segment_stats(parse_segment(payload)))
+    )
+    r = FleDirReader({"path": os.fspath(flat)}, wanted=["b", "a"])
+    batch = next(iter(r.read(r.partitions()[0])))
+    assert batch.schema.names == ["b", "a"]
+    assert batch.columns[0].to_pylist() == ["b1", "b2"]
+    assert batch.columns[1].to_pylist() == ["a1", "a2"]
+
+    # partitioned: the key column lands at its REQUESTED position
+    proot = _mk_string_partitioned(tmp_path)
+    r2 = FleDirReader(
+        {"path": proot}, wanted=["l_returnflag", "l_quantity"]
+    )
+    r2.pushed = [("l_returnflag", "eq", "N")]
+    rows = []
+    for part in r2.partitions():
+        for b in r2.read(part):
+            assert b.schema.names == ["l_returnflag", "l_quantity"]
+            rows += list(zip(*[c.to_pylist() for c in b.columns]))
+    assert sorted(rows) == [("N", 10), ("N", 11)]
+
+    # unknown read-schema names fail loudly instead of transposing
+    r3 = FleDirReader({"path": os.fspath(flat)}, wanted=["a", "zz"])
+    with pytest.raises(ValueError, match="zz"):
+        next(iter(r3.read(r3.partitions()[0])))
+
+
+def test_isin_with_null_element_stays_residual(spark, tmp_path):
+    """IN-lists carrying a NULL element have their own three-valued
+    semantics and no code-space peer — the conjunct must stay residual
+    (it previously pushed on int columns and crashed every scan task;
+    found by review; regression pin)."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+    )
+    from impala_avx2_parquet_scanner_spark.session import (
+        ensure_runtime_confs,
+    )
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    flat = tmp_path / "nullin"
+    flat.mkdir()
+    payload = encode_segment_columns(
+        [("q", np.arange(10, dtype=np.int64))]
+    )
+    (flat / "seg_0.fle").write_bytes(payload)
+    (flat / "_DONE").write_text(
+        "seg_0.fle\t"
+        + json.dumps(segment_stats(parse_segment(payload)))
+    )
+    df = (
+        spark.read.format("fledir")
+        .option("path", os.fspath(flat))
+        .load()
+        .filter(F.col("q").isin(1, None, 3))
+    )
+    assert sorted(r.q for r in df.collect()) == [1, 3]
+    # unit level: pushability rejects the NULL element outright
+    r = FleDirReader({"path": os.fspath(flat)})
+    assert not r._literal_pushable("q", "in", (1, None, 3))
+    assert r._literal_pushable("q", "in", (1, 3))
+
+
 def test_spark_e2e_partitioned(spark, sf_dir):
     from pyspark.sql import functions as F
 

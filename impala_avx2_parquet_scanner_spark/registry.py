@@ -43,28 +43,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: prefix so they sort into the driver's window.  Every other query keeps
 #: its plain name and remains covered by tools/parity.py + pytest.
 #:
-#: ROUND-8 ROTATION: keeps the same 15 sentinels as rounds 4-7 (one per §2
-#: family, including every query that was ever driver-red) and swaps in 34
-#: never-driver-hashed queries plus ONE window_-family re-hash
-#: (window_topk_per_group — the never-hashed pool holds no window_ names,
-#: and every §2 family appears in every window): the full TPC-H tail
-#: (q4/q7/q10/q15/q17/q18 — completes driver coverage of all 22 shapes),
-#: the udf pair, the text_* tail, the stock selectivity sweep (the
-#: reference's own published benchmark protocol, README.md:15-22), and the
-#: remaining curation/embedding/events/full-scan stragglers.  Deferred to
-#: round 9 (completes the sweep): scan_full_nation/region/supplier,
-#: scan_fle_multicolumn, scan_fle_stat_pruned, plus round-8 additions.
-#: Over rounds this converts parity-green into driver-green across the
-#: whole registry (ROTATION.md is the ledger; ever-hashed reaches
-#: 262/276 when this round's driver run lands — the 14-name remainder,
-#: scan_full_nation/region/supplier, scan_fle_multicolumn,
-#: scan_fle_stat_pruned, and round-8's fn_char_semantics +
-#: scan_fle_chunk_pruned + scan_fle_signed + scan_fle_double +
-#: scan_fle_temporal + scan_fle_like + scan_fle_negation +
-#: scan_fle_partitioned + scan_fle_count_meta, completes
-#: the sweep in round 9).
+#: ROUND-9 ROTATION (completes the sweep): keeps the same 15 sentinels as
+#: rounds 4-8 (one per §2 family, including every query that was ever
+#: driver-red), takes ALL 14 remaining never-driver-hashed names — the
+#: scan_fle_* typed/pruning/layout family (the engine's re-expression of
+#: the reference's headline feature, fle-encoding.h:7962-8313),
+#: fn_char_semantics (the CHAR/VARCHAR type-edge contract), and the three
+#: tiny-table full scans — and fills the remaining 21 slots with re-hashes
+#: prioritizing (a) plan-changed-since-last-hash (tpch_q13 rewritten r7,
+#: tpch_q2 de-pinned r6), (b) the round-4 first-hash block (oldest
+#: evidence), (c) family representation (every §2 family appears in every
+#: window).  When this round's driver run lands, every one of the
+#: registry's pre-round-9 276 names has driver-grade hash evidence;
+#: rounds 10+ rotate re-hashes only, oldest-hash-first (ROTATION.md is
+#: the ledger and stages the round-10 queue).
 CORE_WINDOW: tuple[str, ...] = (
-    # ---- 15 sentinels retained from the round-4/5/6/7 windows ----
+    # ---- 15 sentinels retained from the round-4..8 windows ----
     "tpch_q1",
     "tpch_q6",
     "pred_eq",
@@ -80,49 +74,48 @@ CORE_WINDOW: tuple[str, ...] = (
     "ann_ivf_topk",
     "multimodal_features",
     "udf_pandas_scalar",
-    # ---- 34 first-hash + 1 re-hash rotated in ----
-    # TPC-H never-hashed tail — completes all 22 shapes driver-hashed
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    # UDF lifecycle pair (row-wise demo + pandas grouped-agg)
-    "udf_grouped_agg",
-    "udf_rowwise",
-    # text_* tail
-    "text_bigram_pmi",
-    "text_bpe_encode",
-    "text_bpe_tokens",
-    "text_entropy",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_rolling_hash",
-    "text_unigram_logprob",
-    "text_vocab",
-    # stock selectivity sweep (reference benchmark protocol)
-    "selectivity_002",
-    "selectivity_010",
-    "selectivity_020",
-    "selectivity_030",
-    "selectivity_050",
-    "selectivity_080",
-    "selectivity_100",
-    # curation / embedding / events / format stragglers
-    "shuffle_deterministic",
-    "scan_avro_temporal",
-    "curate_source_mix",
-    "embedding_outliers",
-    "embedding_pq_codes",
-    "events_interpolate",
-    # full-scan value pins over the larger tables
-    "scan_full_customer",
-    "scan_full_documents",
-    "scan_full_part",
-    # window_-family re-hash (keeps the family represented; first hashed r6)
-    "window_topk_per_group",
+    # ---- 14 first-hash: the complete never-hashed pool ----
+    # scan_fle_* — typed kernels, stats tiers, layout features
+    "scan_fle_multicolumn",
+    "scan_fle_stat_pruned",
+    "scan_fle_chunk_pruned",
+    "scan_fle_signed",
+    "scan_fle_double",
+    "scan_fle_temporal",
+    "scan_fle_like",
+    "scan_fle_negation",
+    "scan_fle_partitioned",
+    "scan_fle_count_meta",
+    # CHAR/VARCHAR semantics contract
+    "fn_char_semantics",
+    # tiny-table full-scan value pins
+    "scan_full_nation",
+    "scan_full_region",
+    "scan_full_supplier",
+    # ---- 21 re-hash ----
+    # plan changed since last driver hash
+    "tpch_q13",
+    "tpch_q2",
+    # round-4 first-hash block (oldest evidence), family-balanced
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "pred_ge",
+    "pred_is_null",
+    "pred_le",
+    "scan_partition_pruned",
+    "agg_grouping_sets",
+    "dedup_semantic",
+    "events_ab_lift",
+    "fn_datearith",
+    "fn_decimal",
+    "graph_pagerank",
+    "join_scd2_pit",
+    "merge_cdc_snapshot",
+    "multimodal_frame_dedup",
+    "set_intersect_all",
+    "window_gaps_islands",
+    "text_bpe_train",
 )
 
 _EXPORT_PREFIX = "a0_"

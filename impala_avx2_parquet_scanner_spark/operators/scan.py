@@ -1251,6 +1251,193 @@ def scan_fle_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_DICT_FALLBACK_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(text) AS min_text,
+       MAX(text) AS max_text
+FROM documents
+WHERE lang = 'en' AND text LIKE '%the%' AND n_chars >= 120
+GROUP BY source
+"""
+
+
+@query(
+    "scan_fle_dict_fallback",
+    oracle=_FLE_DICT_FALLBACK_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "string"),
+)
+def scan_fle_dict_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality strings on the FLE container (round 9): the
+    documents table's near-unique free-text column is stored through
+    the PLAIN byte-array kind — the reference writer's dictionary
+    fallback (MAX_DICTIONARY_ENTRIES = 2^16-1,
+    hdfs-parquet-table-writer.cc:59; fallback flush 466-620).  Without
+    it a near-unique column (URLs, doc bodies) would bloat every
+    segment with a dictionary the size of the data, and past 65535
+    distinct values the u16 code domain could not represent it at all
+    (the encoder falls back automatically at the cap, test-pinned;
+    this materializer hints the text column plain up front, the call a
+    writer makes for known free-text).  Predicate split: `lang = 'en'`
+    pushes as a dictionary-code kernel and `n_chars >= 120` as an int
+    plane kernel, while `text LIKE '%the%'` stays RESIDUAL — plain
+    sections have no dictionary to evaluate against and no code space,
+    so Spark re-checks it after the scan (the documented contract).
+    min/max(text) in the aggregate pin the decoded plain bytes
+    end-to-end against the DuckDB oracle's raw parquet replay."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_docs_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_docs_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("lang") == "en")
+            & F.col("text").contains("the")
+            & (F.col("n_chars") >= 120)
+        )
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
+
+
+_FLE_EVOLUTION_ORACLE = """
+WITH stored AS (
+  SELECT l_returnflag,
+         l_linestatus,
+         NULLIF(CAST(l_quantity AS BIGINT), 10) AS l_quantity,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(NULL AS DOUBLE) AS l_bonus
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(COUNT(l_bonus) AS BIGINT) AS n_bonus,
+       CAST(SUM(COALESCE(l_bonus, 1.0)) AS DOUBLE) AS sum_bonus1
+FROM stored
+WHERE l_linestatus = 'F' AND l_quantity >= 25
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_schema_evolution",
+    oracle=_FLE_EVOLUTION_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "schema-evolution"),
+)
+def scan_fle_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPT-IN fledir schema evolution (round 9): the read schema
+    declares `l_bonus double`, a column stored in NO committed segment
+    — with option `schemaEvolution=true` the reader materializes it as
+    typed NULLs, the reference's missing-column template-tuple NULL
+    (hdfs-parquet-scanner.cc:1437-1445), mirroring the parquet path's
+    `scan_schema_evolution`.  The decision is made on the DRIVER from
+    the manifests' per-segment stats keys (zero segment bytes): absent
+    everywhere → NULL-fill; present in only SOME segments → loud error
+    (heterogeneous segment schemas stay outside the contract, and a
+    bare typo without the option still fails loudly).  Predicates on
+    the evolved column never push (no kernels, no stats); the pushed
+    linestatus/quantity conjuncts still run as code kernels on the
+    stored columns.  COUNT(l_bonus)=0 and SUM(COALESCE(l_bonus,1))
+    pin both the NULL-ness and the declared double type against the
+    oracle's explicit CAST(NULL AS DOUBLE)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_multi_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_multi_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .schema(
+            "l_returnflag string, l_linestatus string, "
+            "l_quantity bigint, l_linenumber bigint, l_bonus double"
+        )
+        .option("path", path)
+        .option("schemaEvolution", "true")
+        .load()
+        .filter(
+            (F.col("l_linestatus") == "F") & (F.col("l_quantity") >= 25)
+        )
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("l_bonus").alias("n_bonus"),
+        F.sum(F.coalesce(F.col("l_bonus"), F.lit(1.0))).alias(
+            "sum_bonus1"
+        ),
+    )
+
+
+_FLE_PARTITIONED_MULTI_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln
+FROM lineitem
+WHERE l_returnflag IN ('N', 'R')
+  AND l_linestatus = 'O'
+  AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 40
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "scan_fle_partitioned_multi",
+    oracle=_FLE_PARTITIONED_MULTI_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "layout"),
+)
+def scan_fle_partitioned_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL hive-style partitioned fledir (round 9): lineitem as
+    ``l_returnflag=X/l_linestatus=Y/`` nested directories — the
+    reference's clustering columns are PLURAL (num_clustering_cols,
+    descriptors.h:154-162), so partition pruning must consume
+    conjuncts on EVERY key level.  The pushed IN ('N','R') and
+    `= 'O'` conjuncts prune 4 of the 6 leaves on the DRIVER before
+    any manifest is read; the quantity range then prunes files via
+    each kept leaf's manifest stats (quantity-sorted layout), and the
+    reader materializes BOTH key columns as constants from the
+    directory names.  A root mixing different key names at one level
+    errors with the layout rule instead of scanning as flat (round-8
+    review item).  The DuckDB oracle replays from the flat parquet
+    rows — a leaf mispruned on either key flips group counts."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_two_key_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_two_key_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            F.col("l_returnflag").isin("N", "R")
+            & (F.col("l_linestatus") == "O")
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_linenumber").alias("sum_ln"),
+    )
+
+
 _METADATA_COLS_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -147,6 +147,21 @@ _KIND_BOOL = 6
 #: literals with MORE fractional digits than s translate exactly via
 #: floor/ceil bounds (x < 10.005 on scale 2 ⇔ code < ceil(1000.5))
 _KIND_DEC = 7
+#: PLAIN byte-array string column: u32 offsets + raw UTF-8 bytes, no
+#: dictionary and no plane words — the reference writer's PLAIN
+#: fallback when a dictionary stops paying for itself
+#: (hdfs-parquet-table-writer.cc:59's MAX_DICTIONARY_ENTRIES cap,
+#: fallback flush 466-620).  String predicates on this kind stay
+#: RESIDUAL (Spark re-evaluates them after the scan) — there is no
+#: dictionary to evaluate them against and no code space for the
+#: kernels; IS [NOT] NULL still rides the validity words, and the
+#: manifest keeps value-space min/max for driver-side file pruning
+_KIND_STR_PLAIN = 8
+#: the dictionary code domain is u16 in this container (dict_size and
+#: entry lengths serialize as u16) — the same 2^16-1 cap the reference
+#: writer enforces before falling back to PLAIN
+#: (hdfs-parquet-table-writer.cc:59)
+MAX_DICTIONARY_ENTRIES = 0xFFFF
 #: blocks per stats chunk: 16 blocks = 1024 values per (min, max) pair —
 #: fine enough that a selective range predicate on sorted/clustered data
 #: refutes most of a segment, coarse enough that the footer stays ~0.2%
@@ -518,6 +533,50 @@ def _encode_dict_column(values: np.ndarray) -> tuple[
     return codes.astype(np.uint64), valid, dict_list, width, nullable
 
 
+def _encode_plain_str_column(values: np.ndarray) -> tuple[
+    np.ndarray, bytes, np.ndarray, bool
+]:
+    """→ (valid bool, raw utf-8 bytes, offsets u32[n+1], nullable) for a
+    PLAIN byte-array string column.  NULL lanes contribute zero bytes
+    (offset[i] == offset[i+1]); total bytes per segment must fit u32 —
+    segments are one Arrow batch, far below 4 GiB in practice, and the
+    encoder refuses larger rather than wrapping."""
+    vals = np.asarray(values, dtype=object)
+    valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
+    chunks: list[bytes] = []
+    offsets = np.zeros(vals.size + 1, dtype=np.uint32)
+    pos = 0
+    for i in range(vals.size):
+        if valid[i]:
+            raw = str(vals[i]).encode("utf-8")
+            chunks.append(raw)
+            pos += len(raw)
+            if pos > 0xFFFFFFFF:
+                raise ValueError(
+                    "fledir: plain string section exceeds 4 GiB in one "
+                    "segment — write smaller batches"
+                )
+        offsets[i + 1] = pos
+    return valid, b"".join(chunks), offsets, bool((~valid).any())
+
+
+def _plain_str_values(c: "ParsedColumn", n: int) -> np.ndarray:
+    """PLAIN string section → object ndarray of str/None (zero-copy
+    through an Arrow StringArray; the validity mask is applied by the
+    caller, this returns every lane's bytes as text)."""
+    import pyarrow as pa
+
+    if n == 0:
+        return np.empty(0, dtype=object)
+    arr = pa.Array.from_buffers(
+        pa.string(), n,
+        [None,
+         pa.py_buffer(c.str_offsets[: n + 1].astype("<i4").tobytes()),
+         pa.py_buffer(c.str_data)],
+    )
+    return np.asarray(arr.to_pandas(), dtype=object)
+
+
 def _chunk_min_max(
     codes: np.ndarray, valid: np.ndarray, n_blocks: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -559,7 +618,7 @@ def _infer_kind(name: str, vals: np.ndarray, hint) -> tuple[int, tuple]:
         return {
             "int": _KIND_INT, "dict": _KIND_DICT, "offset": _KIND_OFFSET,
             "f64": _KIND_F64, "ts": _KIND_TS, "date": _KIND_DATE,
-            "bool": _KIND_BOOL,
+            "bool": _KIND_BOOL, "str_plain": _KIND_STR_PLAIN,
         }[hint], ()
     if vals.dtype.kind == "M":
         return _KIND_TS, ()
@@ -622,7 +681,7 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
     n = int(np.asarray(columns[0][1]).size)
     parts: list[bytes] = []
     chunk_sections: list[bytes] = []
-    n_blocks = None
+    n_blocks = (n + 63) // 64
     for entry in columns:
         name, values = entry[0], entry[1]
         hint = entry[2] if len(entry) > 2 else None
@@ -636,7 +695,41 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
             codes, valid, dictionary, width, nullable = (
                 _encode_dict_column(vals)
             )
-        elif kind == _KIND_OFFSET:
+            if len(dictionary) > MAX_DICTIONARY_ENTRIES:
+                # the reference writer's cap-triggered PLAIN fallback
+                # (hdfs-parquet-table-writer.cc:59,466-620): a
+                # near-unique string column would otherwise bloat every
+                # segment with a dictionary the size of the data — and
+                # the u16 code domain cannot index it at all
+                if hint == "dict":
+                    raise ValueError(
+                        f"fledir: column {name!r} has "
+                        f"{len(dictionary)} distinct values — the "
+                        f"dictionary kind caps at "
+                        f"{MAX_DICTIONARY_ENTRIES} (drop the 'dict' "
+                        "hint to allow the plain-string fallback)"
+                    )
+                kind = _KIND_STR_PLAIN
+        if kind == _KIND_STR_PLAIN:
+            valid, str_data, str_offsets, nullable = (
+                _encode_plain_str_column(vals)
+            )
+            raw_name = name.encode("utf-8")
+            sec = [struct.pack("<H", len(raw_name)), raw_name,
+                   struct.pack("<BB", kind, 1 if nullable else 0)]
+            if nullable:
+                sec.append(np.ascontiguousarray(
+                    pack_validity(valid), "<u8").tobytes())
+            sec.append(struct.pack("<I", len(str_data)))
+            sec.append(
+                np.ascontiguousarray(str_offsets, "<u4").tobytes()
+            )
+            sec.append(str_data)
+            parts.append(b"".join(sec))
+            # plain sections carry no code space → no chunk stats
+            chunk_sections.append(struct.pack("<I", 0))
+            continue
+        if kind == _KIND_OFFSET:
             codes, valid, base, width, nullable = _encode_offset_column(
                 name, vals
             )
@@ -659,10 +752,11 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
             codes, valid, base, width, nullable = _encode_dec_column(
                 name, vals, dec_meta[0], dec_meta[1]
             )
-        else:
+        elif kind != _KIND_DICT:
             codes, valid, width, nullable = _encode_int_column(name, vals)
         planes, pn = fle_pack(codes, width)
         assert pn == n
+        assert planes.shape[0] == n_blocks
         raw_name = name.encode("utf-8")
         sec = [struct.pack("<H", len(raw_name)), raw_name,
                struct.pack("<BB", kind, 1 if nullable else 0)]
@@ -688,8 +782,6 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
             sec.append(struct.pack("<BB", dec_meta[0], dec_meta[1]))
         sec.append(struct.pack("<B", width))
         sec.append(np.ascontiguousarray(planes, "<u8").tobytes())
-        if n_blocks is None:
-            n_blocks = planes.shape[0]
         parts.append(b"".join(sec))
         mins, maxs = _chunk_min_max(codes, valid, planes.shape[0])
         chunk_sections.append(
@@ -697,9 +789,7 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
             + np.ascontiguousarray(mins, "<u8").tobytes()
             + np.ascontiguousarray(maxs, "<u8").tobytes()
         )
-    header = _MAGIC + struct.pack(
-        "<IIH", n, n_blocks if n_blocks is not None else 0, len(columns)
-    )
+    header = _MAGIC + struct.pack("<IIH", n, n_blocks, len(columns))
     footer = (
         _STATS_MAGIC
         + struct.pack("<HH", _CHUNK_BLOCKS, len(columns))
@@ -731,6 +821,9 @@ class ParsedColumn:
     base: int = 0
     precision: int = 0  # kind 7 only
     scale: int = 0  # kind 7 only
+    #: kind 8 only: u32 value-boundary offsets (n+1) + raw utf-8 bytes
+    str_offsets: "np.ndarray | None" = None
+    str_data: bytes = b""
 
 
 @dataclass
@@ -792,6 +885,20 @@ def parse_segment(payload: bytes) -> ParsedSegment:
         if kind == _KIND_DEC:
             precision, scale = struct.unpack_from("<BB", payload, off)
             off += 2
+        if kind == _KIND_STR_PLAIN:
+            (data_len,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            str_offsets = np.frombuffer(payload, "<u4", n + 1, off)
+            off += 4 * (n + 1)
+            str_data = payload[off:off + data_len]
+            off += data_len
+            cols.append(ParsedColumn(
+                name=name, kind=kind, nullable=bool(nullable),
+                validity=validity, dictionary=None, width=0,
+                planes=np.zeros((n_blocks, 0), dtype=np.uint64),
+                str_offsets=str_offsets, str_data=str_data,
+            ))
+            continue
         (width,) = struct.unpack_from("<B", payload, off)
         off += 1
         words = n_blocks * width
@@ -861,9 +968,12 @@ def decode_segment_columns(
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if mask is None:
         for c in decode_cols:
-            codes = fle_unpack(c.planes, c.width, seg.n)
             valid = _lane_validity(c, seg.n)
-            vals = _codes_to_values(c, codes, seg.n)
+            if c.kind == _KIND_STR_PLAIN:
+                vals = _plain_str_values(c, seg.n)
+            else:
+                codes = fle_unpack(c.planes, c.width, seg.n)
+                vals = _codes_to_values(c, codes, seg.n)
             out[c.name] = (vals, valid)
         return out
 
@@ -878,12 +988,26 @@ def decode_segment_columns(
         if live.size == 0:
             empty_dtype = {
                 _KIND_DICT: object,
+                _KIND_STR_PLAIN: object,
                 _KIND_F64: np.float64,
                 _KIND_BOOL: bool,
             }.get(c.kind, np.int64)
             out[c.name] = (
                 np.empty(0, dtype=empty_dtype), np.empty(0, dtype=bool)
             )
+            continue
+        if c.kind == _KIND_STR_PLAIN:
+            # byte-array sections have no plane words to skip; map the
+            # surviving lanes to GLOBAL row indices and slice the
+            # zero-copy string array (kernel masks never constrain a
+            # plain column, but masks from OTHER columns subset it)
+            gidx = (
+                live[:, None].astype(np.int64) * 64
+                + np.arange(64, dtype=np.int64)
+            ).ravel()[keep]
+            all_vals = _plain_str_values(c, seg.n)
+            all_valid = _lane_validity(c, seg.n)
+            out[c.name] = (all_vals[gidx], all_valid[gidx])
             continue
         codes = fle_unpack(c.planes[live], c.width, n_sub)[keep]
         if c.validity is None:
@@ -943,43 +1067,90 @@ class _FleFilesPartition(InputPartition):
         self.part_values = part_values
 
 
-def discover_fledir_partitions(path: str) -> "tuple[str, list[tuple]] | None":
-    """Detect a HIVE-STYLE PARTITIONED fledir: the root holds
-    ``col=value/`` subdirectories (each a committed fledir with its own
-    `_DONE` manifest) instead of a root manifest — the
-    HdfsPartitionDescriptor model (descriptors.h:178-262: per-partition
-    location + partition-key literal) for this container.  Returns
-    (partition_column, [(typed_value, subdir_abs_path), ...]) sorted by
-    value, or None for a flat directory.  Values type as int when every
-    directory parses as one, else string (the two key types the
-    synthetic tables use)."""
+def _typed_partition_value(v: str):
+    """Directory spelling → typed partition value.  Ints only when the
+    spelling ROUND-TRIPS (str(int(v)) == v): a code-like key '01' stays
+    the string '01' instead of silently collapsing to 1 — losing the
+    spelling would both corrupt the column value and break re-discovery
+    of the directory."""
+    try:
+        i = int(v)
+    except ValueError:
+        return v
+    return i if str(i) == v else v
+
+
+def discover_fledir_partitions(
+    path: str,
+) -> "tuple[list[str], list[tuple[tuple, str]]] | None":
+    """Detect a HIVE-STYLE PARTITIONED fledir: the root holds nested
+    ``col1=value/[col2=value/...]`` subdirectories (each leaf a
+    committed fledir with its own `_DONE` manifest) instead of a root
+    manifest — the HdfsPartitionDescriptor model (descriptors.h:178-262:
+    per-partition location + partition-key literals;
+    `num_clustering_cols` is PLURAL, descriptors.h:154-162, so multiple
+    nested keys are first-class).  Returns
+    ([key_col, ...], [((typed_value, ...), leaf_abs_path), ...]) sorted
+    by value tuple, or None for a flat directory.  A level mixing
+    different key names raises with the layout rule — scanning such a
+    root as flat would silently find zero segments."""
     if os.path.exists(os.path.join(path, "_DONE")):
         return None
-    try:
-        entries = sorted(os.listdir(path))
-    except OSError:
-        return None
-    pairs = []
-    col = None
-    for e in entries:
-        sub = os.path.join(path, e)
-        if "=" not in e or not os.path.isdir(sub):
-            continue
-        k, _, v = e.partition("=")
+
+    def walk(root: str) -> "tuple[list[str], list[tuple[tuple, str]]] | None":
+        try:
+            entries = sorted(os.listdir(root))
+        except OSError:
+            return None
+        col = None
+        kv: list[tuple[str, str]] = []
+        for e in entries:
+            sub = os.path.join(root, e)
+            if "=" not in e or not os.path.isdir(sub):
+                continue
+            k, _, v = e.partition("=")
+            if col is None:
+                col = k
+            elif k != col:
+                raise ValueError(
+                    f"fledir: {root} mixes partition keys {col!r} and "
+                    f"{k!r} at one directory level — a partitioned "
+                    "fledir nests one key per level "
+                    "(col1=value/col2=value/...)"
+                )
+            kv.append((v, sub))
         if col is None:
-            col = k
-        elif k != col:
-            return None  # mixed keys: not a partitioned layout
-        if not os.path.exists(os.path.join(sub, "_DONE")):
-            continue  # uncommitted partition: invisible
-        pairs.append((v, sub))
-    if col is None or not pairs:
-        return None
-    try:
-        typed = sorted((int(v), sub) for v, sub in pairs)
-    except ValueError:
-        typed = sorted(pairs)
-    return col, typed
+            return None
+        # typing is PER LEVEL: every directory value must round-trip as
+        # int for the key to type int, else the whole key stays string
+        # (mixed types in one column would be unsortable and wrong)
+        tvs = [_typed_partition_value(v) for v, _ in kv]
+        if not all(isinstance(t, int) for t in tvs):
+            tvs = [v for v, _ in kv]
+        cols: "list[str] | None" = None
+        pairs: list[tuple[tuple, str]] = []
+        for tv, (v, sub) in zip(tvs, kv):
+            if os.path.exists(os.path.join(sub, "_DONE")):
+                sub_cols, sub_pairs = [], [((), sub)]
+            else:
+                nested = walk(sub)
+                if nested is None:
+                    continue  # uncommitted / empty branch: invisible
+                sub_cols, sub_pairs = nested
+            if cols is None:
+                cols = sub_cols
+            elif cols != sub_cols:
+                raise ValueError(
+                    f"fledir: {sub} nests partition keys {sub_cols} "
+                    f"but a sibling nests {cols} — every branch of a "
+                    "partitioned fledir must use the same key levels"
+                )
+            pairs.extend(((tv, *rest), leaf) for rest, leaf in sub_pairs)
+        if not pairs:
+            return None
+        return [col, *(cols or [])], sorted(pairs)
+
+    return walk(path)
 
 
 _PUSHABLE_OPS = {
@@ -1004,7 +1175,8 @@ _PUSHABLE_OPS = {
 
 
 class FleDirReader(DataSourceReader):
-    def __init__(self, options, wanted: "list[str] | None" = None):
+    def __init__(self, options, wanted: "list[str] | None" = None,
+                 field_types: "dict | None" = None):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
@@ -1014,6 +1186,9 @@ class FleDirReader(DataSourceReader):
         #: have their KERNELS evaluated (mask work needs no decode) —
         #: only the decode + Arrow materialization is pruned.
         self.wanted = wanted
+        #: read-schema name → Spark DataType (drives evolved-NULL typing
+        #: and partition-key type coercion)
+        self.field_types = field_types or {}
         #: accepted conjuncts [(column, op, value)] — evaluated as
         #: bit-sliced kernels ON THE ENCODED PLANES in read(), before
         #: any decode (the reference's defining behavior:
@@ -1023,12 +1198,112 @@ class FleDirReader(DataSourceReader):
         #: (hdfs-parquet-scanner.cc:1410-1451)
         self.pushed: list[tuple[str, str, object]] = []
         self._kinds_cache: "dict[str, ParsedColumn] | None" = None
-        #: hive-style partitioned layout: (partition_col, [(value,
-        #: subdir), ...]) — None for a flat directory.  Conjuncts on
-        #: the partition column are consumed ENTIRELY on the driver
-        #: (partition pruning, descriptors.h:178-262's partition-key
-        #: literal exprs) and never reach the segment kernels.
+        #: hive-style partitioned layout: ([key_col, ...],
+        #: [((value, ...), leaf_dir), ...]) — None for a flat
+        #: directory.  Conjuncts on any partition column are consumed
+        #: ENTIRELY on the driver (partition pruning,
+        #: descriptors.h:178-262's partition-key literal exprs;
+        #: num_clustering_cols plural per descriptors.h:154-162) and
+        #: never reach the segment kernels.
         self.partitioned = discover_fledir_partitions(self.dir)
+        self._coerce_partition_types()
+        #: OPT-IN schema evolution (option schemaEvolution=true): a
+        #: read-schema column absent from EVERY committed segment
+        #: materializes as typed NULLs — the reference's missing-column
+        #: template-tuple NULL (hdfs-parquet-scanner.cc:1437-1445).  A
+        #: column present in only SOME segments still fails loudly:
+        #: heterogeneous segment schemas stay outside the contract.
+        self.evolved: set[str] = set()
+        evolve = str(
+            options.get("schemaevolution", "false")
+        ).lower() in ("true", "1")
+        if evolve and wanted:
+            self.evolved = self._evolved_columns(wanted)
+
+    def _coerce_partition_types(self) -> None:
+        """Honor a user read schema's declared partition-key type: a
+        digit-spelled string key declared `string` must not surface as
+        bigint (and vice versa where the spelling allows it)."""
+        if self.partitioned is None or not self.field_types:
+            return
+        cols, pairs = self.partitioned
+        casts = []
+        for ki, col in enumerate(cols):
+            dt = self.field_types.get(col)
+            tname = dt.simpleString() if dt is not None else None
+            have_int = pairs and isinstance(pairs[0][0][ki], int)
+            if tname == "string" and have_int:
+                casts.append((ki, str))
+            elif tname in ("bigint", "int", "smallint") and not have_int:
+                casts.append((ki, int))  # raises below if unparseable
+        if not casts:
+            return
+        new_pairs = []
+        for values, leaf in pairs:
+            vals = list(values)
+            for ki, conv in casts:
+                try:
+                    vals[ki] = conv(vals[ki])
+                except ValueError:
+                    raise ValueError(
+                        f"fledir: partition directory value "
+                        f"{values[ki]!r} of key {cols[ki]!r} does not "
+                        f"parse as the declared read-schema type"
+                    ) from None
+            new_pairs.append((tuple(vals), leaf))
+        self.partitioned = (cols, sorted(new_pairs))
+
+    def _evolved_columns(self, wanted: list[str]) -> set[str]:
+        """Read-schema names stored in NO committed segment (evolved →
+        NULL-fill) — decided from the manifests' per-segment stats keys
+        (zero segment bytes).  A name stored in SOME but not ALL
+        segments raises.  Manifest entries without stats fall back to
+        the first-segment probe (strict: only its columns count as
+        stored)."""
+        import json as _json
+
+        roots = (
+            [leaf for _, leaf in self.partitioned[1]]
+            if self.partitioned is not None
+            else [self.dir]
+        )
+        pcols = set(self.partitioned[0]) if self.partitioned else set()
+        union: set[str] = set()
+        inter: "set[str] | None" = None
+        complete = True
+        for root in roots:
+            for _, stats_json in _manifest_entries(root):
+                cols = None
+                if stats_json:
+                    try:
+                        cols = {
+                            k for k in _json.loads(stats_json)
+                            if k != "__rows__"
+                        }
+                    except ValueError:
+                        cols = None
+                if cols is None:
+                    complete = False
+                    continue
+                union |= cols
+                inter = cols if inter is None else inter & cols
+        if not complete or inter is None:
+            probed = set(self._column_kinds())
+            union |= probed
+            inter = probed if inter is None else inter & probed
+        out = set()
+        for name in wanted:
+            if name in pcols or name in inter:
+                continue
+            if name in union:
+                raise ValueError(
+                    f"fledir: column {name!r} is stored in some "
+                    "segments but not all — heterogeneous segment "
+                    "schemas are not supported (schema evolution only "
+                    "NULL-fills columns absent from every segment)"
+                )
+            out.add(name)
+        return out
 
     def _column_kinds(self) -> "dict[str, ParsedColumn]":
         """Probe the first committed segment's header for column kinds
@@ -1087,14 +1362,20 @@ class FleDirReader(DataSourceReader):
         import datetime as _dtm
         import decimal as _decm
 
-        if self.partitioned is not None and col == self.partitioned[0]:
+        if col in self.evolved:
+            # evolved NULL-fill column: no kernels, no stats — every
+            # predicate stays residual (Spark evaluates it against the
+            # NULL constant)
+            return False
+        if self.partitioned is not None and col in self.partitioned[0]:
             # partition-key conjuncts are evaluated EXACTLY on the
             # driver (typed Python values), so anything evaluable
             # pushes: numerics (fractional included — int-vs-float
             # compares are exact in Python) on int keys, strings +
             # LIKE shapes on string keys.  NaN stays residual (Spark
             # orders NaN greatest; Python compares it False).
-            int_key = isinstance(self.partitioned[1][0][0], int)
+            ki = self.partitioned[0].index(col)
+            int_key = isinstance(self.partitioned[1][0][0][ki], int)
 
             def pok(v) -> bool:
                 if int_key:
@@ -1145,6 +1426,12 @@ class FleDirReader(DataSourceReader):
                 return isinstance(v, (int, np.integer))
             if kind == _KIND_DICT:
                 return isinstance(v, str)
+            if kind == _KIND_STR_PLAIN:
+                # no dictionary to evaluate against, no code space for
+                # the kernels: every value comparison stays RESIDUAL
+                # (the reference's PLAIN pages are filtered row-by-row
+                # too); only the validity-word predicates push
+                return False
             # int/offset planes (or unknown column): integral only.
             # A None element (IN-lists can carry one) stays residual —
             # int(None) has no code-space peer, and SQL gives NULL-in-
@@ -1319,9 +1606,9 @@ class FleDirReader(DataSourceReader):
 
         cols = {c.name: c for c in seg.columns}
         col_idx = {c.name: i for i, c in enumerate(seg.columns)}
-        part_col = self.partitioned[0] if self.partitioned else None
+        part_cols = set(self.partitioned[0]) if self.partitioned else set()
         for col_name, op, value in self.pushed:
-            if col_name == part_col:
+            if col_name in part_cols:
                 continue  # consumed on the driver (partition pruning)
             c = cols.get(col_name)
             if c is None:
@@ -1366,6 +1653,19 @@ class FleDirReader(DataSourceReader):
         non-nullable column) returns the full valid-lane mask so
         negation stays well-defined."""
         zeros = np.zeros(seg.n_blocks, dtype=np.uint64)
+        if c.kind == _KIND_STR_PLAIN:
+            # plain byte-array sections have no planes: only the
+            # validity-word predicates ever reach here (pushability
+            # keeps value comparisons residual)
+            if op == "is_not_null":
+                return self._valid_lane_mask(seg, c)
+            if op == "is_null" or (op == "eqns" and value is None):
+                return self._full_lane_mask(seg) & ~self._valid_lane_mask(
+                    seg, c
+                )
+            raise AssertionError(
+                f"fledir: op {op!r} cannot run on a plain string section"
+            )
         if op == "eqns":
             # null-safe equality: <=> NULL matches exactly the NULL
             # rows; a non-null literal matches like eq (the eq kernel
@@ -1620,19 +1920,21 @@ class FleDirReader(DataSourceReader):
 
     def partitions(self):
         if self.partitioned is not None:
-            pcol, pairs = self.partitioned
+            pcols, pairs = self.partitioned
             pconjs = [
-                (op, v) for c2, op, v in self.pushed if c2 == pcol
+                (pcols.index(c2), op, v)
+                for c2, op, v in self.pushed
+                if c2 in pcols
             ]
             tagged: list[tuple[str, object]] = []
-            for value, sub in pairs:
+            for values, sub in pairs:
                 if not all(
-                    self._part_filter_keep(value, op, v)
-                    for op, v in pconjs
+                    self._part_filter_keep(values[ki], op, v)
+                    for ki, op, v in pconjs
                 ):
                     continue  # whole PARTITION pruned: no manifest read
                 for name in self._manifest_files(sub):
-                    tagged.append((os.path.join(sub, name), value))
+                    tagged.append((os.path.join(sub, name), values))
             buckets: list[list[tuple[str, object]]] = [
                 [] for _ in range(min(self.n_parts, max(len(tagged), 1)))
             ]
@@ -1659,7 +1961,7 @@ class FleDirReader(DataSourceReader):
     def _column_array(pa, c: ParsedColumn, vals, valid):
         """One decoded column → its Arrow array (kind-typed)."""
         null_mask = ~valid if c.nullable else None
-        if c.kind == _KIND_DICT:
+        if c.kind in (_KIND_DICT, _KIND_STR_PLAIN):
             return pa.array(vals, type=pa.string(), mask=null_mask)
         if c.kind == _KIND_F64:
             return pa.array(vals, type=pa.float64(), mask=null_mask)
@@ -1689,10 +1991,33 @@ class FleDirReader(DataSourceReader):
             )
         return pa.array(vals, type=pa.int64(), mask=null_mask)
 
+    def _pa_evolved_type(self, pa, name: str):
+        """Arrow type of an evolved NULL column, from the declared read
+        schema (the template-tuple slot type,
+        hdfs-parquet-scanner.cc:1437-1445)."""
+        dt = self.field_types.get(name)
+        tname = dt.simpleString() if dt is not None else "string"
+        if tname.startswith("decimal("):
+            p, s = tname[8:-1].split(",")
+            return pa.decimal128(int(p), int(s))
+        return {
+            "string": pa.string(),
+            "bigint": pa.int64(),
+            "int": pa.int32(),
+            "smallint": pa.int16(),
+            "tinyint": pa.int8(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us"),
+            "date": pa.date32(),
+            "binary": pa.binary(),
+        }.get(tname, pa.string())
+
     def read(self, partition):
         import pyarrow as pa
 
-        pcol = self.partitioned[0] if self.partitioned else None
+        pcols = self.partitioned[0] if self.partitioned else []
         pvals = getattr(partition, "part_values", None) or []
         for idx, path in enumerate(partition.paths):
             with open(path, "rb") as fh:
@@ -1707,18 +2032,34 @@ class FleDirReader(DataSourceReader):
             # batch columns follow the USER-SUPPLIED read-schema order
             # when one exists — Spark maps Arrow columns positionally,
             # so segment order would silently transpose a reordered
-            # schema's data.  Unknown names fail loudly.
+            # schema's data.  Unknown names fail loudly unless schema
+            # evolution declared them evolved (NULL-fill).
             if self.wanted is None:
                 out_names = [c.name for c in seg.columns]
-                if pcol is not None:
-                    out_names.append(pcol)
+                out_names.extend(pcols)
             else:
                 out_names = list(self.wanted)
                 for name in out_names:
-                    if name not in stored and name != pcol:
+                    if (
+                        name not in stored
+                        and name not in pcols
+                        and name not in self.evolved
+                    ):
                         raise ValueError(
                             f"fledir: read schema references column "
-                            f"{name!r} not present in the directory"
+                            f"{name!r} not present in the directory "
+                            "(pass schemaEvolution=true to NULL-fill "
+                            "columns absent from every segment)"
+                        )
+                    if name in self.evolved and name in stored:
+                        # evolution decided driver-side from manifests;
+                        # a segment that DOES store the column means
+                        # the directory is heterogeneous
+                        raise ValueError(
+                            f"fledir: column {name!r} was NULL-filled "
+                            "as evolved but a segment stores it — "
+                            "heterogeneous segment schemas are not "
+                            "supported"
                         )
             cols = decode_segment_columns(
                 seg, mask=kernel_mask,
@@ -1729,7 +2070,7 @@ class FleDirReader(DataSourceReader):
                 if n in stored:
                     n_out = cols[n][0].size
                     break
-            if n_out is None:  # projection of ONLY the partition key
+            if n_out is None:  # only partition-key / evolved columns
                 if kernel_mask is not None:
                     from impala_avx2_parquet_scanner_spark.sources.fle_codec import (  # noqa: E501
                         popcount,
@@ -1745,17 +2086,24 @@ class FleDirReader(DataSourceReader):
                     arrays.append(
                         self._column_array(pa, stored[n], vals, valid)
                     )
-                else:
+                elif n in pcols:
                     # constant partition-key column, materialized from
                     # the directory name — the partition-key literal
                     # expr of descriptors.h:230-244 (never stored in
                     # the segments)
-                    value = pvals[idx]
+                    value = pvals[idx][pcols.index(n)]
                     ptype = (
                         pa.int64() if isinstance(value, int)
                         else pa.string()
                     )
                     arrays.append(pa.array([value] * n_out, type=ptype))
+                else:
+                    # evolved column: typed NULLs (the missing-column
+                    # template-tuple NULL, hdfs-parquet-scanner.cc:
+                    # 1437-1445)
+                    arrays.append(
+                        pa.nulls(n_out, type=self._pa_evolved_type(pa, n))
+                    )
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
@@ -1782,6 +2130,16 @@ def segment_stats(seg: ParsedSegment) -> dict:
         has_null = n_valid < seg.n
         if n_valid == 0:
             out[c.name] = {"min": None, "max": None, "has_null": has_null}
+            continue
+        if c.kind == _KIND_STR_PLAIN:
+            # no code space: min/max read the raw byte-array section
+            # (still write-time work — the reader never recomputes them)
+            vals = _plain_str_values(c, seg.n)
+            lv = _lane_validity(c, seg.n)
+            sub = vals[lv]
+            out[c.name] = {
+                "min": min(sub), "max": max(sub), "has_null": has_null,
+            }
             continue
         if c.kind == _KIND_DICT:
             # order-preserving dictionary: value order == code order, so
@@ -1992,14 +2350,20 @@ def infer_fledir_schema(path: str) -> str | None:
         part = discover_fledir_partitions(path)
         if part is not None:
             # hive-style layout: data columns from the first committed
-            # partition's first segment + the partition key LAST (the
-            # Spark partition-column convention)
-            pcol, pairs = part
+            # partition's first segment + the partition keys LAST in
+            # nesting order (the Spark partition-column convention)
+            pcols, pairs = part
             base = infer_fledir_schema(pairs[0][1])
             if base is None:
                 return None
-            ptype = "bigint" if isinstance(pairs[0][0], int) else "string"
-            return f"{base}, {pcol} {ptype}"
+            keys = ", ".join(
+                f"{c} " + (
+                    "bigint" if isinstance(pairs[0][0][ki], int)
+                    else "string"
+                )
+                for ki, c in enumerate(pcols)
+            )
+            return f"{base}, {keys}"
         # no manifest: a live STREAM feed — probe any sealed segment
         # (skip files a foreign producer is mid-writing)
         for name in sorted(os.listdir(path)):
@@ -2021,6 +2385,7 @@ def _column_ddl(c: ParsedColumn) -> str:
         return f"decimal({c.precision},{c.scale})"
     return {
         _KIND_DICT: "string",
+        _KIND_STR_PLAIN: "string",
         _KIND_F64: "double",
         _KIND_TS: "timestamp",
         _KIND_DATE: "date",
@@ -2047,7 +2412,12 @@ class FleDataSource(DataSource):
         # hdfs-parquet-scanner.cc:1410-1451: unreferenced columns never
         # materialize)
         wanted = [f.name for f in schema.fields] if schema else None
-        return FleDirReader(self.options, wanted=wanted)
+        field_types = (
+            {f.name: f.dataType for f in schema.fields} if schema else None
+        )
+        return FleDirReader(
+            self.options, wanted=wanted, field_types=field_types
+        )
 
     def writer(self, schema, overwrite):
         return FleDirWriter(self.options, overwrite)
@@ -2094,7 +2464,7 @@ try:  # streaming half (Spark >= 4.0)
             def cell(c: ParsedColumn, v):
                 # plain-python scalars per kind (numpy scalars do not
                 # survive Spark's stream type verification)
-                if c.kind == _KIND_DICT:
+                if c.kind in (_KIND_DICT, _KIND_STR_PLAIN):
                     return str(v)
                 if c.kind == _KIND_F64:
                     return float(v)
@@ -2520,7 +2890,7 @@ def fledir_row_count(path: str) -> int:
     import json as _json
 
     part = discover_fledir_partitions(path)
-    roots = [sub for _, sub in part[1]] if part else [path]
+    roots = [leaf for _, leaf in part[1]] if part else [path]
     total = 0
     for root in roots:
         entries = _manifest_entries(root)
@@ -2605,6 +2975,127 @@ def materialize_fle_partitioned_dir(spark, sf_dir: str) -> str:
             .option("path", sub)
             .save()
         )
+    return out
+
+
+def materialize_fle_docs_dir(spark, sf_dir: str) -> str:
+    """Write-once: the DOCUMENTS table with its near-unique free-text
+    column stored through the PLAIN byte-array kind — the reference
+    writer's dictionary fallback surface
+    (hdfs-parquet-table-writer.cc:59's MAX_DICTIONARY_ENTRIES, fallback
+    flush 466-620).  `text` is explicitly hinted plain (a dictionary of
+    ~distinct documents pays nothing and the u16 code domain caps at
+    65535 entries — the encoder also falls back AUTOMATICALLY past the
+    cap, test-pinned); `lang`/`source` stay low-cardinality
+    order-preserving dictionaries, so one segment carries both string
+    representations side by side."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_docs_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("doc_id", pdf["doc_id"].to_numpy().astype(np.int64)),
+                ("lang", pdf["lang"].to_numpy()),
+                ("source", pdf["source"].to_numpy()),
+                ("text", pdf["text"].to_numpy(), "str_plain"),
+                ("n_chars", pdf["n_chars"].to_numpy().astype(np.int64)),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text", "n_chars")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
+def materialize_fle_two_key_dir(spark, sf_dir: str) -> str:
+    """Write-once: a TWO-LEVEL hive-style partitioned fledir —
+    ``l_returnflag=X/l_linestatus=Y/`` nested directories (3×2 leaves),
+    each its own committed quantity-sorted fledir of (l_quantity,
+    l_linenumber) segments.  The reference's clustering columns are
+    plural (num_clustering_cols, descriptors.h:154-162); conjuncts on
+    BOTH keys must be consumed on the driver."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_two_key_assets")
+    part = discover_fledir_partitions(out) if os.path.isdir(out) else None
+    if part is not None and len(part[1]) == 6:
+        return out
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+                (
+                    "l_linenumber",
+                    pdf["l_linenumber"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+    )
+    for rf in ("A", "N", "R"):
+        for ls in ("F", "O"):
+            sub = os.path.join(
+                out, f"l_returnflag={rf}", f"l_linestatus={ls}"
+            )
+            if os.path.exists(os.path.join(sub, "_DONE")):
+                continue
+            _clear_segments(sub)
+            (
+                base.filter(
+                    (F.col("l_returnflag") == rf)
+                    & (F.col("l_linestatus") == ls)
+                )
+                .select("l_quantity", "l_linenumber")
+                .repartitionByRange(2, "l_quantity")
+                .sortWithinPartitions("l_quantity")
+                .mapInPandas(encode, schema="seg_id long, payload binary")
+                .write.format("fledir")
+                .mode("overwrite")
+                .option("path", sub)
+                .save()
+            )
     return out
 
 

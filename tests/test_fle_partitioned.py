@@ -45,9 +45,9 @@ def test_discovery_and_schema_inference(tmp_path):
     root = _mk_string_partitioned(tmp_path)
     part = discover_fledir_partitions(root)
     assert part is not None
-    pcol, pairs = part
-    assert pcol == "l_returnflag"
-    assert [v for v, _ in pairs] == ["A", "N", "R"]
+    pcols, pairs = part
+    assert pcols == ["l_returnflag"]
+    assert [v for v, _ in pairs] == [("A",), ("N",), ("R",)]
     assert infer_fledir_schema(root) == (
         "l_quantity bigint, l_returnflag string"
     )
@@ -59,12 +59,26 @@ def test_discovery_and_schema_inference(tmp_path):
             [("q", np.array([y], dtype=np.int64))],
         )
     part2 = discover_fledir_partitions(os.fspath(root2))
-    assert part2 == ("year", [
-        (1995, os.fspath(root2 / "year=1995")),
-        (1996, os.fspath(root2 / "year=1996")),
+    assert part2 == (["year"], [
+        ((1995,), os.fspath(root2 / "year=1995")),
+        ((1996,), os.fspath(root2 / "year=1996")),
     ])
     assert infer_fledir_schema(os.fspath(root2)) == (
         "q bigint, year bigint"
+    )
+    # a digit spelling that does NOT round-trip as int stays string:
+    # codes '01'/'02' must not collapse to 1/2 (ADVICE r8)
+    root3 = tmp_path / "mdir"
+    for m in ("01", "02"):
+        _write_partition(
+            root3, f"month={m}", [("q", np.array([1], dtype=np.int64))]
+        )
+    part3 = discover_fledir_partitions(os.fspath(root3))
+    assert part3 is not None and [v for v, _ in part3[1]] == [
+        ("01",), ("02",),
+    ]
+    assert infer_fledir_schema(os.fspath(root3)) == (
+        "q bigint, month string"
     )
 
 
@@ -83,7 +97,7 @@ def test_partition_pruning_on_driver(tmp_path):
         "l_returnflag=A" in p or "l_returnflag=R" in p for p in paths
     )
     vals = [v for part in parts for v in part.part_values]
-    assert set(vals) == {"A", "R"}
+    assert set(vals) == {("A",), ("R",)}
 
     # negated key conjunct prunes too
     r.pushed = [("l_returnflag", "not_eq", "N")]
@@ -136,6 +150,84 @@ def test_int_key_fractional_literal_pruning(tmp_path):
     r.pushed = [("year", "eq", 1996.5)]
     parts = r.partitions()
     assert all(not p.paths for p in parts)  # matches nothing
+
+
+def _mk_two_key(tmp_path):
+    """year=Y/month=M nested layout (num_clustering_cols plural,
+    descriptors.h:154-162)."""
+    root = tmp_path / "nested"
+    for y in (1995, 1996):
+        for m in ("01", "02"):
+            _write_partition(
+                root, f"year={y}/month={m}",
+                [("q", np.array([y * 100 + int(m)], dtype=np.int64))],
+            )
+    return os.fspath(root)
+
+
+def test_multi_key_discovery_and_pruning(tmp_path):
+    root = _mk_two_key(tmp_path)
+    part = discover_fledir_partitions(root)
+    assert part is not None
+    assert part[0] == ["year", "month"]
+    assert [v for v, _ in part[1]] == [
+        (1995, "01"), (1995, "02"), (1996, "01"), (1996, "02"),
+    ]
+    assert infer_fledir_schema(root) == (
+        "q bigint, year bigint, month string"
+    )
+
+    r = FleDirReader({"path": root})
+    assert r._literal_pushable("year", "eq", 1995)
+    assert r._literal_pushable("month", "eq", "02")
+    # BOTH key conjuncts consumed on the driver: exactly one leaf scans
+    r.pushed = [("year", "eq", 1995), ("month", "eq", "02")]
+    paths = [p for part_ in r.partitions() for p in part_.paths]
+    assert len(paths) == 1 and "year=1995/month=02" in paths[0].replace(
+        os.sep, "/"
+    )
+    rows = []
+    for part_ in r.partitions():
+        for b in r.read(part_):
+            rows += list(zip(*[c.to_pylist() for c in b.columns]))
+    assert rows == [(199502, 1995, "02")]
+
+
+def test_mixed_keys_raise_with_layout_rule(tmp_path):
+    root = tmp_path / "mixed"
+    for d in ("year=1995", "month=01"):
+        _write_partition(
+            root, d, [("q", np.array([1], dtype=np.int64))]
+        )
+    import pytest
+
+    with pytest.raises(ValueError, match="mixes partition keys"):
+        discover_fledir_partitions(os.fspath(root))
+
+
+def test_read_schema_coerces_partition_key_type(tmp_path):
+    """A user read schema declaring the key `string` gets string
+    constants even when every directory value happens to parse as int
+    (ADVICE r8: honor the declared key type)."""
+    from pyspark.sql.types import LongType, StringType
+
+    root = tmp_path / "ydir2"
+    for y in (1995, 1996):
+        _write_partition(
+            root, f"year={y}", [("q", np.array([y], dtype=np.int64))]
+        )
+    r = FleDirReader(
+        {"path": os.fspath(root)}, wanted=["q", "year"],
+        field_types={"q": LongType(), "year": StringType()},
+    )
+    assert r.partitioned is not None
+    assert [v for v, _ in r.partitioned[1]] == [("1995",), ("1996",)]
+    rows = []
+    for part_ in r.partitions():
+        for b in r.read(part_):
+            assert str(b.schema.field("year").type) == "string"
+            rows += list(zip(*[c.to_pylist() for c in b.columns]))
+    assert sorted(rows) == [(1995, "1995"), (1996, "1996")]
 
 
 def test_metadata_only_row_count(tmp_path):

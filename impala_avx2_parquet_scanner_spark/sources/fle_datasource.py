@@ -395,15 +395,29 @@ def _dec_code_bound(op: str, value, scale: int):
     raise ValueError(f"unknown decimal op {op!r}")
 
 
-def _encode_f64_column(name: str, values: np.ndarray) -> tuple[
-    np.ndarray, np.ndarray, int, int, bool
-]:
+def _encode_f64_column(
+    name: str, values: np.ndarray, nan_null: bool = False
+) -> tuple[np.ndarray, np.ndarray, int, int, bool]:
     """→ (codes u64, valid bool, code_base, width, nullable) for a
     DOUBLE column: sortable-bits map, then subtract the minimum code so
     clustered domains pack narrow (every non-negative double maps at or
-    above 2^63 — without the base the width would always be 64)."""
+    above 2^63 — without the base the width would always be 64).
+
+    NaN handling is EXPLICIT: a float64 ndarray cannot distinguish a
+    NULL marker from a genuine NaN datum (Spark orders NaN as a valid,
+    greatest double), so the plain "f64" hint REFUSES NaN rather than
+    silently re-typing data as NULLs; callers whose NaNs mean NULL
+    (the pandas float convention) opt in with the "f64_nan_null"
+    hint."""
     vals = np.asarray(values, dtype=np.float64)
     valid = ~np.isnan(vals)
+    if not nan_null and not valid.all():
+        raise ValueError(
+            f"fledir: column {name!r} contains NaN — the 'f64' kind "
+            "stores doubles exactly and cannot tell a NaN datum from a "
+            "NULL marker; scrub the NaNs or use the 'f64_nan_null' "
+            "hint to store them as NULLs"
+        )
     nullable = bool((~valid).any())
     fill = vals[valid][0] if valid.any() else 0.0
     mapped = _f64_code_array(np.where(valid, vals, fill))
@@ -499,7 +513,14 @@ def _encode_dec_column(
     valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
     unscaled = np.zeros(vals.size, dtype=np.int64)
     for i in np.flatnonzero(valid):
-        q = _decm.Decimal(vals[i]).scaleb(scale)
+        d = _decm.Decimal(vals[i])
+        if not d.is_finite():
+            raise ValueError(
+                f"fledir: column {name!r} holds a non-finite Decimal "
+                f"({vals[i]}) — the unscaled-integer encoding has no "
+                "representation for NaN/Infinity"
+            )
+        q = d.scaleb(scale)
         iv = int(q)
         if q != iv:
             raise ValueError(
@@ -617,8 +638,9 @@ def _infer_kind(name: str, vals: np.ndarray, hint) -> tuple[int, tuple]:
             return _KIND_DEC, (int(hint[1]), int(hint[2]))
         return {
             "int": _KIND_INT, "dict": _KIND_DICT, "offset": _KIND_OFFSET,
-            "f64": _KIND_F64, "ts": _KIND_TS, "date": _KIND_DATE,
-            "bool": _KIND_BOOL, "str_plain": _KIND_STR_PLAIN,
+            "f64": _KIND_F64, "f64_nan_null": _KIND_F64, "ts": _KIND_TS,
+            "date": _KIND_DATE, "bool": _KIND_BOOL,
+            "str_plain": _KIND_STR_PLAIN,
         }[hint], ()
     if vals.dtype.kind == "M":
         return _KIND_TS, ()
@@ -638,10 +660,16 @@ def _infer_kind(name: str, vals: np.ndarray, hint) -> tuple[int, tuple]:
         if first_types_all(_dtm.date):  # datetime is a date subclass —
             return _KIND_DATE, ()      # checked AFTER datetime above
         if first_types_all(_decm.Decimal):
-            s = max(
-                max(-v.as_tuple().exponent, 0) for v in non_null
+            # scale inference would be PER SEGMENT (max fractional
+            # digits in this batch), so one column could encode with
+            # different scales across segments of a directory and the
+            # decoded Arrow types would disagree mid-scan — require
+            # the writer to pin (p, s) explicitly
+            raise ValueError(
+                f"fledir: column {name!r} holds Decimals — pass an "
+                "explicit ('dec', precision, scale) kind hint (a "
+                "per-segment inferred scale would vary across segments)"
             )
-            return _KIND_DEC, (38, s)
         if first_types_all((int, np.integer, float, np.floating)):
             return (
                 (_KIND_OFFSET, ()) if _has_negative(vals)
@@ -735,7 +763,7 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
             )
         elif kind == _KIND_F64:
             codes, valid, base, width, nullable = _encode_f64_column(
-                name, vals
+                name, vals, nan_null=(hint == "f64_nan_null")
             )
         elif kind == _KIND_TS:
             codes, valid, base, width, nullable = _encode_ts_column(

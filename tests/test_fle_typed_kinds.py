@@ -48,7 +48,15 @@ def _mask_keep(seg, pushed):
 def test_f64_roundtrip_edges():
     vals = np.array([1.5, -2.25, 0.0, -0.0, np.nan, np.inf, -np.inf,
                      5e-324, -5e-324, 1e308, -1e308, 3.141592653589793])
-    seg = parse_segment(encode_segment_columns([("x", vals, "f64")]))
+    # the plain "f64" hint REFUSES NaN (it cannot tell a datum from a
+    # NULL marker — ADVICE r8); NaN-means-NULL is an explicit opt-in
+    import pytest
+
+    with pytest.raises(ValueError, match="f64_nan_null"):
+        encode_segment_columns([("x", vals, "f64")])
+    seg = parse_segment(
+        encode_segment_columns([("x", vals, "f64_nan_null")])
+    )
     out, valid = decode_segment_columns(seg)["x"]
     assert valid.tolist() == [True] * 4 + [False] + [True] * 7
     # -0.0 normalizes to +0.0 (SQL equality); everything else exact
@@ -107,7 +115,9 @@ def test_f64_pushdown_fuzz_matches_direct_eval(values, comparisons):
     arr = np.array(
         [np.nan if v is None else v for v in values], dtype=np.float64
     )
-    seg = parse_segment(encode_segment_columns([("v", arr, "f64")]))
+    seg = parse_segment(
+        encode_segment_columns([("v", arr, "f64_nan_null")])
+    )
     kept, kvalid = _mask_keep(
         seg, [("v", op, lit) for op, lit in comparisons]
     )["v"]
@@ -118,6 +128,25 @@ def test_f64_pushdown_fuzz_matches_direct_eval(values, comparisons):
         and all(_OPS[op](v, lit) for op, lit in comparisons)
     ]
     assert sorted(map(float, kept)) == sorted(map(float, want))
+
+
+def test_decimal_requires_hint_and_finite_values():
+    """ADVICE r8: hint-less Decimal inference would derive the scale
+    PER SEGMENT (one column, different scales across a directory) —
+    the encoder requires the explicit ('dec', p, s) hint; and
+    non-finite Decimals get a targeted error instead of a raw
+    TypeError from as_tuple()."""
+    import pytest
+
+    col = np.array([dec.Decimal("1.50"), dec.Decimal("2.25")], dtype=object)
+    with pytest.raises(ValueError, match="explicit .'dec'"):
+        encode_segment_columns([("m", col)])
+    bad = np.array([dec.Decimal("1.50"), dec.Decimal("NaN")], dtype=object)
+    with pytest.raises(ValueError, match="non-finite"):
+        encode_segment_columns([("m", bad, ("dec", 12, 2))])
+    inf = np.array([dec.Decimal("Infinity")], dtype=object)
+    with pytest.raises(ValueError, match="non-finite"):
+        encode_segment_columns([("m", inf, ("dec", 12, 2))])
 
 
 def test_f64_chunk_stats_coherent_with_file_stats():
@@ -758,7 +787,7 @@ def test_typed_stream_delivers_python_scalars(spark, tmp_path):
     ts = np.array(["1995-06-17T10:30:00.123456", "NaT"],
                   dtype="datetime64[us]")
     payload = encode_segment_columns([
-        ("p", np.array([1.5, np.nan]), "f64"),
+        ("p", np.array([1.5, np.nan]), "f64_nan_null"),
         ("t", ts),
         ("d", np.array([dt.date(1995, 6, 17), None], dtype=object)),
         ("b", np.array([True, False])),

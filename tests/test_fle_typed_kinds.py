@@ -768,6 +768,117 @@ def test_randomized_spark_pushdown_differential(spark, sf_dir):
         assert got == want, (trial, str(cond), got, want)
 
 
+def test_randomized_partitioned_typed_differential(spark, sf_dir, tmp_path):
+    """Round-9 composition of the end-to-end differential with the hive
+    layout: a ``l_returnflag=X/`` PARTITIONED container whose leaves
+    hold the full type matrix (f64 / timestamp / date / decimal / int),
+    price-sorted so manifest file stats bite — 20 seeded random
+    conjunctions mixing PARTITION-KEY shapes (eq/in/startswith/eqns,
+    negated too) with typed data predicates, so driver partition
+    pruning, manifest refutation, typed kernels, and residual
+    re-checking are all fuzzed TOGETHER against the identical
+    parquet-derived frame."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+        segment_stats,
+    )
+
+    register_fledir(spark)
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_shipdate").alias("ship_ts"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pdf = base.toPandas()
+    root = tmp_path / "ptyped"
+    for flag, grp in pdf.groupby("l_returnflag"):
+        sub = root / f"l_returnflag={flag}"
+        sub.mkdir(parents=True)
+        grp = grp.sort_values("price")
+        lines = []
+        step = max(len(grp) // 3, 1)  # ≥3 segments per leaf
+        for si, lo in enumerate(range(0, len(grp), step)):
+            g = grp.iloc[lo:lo + step]
+            payload = encode_segment_columns([
+                ("price", g["price"].to_numpy(), "f64"),
+                ("ship_ts", g["ship_ts"].to_numpy()),
+                ("ship_date", g["ship_date"].to_numpy()),
+                ("price_dec", g["price_dec"].to_numpy(), ("dec", 12, 2)),
+                ("qty", g["qty"].to_numpy()),
+            ])
+            name = f"seg_{si}.fle"
+            (sub / name).write_bytes(payload)
+            st = _json.dumps(segment_stats(parse_segment(payload)))
+            lines.append(f"{name}\t{st}")
+        (sub / "_DONE").write_text("\n".join(lines))
+    path = str(root)
+
+    rng = random.Random(99)
+    cmp_ops = {"<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+               "==": _op.eq}
+
+    def rand_conjunct():
+        kind = rng.choice(
+            ["l_returnflag", "l_returnflag", "price", "ship_ts",
+             "ship_date", "price_dec", "qty"]
+        )
+        c = F.col(kind)
+        if kind == "l_returnflag":
+            shape = rng.choice(["eq", "in", "like", "eqns"])
+            if shape == "eq":
+                e = c == rng.choice("ANRZ")
+            elif shape == "in":
+                e = c.isin(*rng.sample("ANR", rng.randint(1, 2)))
+            elif shape == "like":
+                e = c.startswith(rng.choice("ANRZ"))
+            else:
+                e = c.eqNullSafe(rng.choice("ANR"))
+        elif kind == "price":
+            lit = round(rng.uniform(800.0, 110000.0), rng.randint(0, 4))
+            e = cmp_ops[rng.choice(list(cmp_ops))](c, lit)
+        elif kind in ("ship_ts", "ship_date"):
+            lit = F.lit(
+                f"199{rng.randint(2, 8)}-0{rng.randint(1, 9)}-"
+                f"{rng.randint(10, 28)}"
+            ).cast("timestamp" if kind == "ship_ts" else "date")
+            e = cmp_ops[rng.choice(["<", "<=", ">", ">="])](c, lit)
+        elif kind == "price_dec":
+            lit = dec.Decimal(rng.randint(80000, 11000000)).scaleb(
+                -rng.randint(2, 4)
+            )
+            e = cmp_ops[rng.choice(list(cmp_ops))](c, lit)
+        else:  # qty int planes: integral and fractional literals
+            lit = rng.choice([rng.randint(1, 50), rng.uniform(1.0, 50.0)])
+            e = cmp_ops[rng.choice(list(cmp_ops))](c, lit)
+        return ~e if rng.random() < 0.3 else e
+
+    agg = lambda d: d.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("price").cast("decimal(14,2)")), 2).alias("s"),
+        F.min("ship_ts").alias("mn"),
+        F.max("ship_date").alias("mx"),
+    )
+    for trial in range(20):
+        cond = rand_conjunct()
+        for _ in range(rng.randint(0, 2)):
+            cond = cond & rand_conjunct()
+        got = agg(
+            spark.read.format("fledir").option("path", path).load()
+            .filter(cond)
+        ).collect()[0]
+        want = agg(base.filter(cond)).collect()[0]
+        assert got == want, (trial, str(cond), got, want)
+
+
 def test_typed_stream_delivers_python_scalars(spark, tmp_path):
     """The streaming half must surface every typed kind as the right
     Spark type (datetime/date/bool/Decimal/float plain-python cells

@@ -109,6 +109,12 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_like", "part"),
     ("scan_fle_negation", "lineitem"),
     ("scan_fle_partitioned", "lineitem"),
+    # round-9 additions: the plain byte-array string kind (dictionary
+    # cap fallback), opt-in schema evolution, and two-level partition
+    # keys
+    ("scan_fle_dict_fallback", "documents"),
+    ("scan_fle_schema_evolution", "lineitem"),
+    ("scan_fle_partitioned_multi", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

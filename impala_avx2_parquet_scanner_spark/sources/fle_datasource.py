@@ -536,17 +536,29 @@ def _encode_dec_column(
     return codes, valid, base, width, bool((~valid).any())
 
 
-def _encode_dict_column(values: np.ndarray) -> tuple[
-    np.ndarray, np.ndarray, list[str], int, bool
-]:
-    """→ (codes uint64, valid bool, dictionary, width, nullable)."""
+def _encode_dict_column(
+    values: np.ndarray, max_entries: "int | None" = None
+) -> "tuple[np.ndarray, np.ndarray, list[str], int, bool] | None":
+    """→ (codes uint64, valid bool, dictionary, width, nullable), or
+    None when the distinct count exceeds `max_entries` — decided
+    BEFORE code assignment, so a near-unique column (the fallback's
+    target case) pays one np.unique, not a full dict encode it then
+    discards."""
     vals = np.asarray(values, dtype=object)
     valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
     nullable = bool((~valid).any())
     if valid.any():
         fill = vals[valid][0]
-        work = np.where(valid, vals, fill)
-        dictionary, codes = order_preserving_codes(work.astype(str))
+        work = np.where(valid, vals, fill).astype(str)
+        if max_entries is not None:
+            dictionary = np.unique(work)
+            if dictionary.size > max_entries:
+                return None
+            # sorted-unique in hand: codes are a binary search, the
+            # same order-preserving map order_preserving_codes builds
+            codes = np.searchsorted(dictionary, work).astype(np.uint64)
+        else:
+            dictionary, codes = order_preserving_codes(work)
         dict_list = [str(d) for d in dictionary]
     else:
         dict_list, codes = [], np.zeros(vals.size, dtype=np.uint64)
@@ -559,9 +571,10 @@ def _encode_plain_str_column(values: np.ndarray) -> tuple[
 ]:
     """→ (valid bool, raw utf-8 bytes, offsets u32[n+1], nullable) for a
     PLAIN byte-array string column.  NULL lanes contribute zero bytes
-    (offset[i] == offset[i+1]); total bytes per segment must fit u32 —
-    segments are one Arrow batch, far below 4 GiB in practice, and the
-    encoder refuses larger rather than wrapping."""
+    (offset[i] == offset[i+1]); total bytes per segment must fit the
+    READER's 32-bit SIGNED Arrow string offsets (2 GiB-1) — segments
+    are one Arrow batch, far below that in practice, and the encoder
+    refuses larger rather than letting decode wrap offsets negative."""
     vals = np.asarray(values, dtype=object)
     valid = np.array([not _is_null_cell(v) for v in vals], dtype=bool)
     chunks: list[bytes] = []
@@ -572,30 +585,35 @@ def _encode_plain_str_column(values: np.ndarray) -> tuple[
             raw = str(vals[i]).encode("utf-8")
             chunks.append(raw)
             pos += len(raw)
-            if pos > 0xFFFFFFFF:
+            if pos > 0x7FFFFFFF:
                 raise ValueError(
-                    "fledir: plain string section exceeds 4 GiB in one "
+                    "fledir: plain string section exceeds 2 GiB in one "
                     "segment — write smaller batches"
                 )
         offsets[i + 1] = pos
     return valid, b"".join(chunks), offsets, bool((~valid).any())
 
 
-def _plain_str_values(c: "ParsedColumn", n: int) -> np.ndarray:
-    """PLAIN string section → object ndarray of str/None (zero-copy
-    through an Arrow StringArray; the validity mask is applied by the
-    caller, this returns every lane's bytes as text)."""
+def _plain_str_arrow(c: "ParsedColumn", n: int):
+    """PLAIN string section → ZERO-COPY Arrow StringArray (no Python
+    string materializes here — offsets/bytes are wrapped as buffers;
+    the encoder caps sections at 2 GiB so i32 offsets are exact)."""
     import pyarrow as pa
 
-    if n == 0:
-        return np.empty(0, dtype=object)
-    arr = pa.Array.from_buffers(
+    return pa.Array.from_buffers(
         pa.string(), n,
         [None,
          pa.py_buffer(c.str_offsets[: n + 1].astype("<i4").tobytes()),
          pa.py_buffer(c.str_data)],
     )
-    return np.asarray(arr.to_pandas(), dtype=object)
+
+
+def _plain_str_values(c: "ParsedColumn", n: int) -> np.ndarray:
+    """PLAIN string section → object ndarray of str (the validity mask
+    is applied by the caller; NULL lanes surface as empty strings)."""
+    if n == 0:
+        return np.empty(0, dtype=object)
+    return np.asarray(_plain_str_arrow(c, n).to_pandas(), dtype=object)
 
 
 def _chunk_min_max(
@@ -720,16 +738,23 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
         base = None
         dictionary = None
         if kind == _KIND_DICT:
-            codes, valid, dictionary, width, nullable = (
-                _encode_dict_column(vals)
+            enc = _encode_dict_column(
+                vals,
+                max_entries=(
+                    None if hint == "dict" else MAX_DICTIONARY_ENTRIES
+                ),
             )
-            if len(dictionary) > MAX_DICTIONARY_ENTRIES:
+            if enc is None:
                 # the reference writer's cap-triggered PLAIN fallback
                 # (hdfs-parquet-table-writer.cc:59,466-620): a
                 # near-unique string column would otherwise bloat every
                 # segment with a dictionary the size of the data — and
                 # the u16 code domain cannot index it at all
-                if hint == "dict":
+                kind = _KIND_STR_PLAIN
+            else:
+                codes, valid, dictionary, width, nullable = enc
+                if len(dictionary) > MAX_DICTIONARY_ENTRIES:
+                    # hint == "dict" forces the kind: refuse loudly
                     raise ValueError(
                         f"fledir: column {name!r} has "
                         f"{len(dictionary)} distinct values — the "
@@ -737,7 +762,6 @@ def encode_segment_columns(columns: list[tuple]) -> bytes:
                         f"{MAX_DICTIONARY_ENTRIES} (drop the 'dict' "
                         "hint to allow the plain-string fallback)"
                     )
-                kind = _KIND_STR_PLAIN
         if kind == _KIND_STR_PLAIN:
             valid, str_data, str_offsets, nullable = (
                 _encode_plain_str_column(vals)
@@ -1026,16 +1050,21 @@ def decode_segment_columns(
             continue
         if c.kind == _KIND_STR_PLAIN:
             # byte-array sections have no plane words to skip; map the
-            # surviving lanes to GLOBAL row indices and slice the
-            # zero-copy string array (kernel masks never constrain a
-            # plain column, but masks from OTHER columns subset it)
+            # surviving lanes to GLOBAL row indices and take() them on
+            # the ZERO-COPY Arrow array — only SURVIVORS ever become
+            # Python strings (kernel masks never constrain a plain
+            # column, but masks from OTHER columns subset it)
+            import pyarrow as pa
+
             gidx = (
                 live[:, None].astype(np.int64) * 64
                 + np.arange(64, dtype=np.int64)
             ).ravel()[keep]
-            all_vals = _plain_str_values(c, seg.n)
-            all_valid = _lane_validity(c, seg.n)
-            out[c.name] = (all_vals[gidx], all_valid[gidx])
+            taken = _plain_str_arrow(c, seg.n).take(pa.array(gidx))
+            out[c.name] = (
+                np.asarray(taken.to_pandas(), dtype=object),
+                _lane_validity(c, seg.n)[gidx],
+            )
             continue
         codes = fle_unpack(c.planes[live], c.width, n_sub)[keep]
         if c.validity is None:
@@ -1126,6 +1155,8 @@ def discover_fledir_partitions(
         return None
 
     def walk(root: str) -> "tuple[list[str], list[tuple[tuple, str]]] | None":
+        """Collect (key columns, [(raw STRING value tuple, leaf)]) —
+        typing happens once at the top, across every visible branch."""
         try:
             entries = sorted(os.listdir(root))
         except OSError:
@@ -1149,15 +1180,9 @@ def discover_fledir_partitions(
             kv.append((v, sub))
         if col is None:
             return None
-        # typing is PER LEVEL: every directory value must round-trip as
-        # int for the key to type int, else the whole key stays string
-        # (mixed types in one column would be unsortable and wrong)
-        tvs = [_typed_partition_value(v) for v, _ in kv]
-        if not all(isinstance(t, int) for t in tvs):
-            tvs = [v for v, _ in kv]
         cols: "list[str] | None" = None
         pairs: list[tuple[tuple, str]] = []
-        for tv, (v, sub) in zip(tvs, kv):
+        for v, sub in kv:
             if os.path.exists(os.path.join(sub, "_DONE")):
                 sub_cols, sub_pairs = [], [((), sub)]
             else:
@@ -1173,12 +1198,32 @@ def discover_fledir_partitions(
                     f"but a sibling nests {cols} — every branch of a "
                     "partitioned fledir must use the same key levels"
                 )
-            pairs.extend(((tv, *rest), leaf) for rest, leaf in sub_pairs)
+            pairs.extend(((v, *rest), leaf) for rest, leaf in sub_pairs)
         if not pairs:
             return None
-        return [col, *(cols or [])], sorted(pairs)
+        return [col, *(cols or [])], pairs
 
-    return walk(path)
+    found = walk(path)
+    if found is None:
+        return None
+    cols, raw_pairs = found
+    # typing is PER KEY LEVEL and GLOBAL across every visible branch:
+    # one level types int only when EVERY committed branch's value
+    # round-trips as int — per-branch typing would let year=1995/month=7
+    # and year=1996/month=07 give one column mixed int/str values
+    # (silent mispruning + unsortable tuples; found by review).  Only
+    # VISIBLE (committed) directories vote: an uncommitted sibling is
+    # invisible to readers and must not flip a key's type.
+    typed_cols: list[list] = []
+    for ki in range(len(cols)):
+        tvs = [_typed_partition_value(vals[ki]) for vals, _ in raw_pairs]
+        if not all(isinstance(t, int) for t in tvs):
+            tvs = [vals[ki] for vals, _ in raw_pairs]
+        typed_cols.append(tvs)
+    return cols, sorted(
+        (tuple(typed_cols[ki][i] for ki in range(len(cols))), leaf)
+        for i, (_, leaf) in enumerate(raw_pairs)
+    )
 
 
 _PUSHABLE_OPS = {
@@ -1262,7 +1307,10 @@ class FleDirReader(DataSourceReader):
             have_int = pairs and isinstance(pairs[0][0][ki], int)
             if tname == "string" and have_int:
                 casts.append((ki, str))
-            elif tname in ("bigint", "int", "smallint") and not have_int:
+            elif (
+                tname in ("bigint", "int", "smallint", "tinyint")
+                and not have_int
+            ):
                 casts.append((ki, int))  # raises below if unparseable
         if not casts:
             return
@@ -2118,12 +2166,18 @@ class FleDirReader(DataSourceReader):
                     # constant partition-key column, materialized from
                     # the directory name — the partition-key literal
                     # expr of descriptors.h:230-244 (never stored in
-                    # the segments)
+                    # the segments).  A declared read-schema type WINS
+                    # (Spark reads the Arrow vector through the declared
+                    # accessor — an int64 array under a declared int32
+                    # field crashes the scan; found by review)
                     value = pvals[idx][pcols.index(n)]
-                    ptype = (
-                        pa.int64() if isinstance(value, int)
-                        else pa.string()
-                    )
+                    if n in self.field_types:
+                        ptype = self._pa_evolved_type(pa, n)
+                    else:
+                        ptype = (
+                            pa.int64() if isinstance(value, int)
+                            else pa.string()
+                        )
                     arrays.append(pa.array([value] * n_out, type=ptype))
                 else:
                     # evolved column: typed NULLs (the missing-column

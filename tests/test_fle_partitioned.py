@@ -193,6 +193,84 @@ def test_multi_key_discovery_and_pruning(tmp_path):
     assert rows == [(199502, 1995, "02")]
 
 
+def test_key_typing_is_global_across_branches(tmp_path):
+    """year=1995/month=7 + year=1996/month=07: per-BRANCH typing gave
+    the month column mixed int/str values (silent mispruning, schema
+    lies, unsortable tuples — found by review).  One non-round-trip
+    spelling anywhere must string-type the whole level."""
+    root = tmp_path / "xbranch"
+    _write_partition(
+        root, "year=1995/month=7",
+        [("q", np.array([1], dtype=np.int64))],
+    )
+    _write_partition(
+        root, "year=1996/month=07",
+        [("q", np.array([2], dtype=np.int64))],
+    )
+    part = discover_fledir_partitions(os.fspath(root))
+    assert part is not None and part[0] == ["year", "month"]
+    assert [v for v, _ in part[1]] == [(1995, "7"), (1996, "07")]
+    assert infer_fledir_schema(os.fspath(root)) == (
+        "q bigint, year bigint, month string"
+    )
+    r = FleDirReader({"path": os.fspath(root)})
+    r.pushed = [("month", "eq", "07")]
+    rows = []
+    for part_ in r.partitions():
+        for b in r.read(part_):
+            rows += list(zip(*[c.to_pylist() for c in b.columns]))
+    assert rows == [(2, 1996, "07")]
+
+
+def test_uncommitted_sibling_does_not_flip_key_type(tmp_path):
+    """An uncommitted (no _DONE) sibling directory is invisible to
+    readers and must not vote on the key's type — a writer mid-commit
+    of year=backup previously flipped a committed int key to string
+    (found by review)."""
+    root = tmp_path / "uncommit"
+    for y in (1995, 1996):
+        _write_partition(
+            root, f"year={y}", [("q", np.array([y], dtype=np.int64))]
+        )
+    (root / "year=backup").mkdir()  # uncommitted: no _DONE
+    part = discover_fledir_partitions(os.fspath(root))
+    assert part is not None
+    assert [v for v, _ in part[1]] == [(1995,), (1996,)]
+    assert infer_fledir_schema(os.fspath(root)) == (
+        "q bigint, year bigint"
+    )
+
+
+def test_declared_narrow_int_key_type_wins(spark, tmp_path):
+    """A read schema declaring the key `int` must get an int32 Arrow
+    constant — Spark reads the vector through the declared accessor
+    and an int64 array crashes the scan (found by review)."""
+    from impala_avx2_parquet_scanner_spark.session import (
+        ensure_runtime_confs,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+    )
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    root = tmp_path / "narrow"
+    for y in (1995, 1996):
+        _write_partition(
+            root, f"year={y}", [("q", np.array([y], dtype=np.int64))]
+        )
+    df = (
+        spark.read.format("fledir")
+        .schema("q bigint, year int")
+        .option("path", os.fspath(root))
+        .load()
+    )
+    assert dict(df.dtypes)["year"] == "int"
+    assert sorted(map(tuple, df.collect())) == [
+        (1995, 1995), (1996, 1996),
+    ]
+
+
 def test_mixed_keys_raise_with_layout_rule(tmp_path):
     root = tmp_path / "mixed"
     for d in ("year=1995", "month=01"):

@@ -1295,6 +1295,9 @@ def scan_fle_dict_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_fledir(spark)
     df = (
         spark.read.format("fledir")
+        # subset read schema: doc_id's plane sections never decode
+        # (projection pruning — §2A #4 on the container)
+        .schema("lang string, source string, text string, n_chars bigint")
         .option("path", path)
         .load()
         .filter(
@@ -1363,7 +1366,7 @@ def scan_fle_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("fledir")
         .schema(
             "l_returnflag string, l_linestatus string, "
-            "l_quantity bigint, l_linenumber bigint, l_bonus double"
+            "l_quantity bigint, l_bonus double"
         )
         .option("path", path)
         .option("schemaEvolution", "true")

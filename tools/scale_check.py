@@ -133,6 +133,23 @@ TAIL_STRESS = [
 
 
 def _run(spark, name: str, sf_dir: str) -> float:
+    # measurement isolation: fire pending tie_unpersist finalizers,
+    # drop any cached blocks a PRIOR query left behind, and force a JVM
+    # collection — clearCache alone is NOT enough, because broadcasts
+    # and shuffle state from prior queries are freed by the
+    # ContextCleaner only after a JVM GC notices them, and that
+    # accumulated heap garbage made identical back-to-back reps swing
+    # 5.5 → 42 s (decontaminate_overlap) and 9.6 → 37.9 s
+    # (graph_triangles); with the explicit GC the same reps read
+    # 7.8/6.2/5.9/5.5 s — flat
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — diagnostic-only, never fail a run
+        pass
     t0 = time.time()
     df = REGISTRY[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -275,9 +292,17 @@ def main() -> int:
     for name, tableset in CHECKED:
         ta = _run(spark, name, sf_a)
         tb = _run(spark, name, sf_b)
+        dr = ratios[tableset]
+        if ta > 0 and tb / ta > dr:
+            # re-measure BOTH points before flagging: a single reading
+            # can eat a GC pause or an AQE-variance outlier (4x swings
+            # measured on graph_triangles with identical code+data) —
+            # a scale flag should mean the RATIO reproduces, not that
+            # one rep was unlucky.  Min-of-2 per point.
+            ta = min(ta, _run(spark, name, sf_a))
+            tb = min(tb, _run(spark, name, sf_b))
         results[name] = (ta, tb)
         r = tb / ta if ta > 0 else float("inf")
-        dr = ratios[tableset]
         mark = ""
         if r > dr:
             mark = " ⚠"
@@ -306,6 +331,10 @@ def main() -> int:
         _run(spark, name, big_dir)  # warm plan at the big scale, untimed
         tb = _run(spark, name, sf_b)
         tc = _run(spark, name, big_dir)
+        if tb > 0 and tc / tb > 10:
+            # same re-measure-before-flag policy as the main table
+            tb = min(tb, _run(spark, name, sf_b))
+            tc = min(tc, _run(spark, name, big_dir))
         r = tc / tb if tb > 0 else float("inf")
         mark = ""
         if r > 10:

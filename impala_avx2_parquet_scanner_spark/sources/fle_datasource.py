@@ -1253,7 +1253,12 @@ class FleDirReader(DataSourceReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
-        self.n_parts = int(options.get("numpartitions", 8))
+        #: None → adaptive: ~8 files per input partition, capped at 64
+        #: (a 10k-segment table must not scan with 8 tasks; an explicit
+        #: numpartitions option always wins — the scan-range-per-node
+        #: sizing knob of the reference's scheduler)
+        np_opt = options.get("numpartitions")
+        self.n_parts = int(np_opt) if np_opt is not None else None
         #: column names the output batches must carry (None → all, in
         #: segment order).  Pushed-filter columns outside this set still
         #: have their KERNELS evaluated (mask work needs no decode) —
@@ -1292,6 +1297,11 @@ class FleDirReader(DataSourceReader):
         ).lower() in ("true", "1")
         if evolve and wanted:
             self.evolved = self._evolved_columns(wanted)
+
+    def _bucket_count(self, n_files: int) -> int:
+        if self.n_parts is not None:
+            return min(self.n_parts, max(n_files, 1))
+        return min(64, max(8, (n_files + 7) // 8), max(n_files, 1))
 
     def _coerce_partition_types(self) -> None:
         """Honor a user read schema's declared partition-key type: a
@@ -2012,7 +2022,7 @@ class FleDirReader(DataSourceReader):
                 for name in self._manifest_files(sub):
                     tagged.append((os.path.join(sub, name), values))
             buckets: list[list[tuple[str, object]]] = [
-                [] for _ in range(min(self.n_parts, max(len(tagged), 1)))
+                [] for _ in range(self._bucket_count(len(tagged)))
             ]
             for i, t in enumerate(tagged):
                 buckets[i % len(buckets)].append(t)
@@ -2024,7 +2034,7 @@ class FleDirReader(DataSourceReader):
             return parts or [_FleFilesPartition([], [])]
         files = self._manifest_files(self.dir)
         batches: list[list[str]] = [
-            [] for _ in range(min(self.n_parts, max(len(files), 1)))
+            [] for _ in range(self._bucket_count(len(files)))
         ]
         for i, f in enumerate(files):
             batches[i % len(batches)].append(os.path.join(self.dir, f))

@@ -760,8 +760,17 @@ class AvroDirReader(DataSourceReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("avrodir requires option 'path'")
-        # Python DataSource options arrive lower-cased
-        self.n_parts = int(options.get("numpartitions", "8"))
+        # Python DataSource options arrive lower-cased.  No option →
+        # adaptive: ~8 files per InputPartition, floor 8, cap 64 (the
+        # fledir reader's sizing rule — a many-thousand-file table must
+        # not scan with 8 tasks)
+        np_opt = options.get("numpartitions")
+        self.n_parts = int(np_opt) if np_opt is not None else None
+
+    def _bucket_count(self, n_files: int) -> int:
+        if self.n_parts is not None:
+            return min(self.n_parts, max(n_files, 1))
+        return min(64, max(8, (n_files + 7) // 8), max(n_files, 1))
 
     def partitions(self):
         # A committed directory is sealed by the _DONE manifest: read only
@@ -777,7 +786,7 @@ class AvroDirReader(DataSourceReader):
                 f for f in os.listdir(self.dir) if f.endswith(".avro")
             )
         batches: list[list[str]] = [
-            [] for _ in range(min(self.n_parts, max(len(files), 1)))
+            [] for _ in range(self._bucket_count(len(files)))
         ]
         for i, f in enumerate(files):
             batches[i % len(batches)].append(os.path.join(self.dir, f))

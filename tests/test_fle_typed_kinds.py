@@ -797,6 +797,13 @@ def test_randomized_partitioned_typed_differential(spark, sf_dir, tmp_path):
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
         F.col("l_quantity").cast("long").alias("qty"),
+        # a near-unique free-text column stored through the PLAIN kind:
+        # predicates on it must stay RESIDUAL and re-check in Spark
+        F.concat(
+            F.col("l_returnflag"), F.lit("-"),
+            F.col("l_orderkey").cast("string"), F.lit("/"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("note"),
     )
     pdf = base.toPandas()
     root = tmp_path / "ptyped"
@@ -814,6 +821,7 @@ def test_randomized_partitioned_typed_differential(spark, sf_dir, tmp_path):
                 ("ship_date", g["ship_date"].to_numpy()),
                 ("price_dec", g["price_dec"].to_numpy(), ("dec", 12, 2)),
                 ("qty", g["qty"].to_numpy()),
+                ("note", g["note"].to_numpy(), "str_plain"),
             ])
             name = f"seg_{si}.fle"
             (sub / name).write_bytes(payload)
@@ -829,9 +837,23 @@ def test_randomized_partitioned_typed_differential(spark, sf_dir, tmp_path):
     def rand_conjunct():
         kind = rng.choice(
             ["l_returnflag", "l_returnflag", "price", "ship_ts",
-             "ship_date", "price_dec", "qty"]
+             "ship_date", "price_dec", "qty", "note"]
         )
         c = F.col(kind)
+        if kind == "note":
+            # plain-kind column: every value predicate is residual —
+            # Spark must re-check it against the decoded strings
+            shape = rng.choice(["contains", "startswith", "endswith"])
+            lit = rng.choice(
+                [str(rng.randint(0, 9)), rng.choice("ANR") + "-",
+                 "/" + str(rng.randint(1, 7))]
+            )
+            e = {
+                "contains": c.contains,
+                "startswith": c.startswith,
+                "endswith": c.endswith,
+            }[shape](lit)
+            return ~e if rng.random() < 0.3 else e
         if kind == "l_returnflag":
             shape = rng.choice(["eq", "in", "like", "eqns"])
             if shape == "eq":

@@ -420,3 +420,41 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         sum_dbl(disc_price(), "revenue"),
     )
+
+
+def runtime_filter_keys(
+    dim_df: DataFrame, key: str, max_keys: int = 4096
+) -> "list | None":
+    """Build a join-produced runtime filter: the distinct non-NULL key
+    set of a (filtered) dimension side, or None when the build side
+    exceeds the budget.
+
+    This is the engine's bridge for the reference's runtime bitmap
+    filter (§2A #11, hdfs-parquet-scanner.cc:235-246: a semi-filter
+    produced by the join build side, probed INSIDE the scan).  Spark's
+    own bloom runtime filters serve the parquet path, but they cannot
+    reach a Python DataSource scan — so for the fledir container the
+    build side is materialized here and pushed as an IN-set conjunct,
+    which the container evaluates as bit-sliced code kernels before any
+    decode (fle-encoding.h:8236-8313's In).
+
+    The bounded driver-side collection is deliberate and mirrors
+    Spark's own runtime-filter machinery (InSubqueryExec / dynamic
+    partition pruning both execute the build-side subquery and
+    materialize its values on the driver).  `max_keys` is the budget:
+    past it the filter is DISABLED and the caller falls back to the
+    plain join — the adaptive-disable analog of the reference, which
+    drops a bitmap filter that stops paying for itself
+    (hdfs-parquet-scanner.cc:464-470, 489-493).  The limit(max_keys+1)
+    caps what the driver ever holds regardless of the dimension's true
+    cardinality."""
+    rows = (
+        dim_df.select(key)
+        .where(F.col(key).isNotNull())
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    if len(rows) > max_keys:
+        return None
+    return sorted(r[0] for r in rows)

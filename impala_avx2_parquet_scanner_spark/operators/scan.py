@@ -1441,6 +1441,129 @@ def scan_fle_partitioned_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_COMPACTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem
+WHERE CAST(l_quantity AS BIGINT) BETWEEN 12 AND 37
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_compacted",
+    oracle=_FLE_COMPACTED_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "maintenance"),
+)
+def scan_fle_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION on the fledir container (round 9): the
+    materializer writes lineitem as ~48 tiny segments (a micro-batched
+    writer's layout), then `compact_fledir` rewrites them in place —
+    metadata-only bin planning from the manifest row counts, one Spark
+    task per bin decoding + re-encoding through the container's own
+    codec, and the existing atomic overwrite commit (temp names →
+    rename → `_DONE` swap → stale sweep), so a reader never observes a
+    half-compacted table.  This is the operational half of the
+    reference writer's file-size management (row-group / HDFS-block
+    sizing, hdfs-parquet-table-writer.cc — SURVEY §2A #17): at 100 TB a
+    streaming ingest MUST compact or every scan pays per-tiny-file
+    open/parse overheads.  The scan then runs a pushed quantity range
+    over the COMPACTED segments (manifest min/max + BSTA chunk stats
+    are recomputed on the merged values, so all three pruning tiers
+    survive the rewrite); the DuckDB oracle replays from the original
+    parquet rows — any row lost, duplicated, or corrupted by the
+    decode→merge→re-encode cycle flips the counts."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        materialize_fle_compact_dir,
+    )
+
+    path = materialize_fle_compact_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(F.col("l_quantity").between(12, 37))
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+_FLE_RUNTIME_FILTER_ORACLE = """
+SELECT l_returnflag,
+       s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey <= 3
+  AND CAST(l_quantity AS BIGINT) BETWEEN 5 AND 45
+GROUP BY l_returnflag, s_nationkey
+"""
+
+
+@query(
+    "scan_fle_runtime_filter",
+    oracle=_FLE_RUNTIME_FILTER_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "join"),
+)
+def scan_fle_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-PRODUCED RUNTIME FILTER on the fledir container (round 9,
+    §2A #11): the reference probes join-built bitmap filters INSIDE the
+    scan (hdfs-parquet-scanner.cc:235-246) and drops a filter that
+    stops paying for itself (464-470).  Spark's bloom runtime filters
+    serve the parquet path but cannot reach a Python DataSource scan,
+    so the engine builds the filter itself: the filtered supplier
+    dimension's key set (bounded collection — exactly what Spark's own
+    InSubqueryExec / DPP do on the driver) pushes into the container as
+    an IN conjunct, which runs as bit-sliced code kernels on the
+    l_suppkey planes BEFORE any decode (fle-encoding.h:8236-8313's In);
+    past the `max_keys` budget the filter is disabled and the plain
+    join still answers correctly (adaptive disable, test-pinned).  The
+    broadcast join then re-verifies every surviving row — like the
+    reference, the runtime filter only REDUCES the scan, the join owns
+    correctness.  The oracle replays join + filter from raw parquet."""
+    from impala_avx2_parquet_scanner_spark.operators.joins import (
+        runtime_filter_keys,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_fact_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_fact_dir(spark, sf_dir)
+    register_fledir(spark)
+    dim = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") <= 3)
+    keys = runtime_filter_keys(dim, "s_suppkey", max_keys=4096)
+    fact = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(F.col("l_quantity").between(5, 45))
+    )
+    if keys is not None:
+        # IN-set conjunct → container code kernels (the runtime filter)
+        fact = fact.filter(F.col("l_suppkey").isin(keys))
+    joined = fact.join(
+        F.broadcast(dim.select("s_suppkey", "s_nationkey")),
+        fact["l_suppkey"] == F.col("s_suppkey"),
+    )
+    return joined.groupBy("l_returnflag", "s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 _METADATA_COLS_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

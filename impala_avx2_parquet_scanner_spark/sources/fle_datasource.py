@@ -3240,3 +3240,53 @@ def materialize_fle_multi_dir(spark, sf_dir: str) -> str:
         .save()
     )
     return out
+
+
+def materialize_fle_fact_dir(spark, sf_dir: str) -> str:
+    """Write-once: a FACT-shaped container — lineitem's join key
+    (l_suppkey), measure (l_quantity) and a dictionary string
+    (l_returnflag) — the layout the runtime-filter path scans: a
+    join-produced key set pushes as an IN conjunct and runs as code
+    kernels on the l_suppkey planes (§2A #11 on the container)."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_fact_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                (
+                    "l_suppkey",
+                    pdf["l_suppkey"].to_numpy().astype(np.int64),
+                ),
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_quantity", "l_returnflag")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out

@@ -1,0 +1,375 @@
+"""fledir maintenance: small-segment compaction.
+
+A streaming or micro-batched writer leaves a fledir table as thousands
+of tiny segments — each one a manifest entry, a file open, a header
+parse, and a too-small unit of columnar work.  The reference engine has
+the same operational problem with small parquet files and solves it the
+same way every table format does: periodically rewrite many small files
+into few large ones, preserving the data and the stats that make
+pruning work (the reference's writer sizes files to the HDFS block for
+exactly this reason — hdfs-parquet-table-writer.cc's row-group /
+block-size file management, SURVEY §2A #17).
+
+``compact_fledir`` is that rewrite for the fledir container:
+
+- **planning is metadata-only** — bins are packed from the committed
+  manifest's per-segment row counts (the ``__rows__`` stats key), no
+  segment bytes are read on the driver;
+- **the rewrite is distributed** — one Spark task per bin reads its
+  segment files, decodes them through the container's own codec, and
+  re-encodes one merged segment inside an Arrow batch
+  (``mapInPandas``), so a 100 TB table compacts with cluster
+  parallelism, never through the driver;
+- **commit is atomic** — the merged segments ride the existing
+  ``FleDirWriter`` overwrite protocol (temp-name task writes, rename at
+  commit, atomic ``_DONE`` swap, stale files destroyed only after the
+  new manifest is durable), so a reader never observes a half-compacted
+  directory and a crashed compaction leaves the old table fully
+  readable;
+- **stats survive** — the encoder recomputes the manifest min/max and
+  the per-chunk BSTA footer on the merged values, so all three pruning
+  tiers (manifest → chunk → kernels) keep working on the compacted
+  layout, with *tighter* per-file stats when the input was sorted
+  (concatenation in manifest order preserves a sorted layout's global
+  order within each bin).
+
+The exact decode→re-encode round trip is :func:`segment_reencode_columns`:
+for every column kind it reconstructs precisely the ``(name, values,
+kind_hint)`` input :func:`encode_segment_columns` expects, including the
+NULL convention per kind, so compaction is lossless by construction (and
+pinned by tests against every kind).
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+
+from impala_avx2_parquet_scanner_spark.sources.fle_codec import fle_unpack
+from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+    _KIND_BOOL,
+    _KIND_DATE,
+    _KIND_DEC,
+    _KIND_DICT,
+    _KIND_F64,
+    _KIND_INT,
+    _KIND_OFFSET,
+    _KIND_STR_PLAIN,
+    _KIND_TS,
+    ParsedSegment,
+    _codes_to_values,
+    _lane_validity,
+    _manifest_entries,
+    _plain_str_values,
+    discover_fledir_partitions,
+    encode_segment_columns,
+    parse_segment,
+    register_fledir,
+)
+
+__all__ = [
+    "segment_reencode_columns",
+    "merge_segments_columns",
+    "plan_compaction_bins",
+    "compact_fledir",
+]
+
+
+def segment_reencode_columns(seg: ParsedSegment) -> list[tuple]:
+    """Parsed segment → the exact ``(name, values, kind_hint)`` list
+    that re-encodes to an equivalent segment.
+
+    Per kind the NULL convention of the matching encoder is
+    reconstructed: object arrays carry ``None`` (int/offset/dict/
+    plain-string/bool/decimal), doubles carry NaN under the explicit
+    ``f64_nan_null`` opt-in (lossless here — the 'f64' encoder refused
+    genuine NaN data at the original write, so every decoded NaN lane
+    IS a NULL), timestamps/dates carry NaT.  Kind hints pin int vs
+    offset planes and decimal (p, s); strings pass no hint so the
+    writer's own dictionary-vs-plain policy (the 2^16-1 cap fallback)
+    re-decides on the MERGED cardinality."""
+    import decimal as _decm
+
+    out: list[tuple] = []
+    for c in seg.columns:
+        valid = _lane_validity(c, seg.n)
+        has_null = bool((~valid).any())
+        if c.kind == _KIND_STR_PLAIN:
+            arr = _plain_str_values(c, seg.n)
+            if has_null:
+                arr = arr.copy()
+                arr[~valid] = None
+            out.append((c.name, arr, "str_plain"))
+            continue
+        codes = fle_unpack(c.planes, c.width, seg.n)
+        vals = _codes_to_values(c, codes, seg.n)
+        if c.kind == _KIND_DICT:
+            if has_null:
+                vals = vals.copy()
+                vals[~valid] = None
+            out.append((c.name, vals, None))
+        elif c.kind == _KIND_F64:
+            v = vals.astype(np.float64)
+            if has_null:
+                v[~valid] = np.nan
+            out.append((c.name, v, "f64_nan_null"))
+        elif c.kind == _KIND_TS:
+            m = vals.astype("datetime64[us]")
+            if has_null:
+                m[~valid] = np.datetime64("NaT")
+            out.append((c.name, m, "ts"))
+        elif c.kind == _KIND_DATE:
+            d = vals.astype("datetime64[D]")
+            if has_null:
+                d[~valid] = np.datetime64("NaT")
+            out.append((c.name, d, "date"))
+        elif c.kind == _KIND_BOOL:
+            if has_null:
+                o = vals.astype(object)
+                o[~valid] = None
+                out.append((c.name, o, "bool"))
+            else:
+                out.append((c.name, vals.astype(bool), "bool"))
+        elif c.kind == _KIND_DEC:
+            o = np.empty(seg.n, dtype=object)
+            for i in np.flatnonzero(valid):
+                o[i] = _decm.Decimal(int(vals[i])).scaleb(-c.scale)
+            out.append((c.name, o, ("dec", c.precision, c.scale)))
+        else:  # INT / OFFSET planes: exact int64 value domain
+            hint = "offset" if c.kind == _KIND_OFFSET else "int"
+            if has_null:
+                o = np.empty(seg.n, dtype=object)
+                for i in np.flatnonzero(valid):
+                    o[i] = int(vals[i])
+                out.append((c.name, o, hint))
+            else:
+                out.append((c.name, vals, hint))
+    return out
+
+
+def _merge_hint(name: str, hints: set):
+    """One hint for a merged column whose source segments disagree.
+    Disagreement is rare and always writer-policy-shaped: a numeric
+    column that was all-non-negative in one segment (int planes) but
+    signed in another (offset), or a string column that fell back to
+    plain bytes in a high-cardinality segment while staying dictionary
+    in another.  The union is the permissive kind; anything else is a
+    genuine schema conflict and fails loudly."""
+    if len(hints) == 1:
+        return next(iter(hints))
+    if hints == {"int", "offset"}:
+        return "offset"
+    if hints == {None, "str_plain"}:
+        return None  # writer re-decides dict-vs-plain on merged values
+    raise ValueError(
+        f"fledir compaction: column {name!r} has incompatible kinds "
+        f"across segments: {sorted(map(str, hints))}"
+    )
+
+
+def merge_segments_columns(segs: list[ParsedSegment]) -> list[tuple]:
+    """Concatenate N parsed segments column-wise into one re-encodable
+    column list.  Segment schemas must agree on the column-name set
+    (the container's homogeneity contract); order follows the first
+    segment."""
+    names = [c.name for c in segs[0].columns]
+    name_set = set(names)
+    for s in segs[1:]:
+        if {c.name for c in s.columns} != name_set:
+            raise ValueError(
+                "fledir compaction: segments disagree on column names: "
+                f"{sorted(name_set)} vs {sorted(c.name for c in s.columns)}"
+            )
+    per_seg = [
+        {e[0]: e for e in segment_reencode_columns(s)} for s in segs
+    ]
+    out: list[tuple] = []
+    for name in names:
+        entries = [p[name] for p in per_seg]
+        hint = _merge_hint(name, {e[2] for e in entries})
+        values = np.concatenate([np.asarray(e[1]) for e in entries])
+        out.append((name, values, hint))
+    return out
+
+
+def _segment_rows(path: str, name: str, stats_json: str) -> int:
+    """Row count of one committed segment — from the manifest stats
+    when present (zero bytes read), else the 14-byte header."""
+    if stats_json:
+        try:
+            return int(json.loads(stats_json)["__rows__"])
+        except (ValueError, KeyError):
+            pass
+    with open(os.path.join(path, name), "rb") as fh:
+        head = fh.read(14)
+    return struct.unpack_from("<I", head, 4)[0]
+
+
+def plan_compaction_bins(
+    path: str, target_rows: int
+) -> list[list[str]]:
+    """Greedy first-fit bins over the committed manifest, in manifest
+    (sorted-name) order so a sorted layout's global order survives the
+    merge.  A single segment already at or above ``target_rows`` keeps
+    its own bin.  Metadata-only: reads ``_DONE`` (and, for legacy
+    stats-less manifests, 14 header bytes per file)."""
+    entries = _manifest_entries(path)
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for name, s in entries:
+        rows = _segment_rows(path, name, s)
+        if cur and cur_rows + rows > target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(name)
+        cur_rows += rows
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def _compact_leaf(spark, path: str, target_rows: int) -> dict:
+    import pandas as _pd
+
+    bins = plan_compaction_bins(path, target_rows)
+    n_before = sum(len(b) for b in bins)
+    report = {
+        "path": path,
+        "files_before": n_before,
+        "files_after": n_before,
+        "compacted": False,
+    }
+    if len(bins) >= n_before:  # every bin is a single file: no-op
+        return report
+
+    def rewrite(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                segs = []
+                for p in row["paths"]:
+                    with open(p, "rb") as fh:
+                        segs.append(parse_segment(fh.read()))
+                payload = encode_segment_columns(
+                    merge_segments_columns(segs)
+                )
+                yield _pd.DataFrame(
+                    {"seg_id": [int(row["seg_id"])], "payload": [payload]}
+                )
+
+    register_fledir(spark)
+    (
+        spark.createDataFrame(
+            [
+                (i, [os.path.join(path, n) for n in b])
+                for i, b in enumerate(bins)
+            ],
+            "seg_id long, paths array<string>",
+        )
+        .repartition(max(len(bins), 1))
+        .mapInPandas(rewrite, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    report["files_after"] = len(bins)
+    report["compacted"] = True
+    return report
+
+
+def compact_fledir(
+    spark, path: str, target_rows: int = 1 << 20
+) -> dict:
+    """Compact a fledir table (flat or hive-partitioned) in place.
+
+    Partitioned roots compact each leaf directory independently — the
+    partition-key directories ARE the layout, so compaction never moves
+    a row across partitions.  Returns a report with before/after file
+    counts (aggregated over leaves).  ``target_rows`` bounds each merged
+    segment's row count, which in turn bounds per-task memory in the
+    rewrite (one bin's decoded columns); size it like
+    ``maxRecordsPerFile`` on the parquet sink."""
+    if target_rows <= 0:
+        raise ValueError("fledir compaction: target_rows must be positive")
+    part = discover_fledir_partitions(path)
+    leaves = [leaf for _, leaf in part[1]] if part is not None else [path]
+    reports = [_compact_leaf(spark, leaf, target_rows) for leaf in leaves]
+    return {
+        "path": path,
+        "leaves": len(leaves),
+        "files_before": sum(r["files_before"] for r in reports),
+        "files_after": sum(r["files_after"] for r in reports),
+        "compacted": any(r["compacted"] for r in reports),
+    }
+
+
+def materialize_fle_compact_dir(spark, sf_dir: str) -> str:
+    """Write-once: lineitem (l_returnflag, l_quantity) deliberately
+    written as MANY TINY segments (a micro-batched writer's layout),
+    then compacted in place by :func:`compact_fledir`.  The `_COMPACTED`
+    sentinel (invisible to the reader halves, which list only `.fle`
+    names and the manifest) makes the compaction step idempotent
+    alongside the `_DONE` write-once contract."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import (
+        ensure_runtime_confs,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _clear_segments,
+        _fle_asset_dir,
+    )
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_compact_assets")
+    marker = os.path.join(out, "_COMPACTED")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        if os.path.exists(marker):
+            return out
+    else:
+        # (re)build the tiny-segment layout from scratch; a stale
+        # sentinel from a previous layout must not skip compaction
+        if os.path.exists(marker):
+            os.remove(marker)
+        _clear_segments(out)
+
+        def encode(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for i, pdf in enumerate(batches):
+                payload = encode_segment_columns([
+                    ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                    (
+                        "l_quantity",
+                        pdf["l_quantity"].to_numpy().astype(np.int64),
+                    ),
+                ])
+                yield _pd.DataFrame(
+                    {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+                )
+
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity")
+            # many small input partitions → many tiny segments: the
+            # layout a micro-batched/streaming writer accumulates
+            .repartition(48)
+            .mapInPandas(encode, schema="seg_id long, payload binary")
+            .write.format("fledir")
+            .mode("overwrite")
+            .option("path", out)
+            .save()
+        )
+
+    report = compact_fledir(spark, out, target_rows=100_000)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(report))
+    os.replace(tmp, marker)
+    return out

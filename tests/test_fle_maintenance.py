@@ -1,0 +1,307 @@
+"""fledir compaction: lossless decode→re-encode round trip across every
+column kind, metadata-only bin planning, and the in-place distributed
+rewrite (results identical pre/post, file count reduced, stats tiers
+intact, partitioned roots compacted per leaf)."""
+from __future__ import annotations
+
+import datetime as dtm
+import decimal as decm
+import json
+import os
+
+import numpy as np
+import pytest
+
+from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+    _manifest_entries,
+    decode_segment_columns,
+    encode_segment_columns,
+    parse_segment,
+    register_fledir,
+)
+from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+    compact_fledir,
+    merge_segments_columns,
+    plan_compaction_bins,
+    segment_reencode_columns,
+)
+
+
+def _all_kinds_columns(rng: np.random.Generator, n: int) -> list[tuple]:
+    """One column per kind, each with NULLs, covering the whole type
+    matrix the container encodes."""
+    null_at = rng.random(n) < 0.2
+
+    ints = rng.integers(0, 1000, n).astype(object)
+    ints[null_at] = None
+
+    signed = rng.integers(-500, 500, n).astype(object)
+    signed[null_at] = None
+
+    dbl = rng.normal(0.0, 100.0, n)
+    dbl[null_at] = np.nan
+
+    strs = np.array(
+        [f"val_{i % 7}" for i in range(n)], dtype=object
+    )
+    strs[null_at] = None
+
+    plain = np.array([f"url-{i}-{rng.integers(1<<30)}" for i in range(n)],
+                     dtype=object)
+    plain[null_at] = None
+
+    ts = (
+        np.datetime64("1995-06-17T10:00:00", "us")
+        + rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    )
+    ts[null_at] = np.datetime64("NaT")
+
+    dates = np.array(
+        [dtm.date(1995, 1, 1) + dtm.timedelta(days=int(d))
+         for d in rng.integers(0, 1000, n)],
+        dtype=object,
+    )
+    dates[null_at] = None
+
+    bools = rng.random(n) < 0.5
+    bools = bools.astype(object)
+    bools[null_at] = None
+
+    decs = np.array(
+        [decm.Decimal(int(v)).scaleb(-2)
+         for v in rng.integers(-10**6, 10**6, n)],
+        dtype=object,
+    )
+    decs[null_at] = None
+
+    return [
+        ("c_int", ints, None),
+        ("c_signed", signed, None),
+        ("c_dbl", dbl, "f64_nan_null"),
+        ("c_dict", strs, None),
+        ("c_plain", plain, "str_plain"),
+        ("c_ts", ts, "ts"),
+        ("c_date", dates, "date"),
+        ("c_bool", bools, "bool"),
+        ("c_dec", decs, ("dec", 12, 2)),
+    ]
+
+
+def _decoded(payload: bytes) -> dict:
+    seg = parse_segment(payload)
+    cols = decode_segment_columns(seg)
+    return {
+        c.name: (cols[c.name][0], cols[c.name][1], c.kind)
+        for c in seg.columns
+    }
+
+
+def _assert_equal_decoded(a: dict, b: dict) -> None:
+    assert set(a) == set(b)
+    for name in a:
+        va, ka, kind_a = a[name]
+        vb, kb, kind_b = b[name]
+        assert kind_a == kind_b, name
+        np.testing.assert_array_equal(ka, kb, err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(va)[ka], np.asarray(vb)[kb], err_msg=name
+        )
+
+
+def test_reencode_round_trip_all_kinds():
+    rng = np.random.default_rng(7)
+    cols = _all_kinds_columns(rng, 257)  # non-multiple of 64: tail lanes
+    p1 = encode_segment_columns(cols)
+    seg = parse_segment(p1)
+    p2 = encode_segment_columns(segment_reencode_columns(seg))
+    _assert_equal_decoded(_decoded(p1), _decoded(p2))
+    # stats footer present on the re-encoded segment too
+    assert parse_segment(p2).chunk_stats is not None
+
+
+def test_merge_concatenates_in_order():
+    rng = np.random.default_rng(11)
+    a = _all_kinds_columns(rng, 130)
+    b = _all_kinds_columns(rng, 65)
+    pa_ = encode_segment_columns(a)
+    pb = encode_segment_columns(b)
+    merged = merge_segments_columns(
+        [parse_segment(pa_), parse_segment(pb)]
+    )
+    pm = encode_segment_columns(merged)
+    assert parse_segment(pm).n == 195
+    da, db, dm = _decoded(pa_), _decoded(pb), _decoded(pm)
+    for name in dm:
+        vals, valid, kind = dm[name]
+        ref_vals = np.concatenate(
+            [np.asarray(da[name][0]), np.asarray(db[name][0])]
+        )
+        ref_valid = np.concatenate([da[name][1], db[name][1]])
+        assert kind == da[name][2] == db[name][2], name
+        np.testing.assert_array_equal(valid, ref_valid, err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(vals)[valid], ref_vals[ref_valid], err_msg=name
+        )
+
+
+def test_merge_int_offset_union_and_string_fallback_redecision():
+    # int planes in one segment, offset in another → merged offset kind
+    p1 = encode_segment_columns([("x", np.arange(10, dtype=np.int64))])
+    p2 = encode_segment_columns(
+        [("x", np.arange(-5, 5, dtype=np.int64))]
+    )
+    merged = merge_segments_columns(
+        [parse_segment(p1), parse_segment(p2)]
+    )
+    seg = parse_segment(encode_segment_columns(merged))
+    vals, valid, _ = _decoded(encode_segment_columns(merged))["x"]
+    assert list(vals[:10]) == list(range(10))
+    assert list(vals[10:]) == list(range(-5, 5))
+    assert valid.all()
+    assert seg.n == 20
+
+
+def test_merge_schema_mismatch_raises():
+    p1 = encode_segment_columns([("x", np.arange(4, dtype=np.int64))])
+    p2 = encode_segment_columns([("y", np.arange(4, dtype=np.int64))])
+    with pytest.raises(ValueError, match="disagree on column names"):
+        merge_segments_columns([parse_segment(p1), parse_segment(p2)])
+
+
+def _write_tiny_dir(spark, tmpdir: str, n_segments: int = 24,
+                    rows_per: int = 50) -> str:
+    """Many tiny committed segments through the writer half."""
+    import pandas as pd
+
+    register_fledir(spark)
+    path = os.path.join(tmpdir, "tiny_fle")
+
+    def encode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                i = int(row["seg_id"])
+                base = i * rows_per
+                qty = np.arange(base, base + rows_per, dtype=np.int64)
+                flag = np.array(
+                    ["A" if v % 3 else "R" for v in qty], dtype=object
+                )
+                payload = encode_segment_columns(
+                    [("l_quantity", qty), ("l_returnflag", flag)]
+                )
+                yield pd.DataFrame(
+                    {"seg_id": [i], "payload": [payload]}
+                )
+
+    (
+        spark.createDataFrame(
+            [(i,) for i in range(n_segments)], "seg_id long"
+        )
+        .repartition(8)
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    return path
+
+
+def _scan_sorted(spark, path):
+    df = (
+        spark.read.format("fledir").option("path", path).load()
+        .orderBy("l_quantity")
+    )
+    return [(r["l_quantity"], r["l_returnflag"]) for r in df.collect()]
+
+
+def test_compact_flat_dir_preserves_data_and_stats(spark, tmp_path):
+    path = _write_tiny_dir(spark, str(tmp_path))
+    before_rows = _scan_sorted(spark, path)
+    before_files = len(_manifest_entries(path))
+    assert before_files == 24
+
+    report = compact_fledir(spark, path, target_rows=300)
+    assert report["compacted"] is True
+    after_files = len(_manifest_entries(path))
+    assert after_files == report["files_after"] < before_files
+    # every merged segment stays within the target
+    for name, s in _manifest_entries(path):
+        assert json.loads(s)["__rows__"] <= 300
+        # chunk-stats footer present → mid-file pruning tier intact
+        with open(os.path.join(path, name), "rb") as fh:
+            assert parse_segment(fh.read()).chunk_stats is not None
+    assert _scan_sorted(spark, path) == before_rows
+    # pushdown on the compacted layout still answers correctly
+    n = (
+        spark.read.format("fledir").option("path", path).load()
+        .filter("l_quantity >= 1100")
+        .count()
+    )
+    assert n == sum(1 for q, _ in before_rows if q >= 1100)
+    # second compaction is a no-op
+    again = compact_fledir(spark, path, target_rows=300)
+    assert again["compacted"] is False
+    assert len(_manifest_entries(path)) == after_files
+
+
+def test_compact_bins_metadata_only(spark, tmp_path):
+    path = _write_tiny_dir(spark, str(tmp_path), n_segments=10,
+                           rows_per=64)
+    bins = plan_compaction_bins(path, target_rows=200)
+    # 64-row segments, 200-row target → 3 per bin
+    assert [len(b) for b in bins] == [3, 3, 3, 1]
+    # manifest order inside each bin (sorted segment names)
+    flat = [n for b in bins for n in b]
+    assert flat == sorted(flat)
+
+
+def test_compact_partitioned_root_per_leaf(spark, tmp_path):
+    import pandas as pd
+
+    register_fledir(spark)
+    root = os.path.join(str(tmp_path), "part_fle")
+    for key in ("A", "R"):
+        leaf = os.path.join(root, f"flag={key}")
+
+        def encode(batches, key=key):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    i = int(row["seg_id"])
+                    qty = np.arange(i * 20, i * 20 + 20, dtype=np.int64)
+                    payload = encode_segment_columns(
+                        [("l_quantity", qty)]
+                    )
+                    yield pd.DataFrame(
+                        {"seg_id": [i], "payload": [payload]}
+                    )
+
+        (
+            spark.createDataFrame([(i,) for i in range(6)], "seg_id long")
+            .repartition(3)
+            .mapInPandas(encode, schema="seg_id long, payload binary")
+            .write.format("fledir")
+            .mode("overwrite")
+            .option("path", leaf)
+            .save()
+        )
+
+    def rows(path):
+        df = (
+            spark.read.format("fledir").option("path", path).load()
+            .orderBy("flag", "l_quantity")
+        )
+        return [(r["flag"], r["l_quantity"]) for r in df.collect()]
+
+    before = rows(root)
+    report = compact_fledir(spark, root, target_rows=1000)
+    assert report["leaves"] == 2
+    assert report["compacted"] is True
+    assert report["files_after"] == 2  # one merged segment per leaf
+    assert rows(root) == before
+    # partition pruning still works on the compacted layout
+    n = (
+        spark.read.format("fledir").option("path", root).load()
+        .filter("flag = 'A' AND l_quantity < 40")
+        .count()
+    )
+    assert n == sum(1 for f, q in before if f == "A" and q < 40)

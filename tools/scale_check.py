@@ -115,6 +115,9 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_dict_fallback", "documents"),
     ("scan_fle_schema_evolution", "lineitem"),
     ("scan_fle_partitioned_multi", "lineitem"),
+    # round-9 session-3: compaction + runtime filter
+    ("scan_fle_compacted", "lineitem"),
+    ("scan_fle_runtime_filter", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

@@ -1499,6 +1499,80 @@ def scan_fle_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_MINMAX_META_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+       CAST(MIN(l_shipdate) AS VARCHAR) AS min_ts,
+       CAST(MAX(l_shipdate) AS VARCHAR) AS max_ts,
+       MIN(CAST(l_shipdate AS DATE)) AS min_date,
+       MAX(CAST(l_shipdate AS DATE)) AS max_date,
+       MIN(l_returnflag = 'R') AS min_ret,
+       MAX(l_returnflag = 'R') AS max_ret,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS min_dec,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS max_dec
+FROM lineitem
+"""
+
+
+@query(
+    "scan_fle_minmax_meta",
+    oracle=_FLE_MINMAX_META_ORACLE,
+    tags=("scan", "encoding", "fle", "metadata"),
+)
+def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX on the FLE container (round 9): the other
+    half of the aggregate-from-metadata shortcut (§2A #3 — Spark's
+    `parquet.aggregatePushdown` answers MIN/MAX from footer statistics;
+    the reference short-circuits count(*) from row-group metadata,
+    hdfs-parquet-scanner.cc:1377-1396).  Every manifest entry carries
+    per-column VALUE-SPACE min/max computed on the encoded planes at
+    write time (plane_min_max — no decode even then), so the fold is a
+    driver-side manifest read with zero segment bytes touched, across
+    the WHOLE type matrix: dictionary-string endpoints, sortable-bits
+    doubles, epoch-micros timestamps, epoch-days dates, booleans, and
+    unscaled decimals (the `t` tags route each back to its logical
+    domain).  All-NULL segments carry the empty interval and are
+    skipped — SQL MIN/MAX semantics.  The DuckDB oracle recomputes all
+    six columns' extrema from the raw parquet rows, certifying the
+    manifest stats against the data — the same certification
+    `scan_fle_count_meta` gives the row counts (a wrong stat anywhere
+    would also silently misprune files, so this pins the pruning
+    tier's inputs too)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_min_max,
+        fledir_row_count,
+        materialize_fle_typed_dir,
+    )
+
+    path = materialize_fle_typed_dir(spark, sf_dir)
+    mm = fledir_min_max(
+        path,
+        ["l_returnflag", "price", "ship_ts", "ship_date", "returned",
+         "price_dec"],
+    )
+    row = (
+        fledir_row_count(path),
+        mm["l_returnflag"][0], mm["l_returnflag"][1],
+        float(mm["price"][0]), float(mm["price"][1]),
+        str(mm["ship_ts"][0]), str(mm["ship_ts"][1]),
+        mm["ship_date"][0], mm["ship_date"][1],
+        bool(mm["returned"][0]), bool(mm["returned"][1]),
+        float(mm["price_dec"][0]), float(mm["price_dec"][1]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows bigint, min_flag string, max_flag string, "
+        "min_price double, max_price double, min_ts string, "
+        "max_ts string, min_date date, max_date date, "
+        "min_ret boolean, max_ret boolean, min_dec double, "
+        "max_dec double",
+    )
+
+
 _FLE_RUNTIME_FILTER_ORACLE = """
 SELECT l_returnflag,
        s_nationkey,

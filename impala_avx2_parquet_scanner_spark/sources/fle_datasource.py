@@ -3005,6 +3005,80 @@ def fledir_row_count(path: str) -> int:
     return total
 
 
+def _stat_to_value(entry: dict, raw):
+    """One manifest stat (min or max) → its typed Python value.  The
+    manifest stores stats in VALUE space with a `t` tag for kinds whose
+    integer domain needs a logical type attached (micros/days/unscaled
+    — see :func:`segment_stats`); untagged entries are already final
+    (ints for plane columns, strings for dict/plain, floats stay
+    floats)."""
+    import datetime as _dtm
+    import decimal as _decm
+
+    t = entry.get("t")
+    if t == "ts":
+        return _dtm.datetime(1970, 1, 1) + _dtm.timedelta(
+            microseconds=int(raw)
+        )
+    if t == "date":
+        return _dtm.date(1970, 1, 1) + _dtm.timedelta(days=int(raw))
+    if t == "bool":
+        return bool(raw)
+    if t == "dec":
+        return _decm.Decimal(int(raw)).scaleb(-int(entry["s"]))
+    return raw
+
+
+def fledir_min_max(path: str, columns: list[str]) -> dict:
+    """Metadata-only MIN/MAX over a committed fledir (flat or
+    partitioned): {column: (min, max)} folded from the manifest's
+    per-segment value-space stats with ZERO segment bytes read — the
+    other half of parquet aggregate pushdown
+    (`spark.sql.parquet.aggregatePushdown` answers MIN/MAX from footer
+    statistics the same way; §2A #3's metadata shortcut generalized
+    from count(*)).  SQL semantics: NULL lanes never contribute
+    (segment stats already exclude them), an all-NULL segment carries
+    the empty interval and is skipped, and a table with no valid lane
+    answers (None, None) — SQL NULL.  Typed kinds come back in their
+    logical domain (datetime/date/bool/Decimal) via the manifest's `t`
+    tags.  A legacy stats-less manifest entry fails loudly: answering
+    from metadata that does not exist would mean silently scanning."""
+    import json as _json
+
+    part = discover_fledir_partitions(path)
+    roots = [leaf for _, leaf in part[1]] if part else [path]
+    agg: dict[str, tuple] = {c: (None, None) for c in columns}
+    for root in roots:
+        entries = _manifest_entries(root)
+        if not entries and not os.path.exists(os.path.join(root, "_DONE")):
+            raise ValueError(f"fledir: {root} has no _DONE manifest")
+        for name, stats_json in entries:
+            if not stats_json:
+                raise ValueError(
+                    f"fledir: segment {name!r} has a stats-less manifest "
+                    "entry — metadata min/max needs the stats written at "
+                    "commit time"
+                )
+            st = _json.loads(stats_json)
+            for c in columns:
+                e = st.get(c)
+                if e is None:
+                    raise KeyError(
+                        f"fledir: column {c!r} missing from segment "
+                        f"{name!r} stats"
+                    )
+                if e["min"] is None:
+                    continue  # all-NULL segment: empty interval
+                mn = _stat_to_value(e, e["min"])
+                mx = _stat_to_value(e, e["max"])
+                cur_mn, cur_mx = agg[c]
+                agg[c] = (
+                    mn if cur_mn is None or mn < cur_mn else cur_mn,
+                    mx if cur_mx is None or mx > cur_mx else cur_mx,
+                )
+    return agg
+
+
 def materialize_fle_partitioned_dir(spark, sf_dir: str) -> str:
     """Write-once: a HIVE-STYLE PARTITIONED fledir — lineitem split
     into ``l_returnflag=A/N/R`` subdirectories (each its own committed

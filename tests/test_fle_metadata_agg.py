@@ -1,0 +1,115 @@
+"""Metadata-only MIN/MAX from fledir manifest stats: typed-domain
+mapping, all-NULL segment skip, partitioned-root fold, and the loud
+failure on stats-less manifests."""
+from __future__ import annotations
+
+import datetime as dtm
+import decimal as decm
+import os
+
+import numpy as np
+import pytest
+
+from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+    encode_segment_columns,
+    fledir_min_max,
+    register_fledir,
+)
+
+
+def _write_dir(spark, path: str, segments: list[list[tuple]]) -> str:
+    import pandas as pd
+
+    register_fledir(spark)
+
+    def encode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                i = int(row["seg_id"])
+                yield pd.DataFrame(
+                    {
+                        "seg_id": [i],
+                        "payload": [encode_segment_columns(segments[i])],
+                    }
+                )
+
+    (
+        spark.createDataFrame(
+            [(i,) for i in range(len(segments))], "seg_id long"
+        )
+        .repartition(2)
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    return path
+
+
+def test_min_max_typed_domains_and_null_segment_skip(spark, tmp_path):
+    seg_a = [
+        ("q", np.array([5, 2, 9], dtype=np.int64)),
+        ("p", np.array([1.5, -2.25, 0.0]), "f64"),
+        ("t", np.array(
+            ["1995-06-01T12:00:00", "1995-06-03T00:00:00",
+             "1995-06-02T00:00:00"], dtype="datetime64[us]")),
+        ("d", np.array([decm.Decimal("1.25"), decm.Decimal("-3.50"),
+                        decm.Decimal("0.75")], dtype=object),
+         ("dec", 12, 2)),
+        ("s", np.array(["bb", "aa", "cc"], dtype=object)),
+    ]
+    # second segment: q all NULL (empty interval must be skipped),
+    # others extend the extrema
+    seg_b = [
+        ("q", np.array([None, None, None], dtype=object)),
+        ("p", np.array([10.0, np.nan, -8.5]), "f64_nan_null"),
+        ("t", np.array(
+            ["1995-05-30T00:00:00", "1995-06-04T06:30:00",
+             "1995-06-01T00:00:00"], dtype="datetime64[us]")),
+        ("d", np.array([decm.Decimal("9.99"), None,
+                        decm.Decimal("-0.01")], dtype=object),
+         ("dec", 12, 2)),
+        ("s", np.array([None, "zz", "ab"], dtype=object)),
+    ]
+    path = _write_dir(spark, str(tmp_path / "mm"), [seg_a, seg_b])
+    mm = fledir_min_max(path, ["q", "p", "t", "d", "s"])
+    assert mm["q"] == (2, 9)  # all-NULL segment contributed nothing
+    assert mm["p"] == (-8.5, 10.0)
+    assert mm["t"] == (
+        dtm.datetime(1995, 5, 30), dtm.datetime(1995, 6, 4, 6, 30)
+    )
+    assert mm["d"] == (decm.Decimal("-3.50"), decm.Decimal("9.99"))
+    assert mm["s"] == ("aa", "zz")
+
+
+def test_min_max_all_null_column_is_sql_null(spark, tmp_path):
+    seg = [("x", np.array([None, None], dtype=object))]
+    path = _write_dir(spark, str(tmp_path / "mm_null"), [seg])
+    assert fledir_min_max(path, ["x"]) == {"x": (None, None)}
+
+
+def test_min_max_partitioned_root_folds_all_leaves(spark, tmp_path):
+    root = str(tmp_path / "mm_part")
+    for key, lo in (("A", 100), ("R", 5)):
+        _write_dir(
+            spark,
+            os.path.join(root, f"flag={key}"),
+            [[("q", np.arange(lo, lo + 10, dtype=np.int64))]],
+        )
+    assert fledir_min_max(root, ["q"]) == {"q": (5, 109)}
+
+
+def test_min_max_unknown_column_and_stats_less_manifest(spark, tmp_path):
+    seg = [("x", np.array([1, 2], dtype=np.int64))]
+    path = _write_dir(spark, str(tmp_path / "mm_err"), [seg])
+    with pytest.raises(KeyError, match="missing from segment"):
+        fledir_min_max(path, ["nope"])
+    # strip the stats column from the manifest: the fold must refuse
+    done = os.path.join(path, "_DONE")
+    with open(done) as fh:
+        names = [ln.split("\t")[0] for ln in fh.read().splitlines() if ln]
+    with open(done, "w") as fh:
+        fh.write("\n".join(names))
+    with pytest.raises(ValueError, match="stats-less"):
+        fledir_min_max(path, ["x"])

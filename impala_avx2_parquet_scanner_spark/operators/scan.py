@@ -1499,6 +1499,43 @@ def scan_fle_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_fle_count_by_partition",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("scan", "encoding", "fle", "metadata", "layout"),
+)
+def scan_fle_count_by_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED metadata-only count(*) on the partitioned FLE container
+    (round 9): when the GROUP BY key IS the partition key, the entire
+    aggregate folds from the leaf manifests' row counts — one manifest
+    walk per `l_returnflag=X` directory, ZERO segment bytes read (the
+    grouped form of `scan_fle_count_meta`; the reference's partition
+    descriptors carry per-partition locations whose file metadata
+    answers exactly this, descriptors.h:178-262 + the count(*)
+    shortcut hdfs-parquet-scanner.cc:1377-1396).  At 100 TB this is
+    the difference between a dashboard's per-partition row counts
+    costing a full scan and costing a metadata read.  The DuckDB
+    oracle recomputes the group counts from the raw parquet rows,
+    certifying every leaf's manifest against the data — a row routed
+    to the wrong partition directory at write time flips two groups."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_partition_row_counts,
+        materialize_fle_partitioned_dir,
+    )
+
+    path = materialize_fle_partitioned_dir(spark, sf_dir)
+    keys, rows = fledir_partition_row_counts(path)
+    return spark.createDataFrame(
+        rows, ", ".join([f"{k} string" for k in keys]) + ", n_rows bigint"
+    )
+
+
 _FLE_MINMAX_META_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,

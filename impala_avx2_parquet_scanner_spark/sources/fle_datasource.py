@@ -3005,6 +3005,31 @@ def fledir_row_count(path: str) -> int:
     return total
 
 
+def fledir_partition_row_counts(path: str) -> "tuple[list, list]":
+    """Metadata-only GROUPED count(*) over a hive-partitioned fledir:
+    ([key_col, ...], [(key_values..., n_rows), ...]) — one row per leaf
+    directory, each count folded from that leaf's manifest alone (zero
+    segment bytes).  The grouped form of :func:`fledir_row_count`: when
+    the GROUP BY key IS the partition key, the whole aggregate is a
+    manifest walk — the same shortcut Spark takes for grouped counts
+    over hive layouts when metadata answers the scan, and the
+    reference's partition-keyed row accounting (partition descriptors
+    carry per-partition row counts via their file metadata,
+    descriptors.h:178-262).  Raises on a flat (unpartitioned) root:
+    there is no key to group by."""
+    part = discover_fledir_partitions(path)
+    if part is None:
+        raise ValueError(
+            f"fledir: {path} is not hive-partitioned — grouped "
+            "metadata counts need a col=value directory layout"
+        )
+    keys, leaves = part
+    rows = [
+        tuple(vals) + (fledir_row_count(leaf),) for vals, leaf in leaves
+    ]
+    return keys, rows
+
+
 def _stat_to_value(entry: dict, raw):
     """One manifest stat (min or max) → its typed Python value.  The
     manifest stores stats in VALUE space with a `t` tag for kinds whose

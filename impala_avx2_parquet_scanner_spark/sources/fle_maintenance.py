@@ -72,8 +72,10 @@ from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
 __all__ = [
     "segment_reencode_columns",
     "merge_segments_columns",
+    "sort_merged_columns",
     "plan_compaction_bins",
     "compact_fledir",
+    "materialize_fle_compact_dir",
 ]
 
 
@@ -194,6 +196,44 @@ def merge_segments_columns(segs: list[ParsedSegment]) -> list[tuple]:
     return out
 
 
+def sort_merged_columns(cols: list[tuple], sort_by: str) -> list[tuple]:
+    """Reorder every merged column by `sort_by` ascending, NULLS LAST
+    (Spark's default sort order).  A compaction that merges a
+    locally-sorted layout's bins concatenates runs — re-sorting inside
+    each merged segment restores monotone per-chunk BSTA stats, so the
+    mid-file skip tier stays as selective after compaction as the
+    original small segments' manifest stats were before it."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _is_null_cell,
+    )
+
+    entry = next((e for e in cols if e[0] == sort_by), None)
+    if entry is None:
+        raise ValueError(
+            f"fledir compaction: sort_by column {sort_by!r} not in "
+            f"segment columns {[e[0] for e in cols]}"
+        )
+    vals = np.asarray(entry[1])
+    if vals.dtype == object:
+        nulls = [_is_null_cell(v) for v in vals]
+        order = np.asarray(
+            sorted(
+                range(vals.size),
+                key=lambda i: (nulls[i], 0) if nulls[i]
+                else (False, vals[i]),
+            ),
+            dtype=np.int64,
+        )
+    else:
+        # native dtypes: stable argsort already puts NaN/NaT last —
+        # exactly the NULL markers of the f64/ts/date conventions
+        order = np.argsort(vals, kind="stable")
+    return [
+        (name, np.asarray(values)[order], *rest)
+        for name, values, *rest in cols
+    ]
+
+
 def _segment_rows(path: str, name: str, stats_json: str) -> int:
     """Row count of one committed segment — from the manifest stats
     when present (zero bytes read), else the 14-byte header."""
@@ -231,7 +271,9 @@ def plan_compaction_bins(
     return bins
 
 
-def _compact_leaf(spark, path: str, target_rows: int) -> dict:
+def _compact_leaf(
+    spark, path: str, target_rows: int, sort_by: "str | None" = None
+) -> dict:
     import pandas as _pd
 
     bins = plan_compaction_bins(path, target_rows)
@@ -252,9 +294,10 @@ def _compact_leaf(spark, path: str, target_rows: int) -> dict:
                 for p in row["paths"]:
                     with open(p, "rb") as fh:
                         segs.append(parse_segment(fh.read()))
-                payload = encode_segment_columns(
-                    merge_segments_columns(segs)
-                )
+                merged = merge_segments_columns(segs)
+                if sort_by is not None:
+                    merged = sort_merged_columns(merged, sort_by)
+                payload = encode_segment_columns(merged)
                 yield _pd.DataFrame(
                     {"seg_id": [int(row["seg_id"])], "payload": [payload]}
                 )
@@ -281,7 +324,8 @@ def _compact_leaf(spark, path: str, target_rows: int) -> dict:
 
 
 def compact_fledir(
-    spark, path: str, target_rows: int = 1 << 20
+    spark, path: str, target_rows: int = 1 << 20,
+    sort_by: "str | None" = None,
 ) -> dict:
     """Compact a fledir table (flat or hive-partitioned) in place.
 
@@ -291,12 +335,17 @@ def compact_fledir(
     counts (aggregated over leaves).  ``target_rows`` bounds each merged
     segment's row count, which in turn bounds per-task memory in the
     rewrite (one bin's decoded columns); size it like
-    ``maxRecordsPerFile`` on the parquet sink."""
+    ``maxRecordsPerFile`` on the parquet sink.  ``sort_by`` re-sorts
+    each merged segment's rows by that column (ascending, NULLS last)
+    before encoding — restores monotone per-chunk BSTA stats when the
+    input was locally sorted (see :func:`sort_merged_columns`)."""
     if target_rows <= 0:
         raise ValueError("fledir compaction: target_rows must be positive")
     part = discover_fledir_partitions(path)
     leaves = [leaf for _, leaf in part[1]] if part is not None else [path]
-    reports = [_compact_leaf(spark, leaf, target_rows) for leaf in leaves]
+    reports = [
+        _compact_leaf(spark, leaf, target_rows, sort_by) for leaf in leaves
+    ]
     return {
         "path": path,
         "leaves": len(leaves),

@@ -305,3 +305,75 @@ def test_compact_partitioned_root_per_leaf(spark, tmp_path):
         .count()
     )
     assert n == sum(1 for f, q in before if f == "A" and q < 40)
+
+
+def test_compact_sort_by_restores_monotone_chunk_stats(spark, tmp_path):
+    """Unsorted tiny segments + sort_by compaction → each merged
+    segment is internally sorted, its per-chunk BSTA stats are
+    monotone non-overlapping, and the data survives byte-exactly."""
+    import pandas as pd
+
+    register_fledir(spark)
+    path = os.path.join(str(tmp_path), "sorted_fle")
+    rng = np.random.default_rng(13)
+
+    def encode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                i = int(row["seg_id"])
+                qty = rng.integers(0, 100_000, 200).astype(np.int64)
+                payload = encode_segment_columns([("q", qty)])
+                yield pd.DataFrame({"seg_id": [i], "payload": [payload]})
+
+    (
+        spark.createDataFrame([(i,) for i in range(12)], "seg_id long")
+        .repartition(1)  # one task: the rng draws stay deterministic
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    before = sorted(
+        r["q"] for r in
+        spark.read.format("fledir").option("path", path).load().collect()
+    )
+    report = compact_fledir(spark, path, target_rows=1200, sort_by="q")
+    assert report["compacted"]
+    after = sorted(
+        r["q"] for r in
+        spark.read.format("fledir").option("path", path).load().collect()
+    )
+    assert after == before
+    for name, _ in _manifest_entries(path):
+        with open(os.path.join(path, name), "rb") as fh:
+            seg = parse_segment(fh.read())
+        vals, valid, _ = _decoded_one(seg)
+        assert list(vals) == sorted(vals)  # merged segment is sorted
+        mins, maxs = seg.chunk_stats[0]
+        # sorted layout → chunk intervals are monotone, non-overlapping
+        for j in range(1, mins.size):
+            assert mins[j] >= maxs[j - 1]
+
+
+def _decoded_one(seg):
+    c = seg.columns[0]
+    vals, valid = decode_segment_columns(seg, columns=[c.name])[c.name]
+    return vals, valid, c.kind
+
+
+def test_sort_merged_nulls_last():
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        sort_merged_columns,
+    )
+
+    cols = [
+        ("k", np.array([3, None, 1, None, 2], dtype=object), "int"),
+        ("v", np.array(["c", "x", "a", "y", "b"], dtype=object), None),
+    ]
+    s = sort_merged_columns(cols, "k")
+    assert list(s[0][1][:3]) == [1, 2, 3]
+    assert all(x is None for x in s[0][1][3:])
+    assert list(s[1][1]) == ["a", "b", "c", "x", "y"]
+    with pytest.raises(ValueError, match="sort_by"):
+        sort_merged_columns(cols, "nope")

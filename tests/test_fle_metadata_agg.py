@@ -113,3 +113,24 @@ def test_min_max_unknown_column_and_stats_less_manifest(spark, tmp_path):
         fh.write("\n".join(names))
     with pytest.raises(ValueError, match="stats-less"):
         fledir_min_max(path, ["x"])
+
+
+def test_grouped_partition_counts(spark, tmp_path):
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_partition_row_counts,
+    )
+
+    root = str(tmp_path / "grp")
+    for key, n in (("A", 7), ("R", 13)):
+        _write_dir(
+            spark,
+            os.path.join(root, f"flag={key}"),
+            [[("q", np.arange(n, dtype=np.int64))]],
+        )
+    keys, rows = fledir_partition_row_counts(root)
+    assert keys == ["flag"]
+    assert sorted(rows) == [("A", 7), ("R", 13)]
+    flat = str(tmp_path / "flat")
+    _write_dir(spark, flat, [[("q", np.arange(3, dtype=np.int64))]])
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        fledir_partition_row_counts(flat)

@@ -118,6 +118,8 @@ CHECKED: list[tuple[str, str]] = [
     # round-9 session-3: compaction + runtime filter
     ("scan_fle_compacted", "lineitem"),
     ("scan_fle_runtime_filter", "lineitem"),
+    ("scan_fle_minmax_meta", "lineitem"),
+    ("scan_fle_count_by_partition", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

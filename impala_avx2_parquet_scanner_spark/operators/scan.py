@@ -1610,6 +1610,64 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_ZORDER_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+WHERE CAST(l_quantity AS BIGINT) BETWEEN 10 AND 15
+  AND l_extendedprice BETWEEN 20000.0 AND 30000.0
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_zorder",
+    oracle=_FLE_ZORDER_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "layout"),
+)
+def scan_fle_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout on the FLE container (round 9): segments are
+    written in Morton-key order of (l_quantity, price), so each covers
+    a narrow TWO-DIMENSIONAL box and the manifest's per-column min/max
+    prune files for range predicates on EITHER dimension — the
+    container analog of the engine's Z-ordered parquet sink
+    (`scan_zorder_pruned`) and the 2-D generalization of the
+    reference's order-preserving layout trick (dict-encoding.h:
+    393-406).  The conjunctive 2-D range here pushes BOTH conjuncts:
+    the int range runs as plane kernels, the fractional price range
+    through the sortable-bits f64 kind (exact), with manifest and
+    BSTA chunk stats refuting at file and mid-file granularity.
+    The DuckDB oracle replays the 2-D range from raw parquet — a
+    mispruned box flips group counts; tests additionally pin that
+    EACH single dimension's range alone prunes files (the locality
+    claim a single-column sort cannot make)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_zorder_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_zorder_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter(
+            F.col("l_quantity").between(10, 15)
+            & F.col("price").between(20000.0, 30000.0)
+        )
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+
+
 _FLE_RUNTIME_FILTER_ORACLE = """
 SELECT l_returnflag,
        s_nationkey,

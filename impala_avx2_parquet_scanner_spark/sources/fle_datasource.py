@@ -2283,15 +2283,58 @@ class _FleCommit(WriterCommitMessage):
 def _clear_segments(path: str) -> None:
     """Remove every segment file + manifest under `path` (unsealed-retry
     hygiene — stale seg_*.fle / task temp files from a crashed attempt
-    or a previous layout must not survive into a new write)."""
+    or a previous layout must not survive into a new write).  Lineage
+    sidecars go too: a stale merged→sources map from a previous layout
+    could mark a NEW layout's reused names as already-streamed."""
     if not os.path.isdir(path):
         return
     for f in os.listdir(path):
-        if f.endswith(".fle") or f == "_DONE" or ".fle.tmp-" in f:
+        if (
+            f.endswith(".fle") or f == "_DONE" or ".fle.tmp-" in f
+            or f in (_LINEAGE_NAME, _LINEAGE_NAME + ".pending")
+        ):
             try:
                 os.remove(os.path.join(path, f))
             except OSError:
                 pass
+
+
+#: compaction lineage sidecar: maps each merged segment name to the
+#: ORIGINAL segment names its rows came from (flattened through prior
+#: compactions), so the STREAM reader can recognize a merged file as
+#: already-processed instead of re-emitting its rows (the
+#: duplicate-delivery hazard of rewriting files under a checkpointed
+#: file-name-set offset — the same problem Delta's remove-actions solve)
+_LINEAGE_NAME = "_LINEAGE"
+
+
+def _read_lineage(path: str) -> "dict[str, list[str]]":
+    """{merged_name: [original source names...]} — empty if none."""
+    p = os.path.join(path, _LINEAGE_NAME)
+    if not os.path.exists(p):
+        return {}
+    out: dict[str, list[str]] = {}
+    with open(p) as fh:
+        for ln in fh.read().splitlines():
+            if ln:
+                name, _, srcs = ln.partition("\t")
+                out[name] = srcs.split(",") if srcs else []
+    return out
+
+
+def _write_lineage_pending(path: str, lineage: "dict[str, list[str]]"):
+    """Stage the next lineage map.  Written BEFORE the compaction job
+    (the planned merged names are chosen up front), promoted to
+    `_LINEAGE` atomically by the writer's overwrite commit right after
+    the manifest swap — a crashed compaction leaves only the inert
+    `.pending` file, never a lineage that references missing files."""
+    tmp = os.path.join(path, _LINEAGE_NAME + ".pending.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(
+            f"{name}\t{','.join(srcs)}"
+            for name, srcs in sorted(lineage.items())
+        ))
+    os.replace(tmp, os.path.join(path, _LINEAGE_NAME + ".pending"))
 
 
 def _manifest_entries(path: str) -> list[tuple[str, str]]:
@@ -2384,6 +2427,23 @@ class FleDirWriter(DataSourceWriter):
                 f"{name}\t{s}" if s else name for name, s in entries
             ))
         os.replace(tmp_done, done)  # atomic manifest swap
+        if self.overwrite:
+            # lineage handoff: a compaction staged `_LINEAGE.pending`
+            # before its job — promote it now that the new manifest is
+            # durable; any other overwrite REPLACES the table's rows,
+            # so a stale merged→sources map must not survive to mark
+            # the fresh files as already-streamed
+            pending = os.path.join(
+                self.dir, _LINEAGE_NAME + ".pending"
+            )
+            final = os.path.join(self.dir, _LINEAGE_NAME)
+            if os.path.exists(pending):
+                os.replace(pending, final)
+            elif os.path.exists(final):
+                try:
+                    os.remove(final)
+                except OSError:
+                    pass
         if self.overwrite:
             # destruction happens ONLY after the new _DONE is durable:
             # sweep every .fle not in the new manifest (covers stale
@@ -2610,11 +2670,55 @@ try:  # streaming half (Spark >= 4.0)
             current = sorted(
                 f for f in os.listdir(self.dir) if f.endswith(".fle")
             )
-            fresh = [f for f in current if f not in seen and self._sealed(f)]
+            lineage = _read_lineage(self.dir)
+
+            def covered(name: str) -> bool:
+                # a name is covered if the stream processed it directly
+                # OR every immediate source it was merged from is
+                # covered — the recursion chains through generations of
+                # compaction, so a checkpoint holding gen-1 merged
+                # names still recognizes the gen-2 merge of them
+                if name in seen:
+                    return True
+                srcs_ = lineage.get(name)
+                return bool(srcs_) and all(covered(s) for s in srcs_)
+
+            fresh, absorbed = [], []
+            for f in current:
+                if f in seen or not self._sealed(f):
+                    continue
+                srcs = lineage.get(f)
+                if not srcs:
+                    fresh.append(f)  # genuinely new data
+                    continue
+                # a COMPACTION product: its rows came from `srcs`
+                n_seen = sum(1 for s in srcs if covered(s))
+                if n_seen == len(srcs):
+                    # every source already processed — absorb the merged
+                    # file into the offset WITHOUT emitting (exactly-once
+                    # survives the rewrite; the Delta remove-action move)
+                    absorbed.append(f)
+                elif n_seen == 0:
+                    fresh.append(f)  # none processed: emit the merge
+                else:
+                    # rows from processed and unprocessed sources are
+                    # fused in one file — emitting means duplicates,
+                    # skipping means loss.  Refuse loudly: compaction
+                    # raced a mid-feed checkpoint (bin the feed so
+                    # compaction only touches fully-consumed prefixes,
+                    # or restart the stream from a fresh checkpoint)
+                    raise ValueError(
+                        f"fledir stream: compacted segment {f!r} mixes "
+                        f"{n_seen} already-processed and "
+                        f"{len(srcs) - n_seen} unprocessed source "
+                        "segments — exactly-once replay is impossible; "
+                        "compact only fully-streamed data or restart "
+                        "the stream"
+                    )
             # iter() over the materialized list: the framework requires
             # an ITERATOR, and a list_iterator pickles
             return iter(self._rows(fresh)), {
-                "names": sorted(seen | set(fresh))
+                "names": sorted(seen | set(fresh) | set(absorbed))
             }
 
         def readBetweenOffsets(self, start: dict, end: dict):
@@ -3382,6 +3486,85 @@ def materialize_fle_fact_dir(spark, sf_dir: str) -> str:
     (
         table(spark, sf_dir, "lineitem")
         .select("l_suppkey", "l_quantity", "l_returnflag")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
+
+
+def materialize_fle_zorder_dir(spark, sf_dir: str) -> str:
+    """Write-once: lineitem (l_returnflag, l_quantity, price) laid out
+    by the MORTON (Z-order) key of (l_quantity, price) — the
+    two-dimensional generalization of the sorted layout, reusing the
+    engine's JVM-side `zorder_value` bit-interleave (the parquet sink's
+    Z-order path).  Each segment covers a narrow 2-D box, so the
+    manifest's per-column min/max refute files for range predicates on
+    EITHER dimension (a single-column sort gives one dimension locality
+    and leaves the other spanning the full domain) — the 2-D form of
+    the reference's order-preserving layout trick (dict-encoding.h:
+    393-406 made spatial).  The price column rides the sortable-bits
+    f64 kind, so its manifest stats and kernels answer fractional
+    range literals exactly."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+    from impala_avx2_parquet_scanner_spark.sources.parquet_io import (
+        zorder_value,
+    )
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_zorder_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+                ("price", pdf["price"].to_numpy(), "f64"),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    df = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        F.col("l_extendedprice").alias("price"),
+    )
+    # column min/max from one aggregate, broadcast as a single row (no
+    # driver round-trip in the plan) — same recipe as the parquet sink
+    stats = df.agg(
+        F.min("l_quantity").alias("_mna"),
+        F.max("l_quantity").alias("_mxa"),
+        F.min("price").alias("_mnb"),
+        F.max("price").alias("_mxb"),
+    )
+    z = zorder_value(
+        F.col("l_quantity"), F.col("price"),
+        F.col("_mna"), F.col("_mxa"), F.col("_mnb"), F.col("_mxb"),
+    )
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_z", z)
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .select("l_returnflag", "l_quantity", "price")
         .mapInPandas(encode, schema="seg_id long, payload binary")
         .write.format("fledir")
         .mode("overwrite")

@@ -274,7 +274,14 @@ def plan_compaction_bins(
 def _compact_leaf(
     spark, path: str, target_rows: int, sort_by: "str | None" = None
 ) -> dict:
+    import re
+
     import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _read_lineage,
+        _write_lineage_pending,
+    )
 
     bins = plan_compaction_bins(path, target_rows)
     n_before = sum(len(b) for b in bins)
@@ -286,6 +293,29 @@ def _compact_leaf(
     }
     if len(bins) >= n_before:  # every bin is a single file: no-op
         return report
+
+    # GENERATION-FRESH merged names: new seg ids start above every id
+    # the directory has ever used, so a merged file can never reuse a
+    # replaced file's name (a stream's offset is a name SET — a reused
+    # name would silently alias old and new data)
+    max_id = -1
+    for name, _ in _manifest_entries(path):
+        m = re.match(r"seg_(\d+)\.fle$", name)
+        if m:
+            max_id = max(max_id, int(m.group(1)))
+    base = (max_id // 1_000_000 + 1) * 1_000_000
+    names = [f"seg_{base + i}.fle" for i in range(len(bins))]
+
+    # stage the stream-safety lineage BEFORE the job: each merged name
+    # maps to its immediate source names, and prior generations' entries
+    # are kept so a checkpoint holding any generation's names still
+    # resolves (the stream's covered() recursion).  The writer's
+    # overwrite commit promotes `.pending` to `_LINEAGE` atomically
+    # right after the manifest swap; a crashed job leaves it inert.
+    lineage = _read_lineage(path)
+    for nm, b in zip(names, bins):
+        lineage[nm] = sorted(b)
+    _write_lineage_pending(path, lineage)
 
     def rewrite(batches):
         for pdf in batches:
@@ -306,7 +336,7 @@ def _compact_leaf(
     (
         spark.createDataFrame(
             [
-                (i, [os.path.join(path, n) for n in b])
+                (base + i, [os.path.join(path, n) for n in b])
                 for i, b in enumerate(bins)
             ],
             "seg_id long, paths array<string>",
@@ -338,7 +368,17 @@ def compact_fledir(
     ``maxRecordsPerFile`` on the parquet sink.  ``sort_by`` re-sorts
     each merged segment's rows by that column (ascending, NULLS last)
     before encoding — restores monotone per-chunk BSTA stats when the
-    input was locally sorted (see :func:`sort_merged_columns`)."""
+    input was locally sorted (see :func:`sort_merged_columns`).
+
+    STREAM-SAFE: the streaming reader's offset is the processed
+    file-name set, so a naive rewrite would make a checkpointed stream
+    re-emit every merged row.  Compaction therefore records a lineage
+    sidecar (merged name → immediate source names, prior generations
+    kept) staged before the job and promoted atomically by the
+    overwrite commit; the stream absorbs a merged file whose sources
+    were all processed, emits one whose sources were all unprocessed,
+    and refuses loudly on a partial overlap (see FleStreamReader.read
+    — the file-format analog of Delta's remove-actions)."""
     if target_rows <= 0:
         raise ValueError("fledir compaction: target_rows must be positive")
     part = discover_fledir_partitions(path)

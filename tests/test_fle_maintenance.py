@@ -377,3 +377,102 @@ def test_sort_merged_nulls_last():
     assert list(s[1][1]) == ["a", "b", "c", "x", "y"]
     with pytest.raises(ValueError, match="sort_by"):
         sort_merged_columns(cols, "nope")
+
+
+def test_stream_survives_compaction_exactly_once(spark, tmp_path):
+    """The stream's offset is the processed file-name set; compaction
+    rewrites names.  The lineage sidecar must make the merged files
+    ABSORBED (offset-advanced, zero rows re-emitted), while genuinely
+    new segments appended after compaction still flow."""
+    import pandas as pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleStreamReader,
+        _read_lineage,
+    )
+
+    path = _write_tiny_dir(spark, str(tmp_path), n_segments=12,
+                           rows_per=50)
+    r = FleStreamReader({"path": path})
+    rows1, off1 = r.read(r.initialOffset())
+    assert len(list(rows1)) == 600
+
+    report = compact_fledir(spark, path, target_rows=300)
+    assert report["compacted"]
+    lineage = _read_lineage(path)
+    assert lineage  # promoted by the overwrite commit
+    # merged names are generation-fresh: never reuse a replaced name
+    merged = [n for n, _ in _manifest_entries(path)]
+    assert all(int(n.split("_")[1].split(".")[0]) >= 1_000_000
+               for n in merged)
+
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == []  # absorbed, not re-emitted
+    assert set(merged) <= set(off2["names"])
+
+    # append NEW data: flows as usual
+    def encode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                qty = np.arange(9000, 9020, dtype=np.int64)
+                flag = np.array(["A"] * 20, dtype=object)
+                payload = encode_segment_columns(
+                    [("l_quantity", qty), ("l_returnflag", flag)]
+                )
+                yield pd.DataFrame(
+                    {"seg_id": [int(row["seg_id"])], "payload": [payload]}
+                )
+
+    (
+        spark.createDataFrame([(5_000_000,)], "seg_id long")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    rows3, off3 = r.read(off2)
+    assert len(list(rows3)) == 20
+
+    # a SECOND compaction chains the lineage: a stream holding gen-1
+    # merged names (off3) absorbs the gen-2 merge of them
+    report2 = compact_fledir(spark, path, target_rows=100_000)
+    assert report2["compacted"]
+    rows4, off4 = r.read(off3)
+    assert list(rows4) == []
+
+
+def test_stream_partial_compaction_overlap_refuses(spark, tmp_path):
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleStreamReader,
+    )
+
+    path = _write_tiny_dir(spark, str(tmp_path), n_segments=4,
+                           rows_per=50)
+    names = sorted(n for n, _ in _manifest_entries(path))
+    # a mid-feed checkpoint: only the first two segments processed
+    partial = {"names": names[:2]}
+    compact_fledir(spark, path, target_rows=100_000)  # all 4 → 1
+    r = FleStreamReader({"path": path})
+    with pytest.raises(ValueError, match="exactly-once replay"):
+        r.read(partial)
+
+
+def test_plain_overwrite_drops_stale_lineage(spark, tmp_path):
+    """A full table rewrite (not compaction) must clear the lineage —
+    stale merged→sources entries could mark fresh data as streamed."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _LINEAGE_NAME,
+        _read_lineage,
+    )
+
+    path = _write_tiny_dir(spark, str(tmp_path), n_segments=6,
+                           rows_per=50)
+    compact_fledir(spark, path, target_rows=300)
+    assert _read_lineage(path)
+    # plain overwrite with fresh data
+    _write_tiny_dir(spark, str(tmp_path), n_segments=3, rows_per=10)
+    assert not _os.path.exists(_os.path.join(path, _LINEAGE_NAME))
+    assert _read_lineage(path) == {}

@@ -134,3 +134,31 @@ def test_grouped_partition_counts(spark, tmp_path):
     _write_dir(spark, flat, [[("q", np.arange(3, dtype=np.int64))]])
     with pytest.raises(ValueError, match="not hive-partitioned"):
         fledir_partition_row_counts(flat)
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir):
+    """The Z-order locality claim: a range on EITHER column alone
+    refutes segment files via manifest stats (a single-column sort
+    gives only its own column this property)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        materialize_fle_zorder_dir,
+    )
+
+    path = materialize_fle_zorder_dir(spark, sf_dir)
+
+    def surviving(pushed):
+        r = FleDirReader({"path": path})
+        r.pushed = pushed
+        return sum(len(part.paths) for part in r.partitions())
+
+    total = surviving([])
+    assert total >= 12  # 16 range partitions → >= 12 committed segments
+    by_qty = surviving([("l_quantity", "le", 5)])
+    by_price = surviving([("price", "le", 10000.0)])
+    assert by_qty < total
+    assert by_price < total
+    both = surviving(
+        [("l_quantity", "le", 5), ("price", "le", 10000.0)]
+    )
+    assert both <= min(by_qty, by_price)

@@ -103,3 +103,25 @@ def test_in_set_pushes_into_container_plan(spark, sf_dir):
     assert "RelationV2" in optimized
     above_scan = optimized.split("RelationV2")[0]
     assert "l_suppkey" not in above_scan
+
+
+def test_runtime_filter_on_partition_key_prunes_directories(spark, sf_dir):
+    """DPP composition: a runtime filter built from a dimension and
+    pushed on the PARTITION key prunes whole leaf directories on the
+    driver — the container analog of dynamic partition pruning."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        materialize_fle_partitioned_dir,
+    )
+
+    path = materialize_fle_partitioned_dir(spark, sf_dir)
+
+    def leaf_files(pushed):
+        r = FleDirReader({"path": path})
+        r.pushed = pushed
+        return sum(len(p.paths) for p in r.partitions())
+
+    total = leaf_files([])
+    # a dim-derived key set {A, R} (runtime_filter_keys output shape)
+    pruned = leaf_files([("l_returnflag", "in", ("A", "R"))])
+    assert 0 < pruned < total  # the N directory never contributes

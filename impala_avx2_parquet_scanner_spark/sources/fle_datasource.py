@@ -2368,6 +2368,14 @@ class FleDirWriter(DataSourceWriter):
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
         self.overwrite = overwrite
+        #: set by compact_fledir's rewrite ONLY: promote the staged
+        #: `_LINEAGE.pending` at commit.  A plain overwrite instead
+        #: DELETES both the sidecar and any stale pending file — new
+        #: table contents must never inherit a crashed compaction's
+        #: merged→sources map
+        self.promote_lineage = str(
+            options.get("promotelineage", "false")
+        ).lower() in ("true", "1")
 
     def write(self, rows):
         import json as _json
@@ -2428,22 +2436,26 @@ class FleDirWriter(DataSourceWriter):
             ))
         os.replace(tmp_done, done)  # atomic manifest swap
         if self.overwrite:
-            # lineage handoff: a compaction staged `_LINEAGE.pending`
-            # before its job — promote it now that the new manifest is
-            # durable; any other overwrite REPLACES the table's rows,
-            # so a stale merged→sources map must not survive to mark
-            # the fresh files as already-streamed
+            # lineage handoff: the compaction write (and ONLY it —
+            # option promotelineage) staged `_LINEAGE.pending` before
+            # its job, promoted now that the new manifest is durable.
+            # Any other overwrite REPLACES the table's rows, so both
+            # the sidecar AND a crashed compaction's stale pending
+            # file are removed — fresh data must never be mistaken
+            # for already-streamed merges
             pending = os.path.join(
                 self.dir, _LINEAGE_NAME + ".pending"
             )
             final = os.path.join(self.dir, _LINEAGE_NAME)
-            if os.path.exists(pending):
+            if self.promote_lineage and os.path.exists(pending):
                 os.replace(pending, final)
-            elif os.path.exists(final):
-                try:
-                    os.remove(final)
-                except OSError:
-                    pass
+            else:
+                for p in (pending, final):
+                    if os.path.exists(p):
+                        try:
+                            os.remove(p)
+                        except OSError:
+                            pass
         if self.overwrite:
             # destruction happens ONLY after the new _DONE is durable:
             # sweep every .fle not in the new manifest (covers stale

@@ -346,6 +346,7 @@ def _compact_leaf(
         .write.format("fledir")
         .mode("overwrite")
         .option("path", path)
+        .option("promotelineage", "true")
         .save()
     )
     report["files_after"] = len(bins)

@@ -476,3 +476,30 @@ def test_plain_overwrite_drops_stale_lineage(spark, tmp_path):
     _write_tiny_dir(spark, str(tmp_path), n_segments=3, rows_per=10)
     assert not _os.path.exists(_os.path.join(path, _LINEAGE_NAME))
     assert _read_lineage(path) == {}
+
+
+def test_crashed_compaction_pending_never_promoted_by_plain_overwrite(
+    spark, tmp_path
+):
+    """A crashed compaction leaves `_LINEAGE.pending`; a later PLAIN
+    overwrite must delete it, not promote it — fresh table contents
+    must never inherit a stale merged→sources map."""
+    import os as _os
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _LINEAGE_NAME,
+        _read_lineage,
+        _write_lineage_pending,
+    )
+
+    path = _write_tiny_dir(spark, str(tmp_path), n_segments=4,
+                           rows_per=10)
+    # simulate the crashed compaction's staged sidecar
+    _write_lineage_pending(
+        path, {"seg_1000000.fle": ["seg_0.fle", "seg_1.fle"]}
+    )
+    _write_tiny_dir(spark, str(tmp_path), n_segments=2, rows_per=10)
+    assert not _os.path.exists(
+        _os.path.join(path, _LINEAGE_NAME + ".pending")
+    )
+    assert _read_lineage(path) == {}

@@ -1001,6 +1001,7 @@ def decode_segment_columns(
     seg: ParsedSegment,
     mask: np.ndarray | None = None,
     columns: "list[str] | None" = None,
+    block_range: "tuple[int, int] | None" = None,
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Parsed segment → {name: (values, valid)} via the codec's decode
     path (FleDecoder::Get).  Accepts the ALREADY-PARSED segment so the
@@ -1018,7 +1019,7 @@ def decode_segment_columns(
         else [c for c in seg.columns if c.name in columns]
     )
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    if mask is None:
+    if mask is None and block_range is None:
         for c in decode_cols:
             valid = _lane_validity(c, seg.n)
             if c.kind == _KIND_STR_PLAIN:
@@ -1029,11 +1030,25 @@ def decode_segment_columns(
             out[c.name] = (vals, valid)
         return out
 
-    live = np.flatnonzero(mask)  # surviving block indices, ascending
+    # `block_range` bounds the decode to blocks [b0, b1) — the chunked
+    # read path; the window slice keeps per-call work O(window), never
+    # a full-length mask scan per slice
+    b0, b1 = block_range if block_range is not None else (0, seg.n_blocks)
+    if mask is None:
+        # all-lanes window: synthesize the window's lane words (the
+        # segment's last block keeps only its real lanes)
+        window = np.full(b1 - b0, ~np.uint64(0), dtype=np.uint64)
+        rem = seg.n % 64
+        if b1 == seg.n_blocks and rem:
+            window[-1] = np.uint64((1 << rem) - 1)
+    else:
+        window = mask[b0:b1]
+    live_rel = np.flatnonzero(window)  # surviving blocks, window-local
+    live = live_rel + b0  # surviving block indices, ascending
     # per-lane keep bits over ONLY the surviving blocks (kernel tail
     # masks already zeroed padding lanes, so no n-clipping needed here)
     keep = np.unpackbits(
-        mask[live].astype("<u8").view(np.uint8), bitorder="little"
+        window[live_rel].astype("<u8").view(np.uint8), bitorder="little"
     ).astype(bool)
     n_sub = live.size * 64
     for c in decode_cols:
@@ -1114,6 +1129,17 @@ def decode_segment(payload: bytes, mask: np.ndarray | None = None):
     rf, _ = cols["l_returnflag"]
     qty, qvalid = cols["l_quantity"]
     return rf, qty, qvalid
+
+
+#: adaptive-partition ROWS target: one input partition per ~256k rows
+#: (bounded by file granularity and the [8, 64] partition band) — sizes
+#: few-large-file layouts (post-compaction) by work, not file count
+_ROWS_PER_TASK = 262_144
+
+#: decode-window size in 64-row blocks (256 → 16,384 rows per Arrow
+#: batch): keeps a big segment's per-batch working set cache-resident
+#: under many concurrent scan tasks (see FleDirReader.read)
+_DECODE_BLOCKS = 256
 
 
 class _FleFilesPartition(InputPartition):
@@ -1298,10 +1324,20 @@ class FleDirReader(DataSourceReader):
         if evolve and wanted:
             self.evolved = self._evolved_columns(wanted)
 
-    def _bucket_count(self, n_files: int) -> int:
+    def _bucket_count(self, n_files: int, total_rows: int = 0) -> int:
+        """Adaptive input-partition default (an explicit numpartitions
+        option always wins): ~8 files per partition sizes many-tiny-file
+        directories, and a ROWS target sizes few-large-file directories
+        — after compaction a 64x312k-row table must not scan with 9
+        tasks because it has few files (granularity stays whole files,
+        so by_rows caps at n_files).  Floor 8, cap 64 as before."""
         if self.n_parts is not None:
             return min(self.n_parts, max(n_files, 1))
-        return min(64, max(8, (n_files + 7) // 8), max(n_files, 1))
+        by_files = (n_files + 7) // 8
+        by_rows = min(
+            n_files, (total_rows + _ROWS_PER_TASK - 1) // _ROWS_PER_TASK
+        )
+        return min(64, max(8, by_files, by_rows), max(n_files, 1))
 
     def _coerce_partition_types(self) -> None:
         """Honor a user read schema's declared partition-key type: a
@@ -1977,31 +2013,36 @@ class FleDirReader(DataSourceReader):
                 return True
         return False
 
-    def _manifest_files(self, dirpath: str) -> list[str]:
-        """Committed segment names of one directory, minus the files
-        the manifest's per-column stats refute for the pushed
-        conjunction (the parquet footer row-group skip at file
-        granularity, decided on the DRIVER)."""
+    def _manifest_files(self, dirpath: str) -> "list[tuple[str, int]]":
+        """Committed (segment name, row count) pairs of one directory,
+        minus the files the manifest's per-column stats refute for the
+        pushed conjunction (the parquet footer row-group skip at file
+        granularity, decided on the DRIVER).  Row count is 0 when the
+        manifest entry predates the `__rows__` key (legacy) — callers
+        treating it as a sizing hint, not a truth."""
+        import json as _json
+
         done = os.path.join(dirpath, "_DONE")
         if not os.path.exists(done):
             raise ValueError(f"fledir: {dirpath} has no _DONE manifest")
-        files: list[str] = []
+        files: list[tuple[str, int]] = []
         with open(done) as fh:
             for ln in fh.read().splitlines():
                 if not ln:
                     continue
                 # manifest line: "name" or "name\t{json per-column stats}"
                 name, _, stats_json = ln.partition("\t")
-                if stats_json and self.pushed:
-                    import json as _json
-
+                rows = 0
+                if stats_json:
                     try:
                         stats = _json.loads(stats_json)
                     except ValueError:
                         stats = None
-                    if stats and self._stats_refute(stats):
-                        continue  # whole file pruned: never opened
-                files.append(name)
+                    if stats:
+                        rows = int(stats.get("__rows__") or 0)
+                        if self.pushed and self._stats_refute(stats):
+                            continue  # whole file pruned: never opened
+                files.append((name, rows))
         return files
 
     def partitions(self):
@@ -2019,24 +2060,30 @@ class FleDirReader(DataSourceReader):
                     for ki, op, v in pconjs
                 ):
                     continue  # whole PARTITION pruned: no manifest read
-                for name in self._manifest_files(sub):
-                    tagged.append((os.path.join(sub, name), values))
+                for name, rows in self._manifest_files(sub):
+                    tagged.append((os.path.join(sub, name), values, rows))
             buckets: list[list[tuple[str, object]]] = [
-                [] for _ in range(self._bucket_count(len(tagged)))
+                [] for _ in range(self._bucket_count(
+                    len(tagged), sum(r for _, _, r in tagged)
+                ))
             ]
             for i, t in enumerate(tagged):
                 buckets[i % len(buckets)].append(t)
             parts = [
-                _FleFilesPartition([p for p, _ in b], [v for _, v in b])
+                _FleFilesPartition(
+                    [p for p, _, _ in b], [v for _, v, _ in b]
+                )
                 for b in buckets
                 if b
             ]
             return parts or [_FleFilesPartition([], [])]
         files = self._manifest_files(self.dir)
         batches: list[list[str]] = [
-            [] for _ in range(self._bucket_count(len(files)))
+            [] for _ in range(self._bucket_count(
+                len(files), sum(r for _, r in files)
+            ))
         ]
-        for i, f in enumerate(files):
+        for i, (f, _) in enumerate(files):
             batches[i % len(batches)].append(os.path.join(self.dir, f))
         parts = [_FleFilesPartition(b) for b in batches if b]
         # every file stat-pruned: one empty partition (a zero-partition
@@ -2147,56 +2194,83 @@ class FleDirReader(DataSourceReader):
                             "heterogeneous segment schemas are not "
                             "supported"
                         )
-            cols = decode_segment_columns(
-                seg, mask=kernel_mask,
-                columns=[n for n in out_names if n in stored],
-            )
-            n_out = None
-            for n in out_names:
-                if n in stored:
-                    n_out = cols[n][0].size
-                    break
-            if n_out is None:  # only partition-key / evolved columns
-                if kernel_mask is not None:
-                    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (  # noqa: E501
-                        popcount,
-                    )
-
-                    n_out = popcount(kernel_mask)
-                else:
-                    n_out = seg.n
-            arrays = []
-            for n in out_names:
-                if n in stored:
-                    vals, valid = cols[n]
-                    arrays.append(
-                        self._column_array(pa, stored[n], vals, valid)
-                    )
-                elif n in pcols:
-                    # constant partition-key column, materialized from
-                    # the directory name — the partition-key literal
-                    # expr of descriptors.h:230-244 (never stored in
-                    # the segments).  A declared read-schema type WINS
-                    # (Spark reads the Arrow vector through the declared
-                    # accessor — an int64 array under a declared int32
-                    # field crashes the scan; found by review)
-                    value = pvals[idx][pcols.index(n)]
-                    if n in self.field_types:
-                        ptype = self._pa_evolved_type(pa, n)
-                    else:
-                        ptype = (
-                            pa.int64() if isinstance(value, int)
-                            else pa.string()
+            # CHUNKED decode: one Arrow batch per _DECODE_BLOCKS-block
+            # window instead of one whole-segment batch.  Post-
+            # compaction segments run to millions of rows, and a
+            # whole-segment decode's working set (codes + values +
+            # Arrow buffers) falls out of per-core cache — measured
+            # 2-6x aggregate throughput loss when 16+ tasks decode
+            # big segments concurrently (memory-bandwidth contention),
+            # while the same rows in ~16k-row windows decode at the
+            # small-file rate.  Small segments keep the single
+            # unmasked fast path.
+            if seg.n_blocks > _DECODE_BLOCKS:
+                ranges = [
+                    (b, min(b + _DECODE_BLOCKS, seg.n_blocks))
+                    for b in range(0, seg.n_blocks, _DECODE_BLOCKS)
+                ]
+            else:
+                ranges = [(0, seg.n_blocks)]
+            chunked = len(ranges) > 1
+            for b0, b1 in ranges:
+                if kernel_mask is not None and not kernel_mask[b0:b1].any():
+                    continue  # window fully kernel-rejected
+                cols = decode_segment_columns(
+                    seg, mask=kernel_mask,
+                    columns=[n for n in out_names if n in stored],
+                    block_range=(b0, b1) if chunked else None,
+                )
+                n_out = None
+                for n in out_names:
+                    if n in stored:
+                        n_out = cols[n][0].size
+                        break
+                if n_out is None:  # only partition-key / evolved cols
+                    if kernel_mask is not None:
+                        from impala_avx2_parquet_scanner_spark.sources.fle_codec import (  # noqa: E501
+                            popcount,
                         )
-                    arrays.append(pa.array([value] * n_out, type=ptype))
-                else:
-                    # evolved column: typed NULLs (the missing-column
-                    # template-tuple NULL, hdfs-parquet-scanner.cc:
-                    # 1437-1445)
-                    arrays.append(
-                        pa.nulls(n_out, type=self._pa_evolved_type(pa, n))
-                    )
-            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+                        n_out = popcount(kernel_mask[b0:b1])
+                    else:
+                        n_out = min(b1 * 64, seg.n) - b0 * 64
+                arrays = []
+                for n in out_names:
+                    if n in stored:
+                        vals, valid = cols[n]
+                        arrays.append(
+                            self._column_array(pa, stored[n], vals, valid)
+                        )
+                    elif n in pcols:
+                        # constant partition-key column, materialized
+                        # from the directory name — the partition-key
+                        # literal expr of descriptors.h:230-244 (never
+                        # stored in the segments).  A declared
+                        # read-schema type WINS (Spark reads the Arrow
+                        # vector through the declared accessor — an
+                        # int64 array under a declared int32 field
+                        # crashes the scan; found by review)
+                        value = pvals[idx][pcols.index(n)]
+                        if n in self.field_types:
+                            ptype = self._pa_evolved_type(pa, n)
+                        else:
+                            ptype = (
+                                pa.int64() if isinstance(value, int)
+                                else pa.string()
+                            )
+                        arrays.append(
+                            pa.array([value] * n_out, type=ptype)
+                        )
+                    else:
+                        # evolved column: typed NULLs (the missing-
+                        # column template-tuple NULL, hdfs-parquet-
+                        # scanner.cc:1437-1445)
+                        arrays.append(
+                            pa.nulls(
+                                n_out, type=self._pa_evolved_type(pa, n)
+                            )
+                        )
+                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
 def segment_stats(seg: ParsedSegment) -> dict:

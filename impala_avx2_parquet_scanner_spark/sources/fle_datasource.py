@@ -1143,11 +1143,19 @@ _DECODE_BLOCKS = 256
 
 
 class _FleFilesPartition(InputPartition):
-    def __init__(self, paths: list[str], part_values: "list | None" = None):
+    def __init__(self, paths: list[str], part_values: "list | None" = None,
+                 spans: "list | None" = None):
         self.paths = paths
         #: per-path partition-key value for a partitioned layout
         #: (None → flat directory)
         self.part_values = part_values
+        #: per-path (block_lo, block_hi) scan range, or None for the
+        #: whole file — a surviving file larger than one task's worth
+        #: is SPLIT across input partitions at block granularity (the
+        #: reference scheduler's scan ranges: a file is not the unit of
+        #: parallelism, hdfs-parquet-scanner.cc:111-115's per-range
+        #: splits).  Spans of one file are disjoint.
+        self.spans = spans
 
 
 def _typed_partition_value(v: str):
@@ -1325,19 +1333,68 @@ class FleDirReader(DataSourceReader):
             self.evolved = self._evolved_columns(wanted)
 
     def _bucket_count(self, n_files: int, total_rows: int = 0) -> int:
-        """Adaptive input-partition default (an explicit numpartitions
+        """Adaptive input-partition TARGET (an explicit numpartitions
         option always wins): ~8 files per partition sizes many-tiny-file
         directories, and a ROWS target sizes few-large-file directories
         — after compaction a 64x312k-row table must not scan with 9
-        tasks because it has few files (granularity stays whole files,
-        so by_rows caps at n_files).  Floor 8, cap 64 as before."""
+        tasks because it has few files.  Floor 8, cap 64 as before.
+        The target may exceed the file count: `_make_partitions` splits
+        large files into block SPANS to reach it (the reference
+        scheduler's scan ranges — a file is not the unit of
+        parallelism)."""
         if self.n_parts is not None:
-            return min(self.n_parts, max(n_files, 1))
+            return max(self.n_parts, 1)
         by_files = (n_files + 7) // 8
-        by_rows = min(
-            n_files, (total_rows + _ROWS_PER_TASK - 1) // _ROWS_PER_TASK
-        )
-        return min(64, max(8, by_files, by_rows), max(n_files, 1))
+        by_rows = (total_rows + _ROWS_PER_TASK - 1) // _ROWS_PER_TASK
+        return min(64, max(8, by_files, by_rows))
+
+    def _make_partitions(self, items: "list[tuple]") -> list:
+        """[(path, part_values_or_None, rows)] → balanced input
+        partitions.  When the surviving file count is below the
+        parallelism target (a compacted layout, or manifest pruning
+        that kept 2 files of 64), files larger than one decode window
+        are SPLIT into disjoint block spans so the target is still met
+        — pruning must not trade away task parallelism.  Files with
+        unknown row counts (legacy manifests) never split."""
+        total_rows = sum(r for _, _, r in items)
+        target = self._bucket_count(len(items), total_rows)
+        expanded: list[tuple] = []
+        if 0 < len(items) < target:
+            per_file = (target + len(items) - 1) // len(items)
+            for path, values, rows in items:
+                nb = (rows + 63) // 64
+                if per_file <= 1 or nb <= _DECODE_BLOCKS:
+                    expanded.append((path, values, None))
+                    continue
+                # ceil-split into per_file spans, window-aligned
+                step = -(-nb // per_file)
+                step = max(
+                    _DECODE_BLOCKS,
+                    -(-step // _DECODE_BLOCKS) * _DECODE_BLOCKS,
+                )
+                for b0 in range(0, nb, step):
+                    expanded.append(
+                        (path, values, (b0, min(b0 + step, nb)))
+                    )
+        else:
+            expanded = [(p, v, None) for p, v, _ in items]
+        n_buckets = max(min(target, len(expanded)), 1)
+        buckets: list[list[tuple]] = [[] for _ in range(n_buckets)]
+        for i, t in enumerate(expanded):
+            buckets[i % n_buckets].append(t)
+        has_values = any(v is not None for _, v, _ in expanded)
+        parts = [
+            _FleFilesPartition(
+                [p for p, _, _ in b],
+                [v for _, v, _ in b] if has_values else None,
+                [s for _, _, s in b],
+            )
+            for b in buckets
+            if b
+        ]
+        return parts or [
+            _FleFilesPartition([], [] if has_values else None, [])
+        ]
 
     def _coerce_partition_types(self) -> None:
         """Honor a user read schema's declared partition-key type: a
@@ -2062,33 +2119,13 @@ class FleDirReader(DataSourceReader):
                     continue  # whole PARTITION pruned: no manifest read
                 for name, rows in self._manifest_files(sub):
                     tagged.append((os.path.join(sub, name), values, rows))
-            buckets: list[list[tuple[str, object]]] = [
-                [] for _ in range(self._bucket_count(
-                    len(tagged), sum(r for _, _, r in tagged)
-                ))
-            ]
-            for i, t in enumerate(tagged):
-                buckets[i % len(buckets)].append(t)
-            parts = [
-                _FleFilesPartition(
-                    [p for p, _, _ in b], [v for _, v, _ in b]
-                )
-                for b in buckets
-                if b
-            ]
-            return parts or [_FleFilesPartition([], [])]
+            return self._make_partitions(tagged)
         files = self._manifest_files(self.dir)
-        batches: list[list[str]] = [
-            [] for _ in range(self._bucket_count(
-                len(files), sum(r for _, r in files)
-            ))
-        ]
-        for i, (f, _) in enumerate(files):
-            batches[i % len(batches)].append(os.path.join(self.dir, f))
-        parts = [_FleFilesPartition(b) for b in batches if b]
-        # every file stat-pruned: one empty partition (a zero-partition
-        # scan is not representable)
-        return parts or [_FleFilesPartition([])]
+        # every file stat-pruned → one empty partition (a zero-partition
+        # scan is not representable); _make_partitions handles []
+        return self._make_partitions([
+            (os.path.join(self.dir, f), None, r) for f, r in files
+        ])
 
     @staticmethod
     def _column_array(pa, c: ParsedColumn, vals, valid):
@@ -2152,7 +2189,9 @@ class FleDirReader(DataSourceReader):
 
         pcols = self.partitioned[0] if self.partitioned else []
         pvals = getattr(partition, "part_values", None) or []
+        pspans = getattr(partition, "spans", None) or []
         for idx, path in enumerate(partition.paths):
+            span = pspans[idx] if idx < len(pspans) else None
             with open(path, "rb") as fh:
                 payload = fh.read()
             # parse ONCE: the same parsed sections feed both the kernel
@@ -2204,14 +2243,22 @@ class FleDirReader(DataSourceReader):
             # while the same rows in ~16k-row windows decode at the
             # small-file rate.  Small segments keep the single
             # unmasked fast path.
-            if seg.n_blocks > _DECODE_BLOCKS:
+            lo, hi = span if span is not None else (0, seg.n_blocks)
+            hi = min(hi, seg.n_blocks)
+            if hi <= lo:
+                continue  # span beyond the file's blocks (stale rows)
+            if hi - lo > _DECODE_BLOCKS:
                 ranges = [
-                    (b, min(b + _DECODE_BLOCKS, seg.n_blocks))
-                    for b in range(0, seg.n_blocks, _DECODE_BLOCKS)
+                    (b, min(b + _DECODE_BLOCKS, hi))
+                    for b in range(lo, hi, _DECODE_BLOCKS)
                 ]
             else:
-                ranges = [(0, seg.n_blocks)]
-            chunked = len(ranges) > 1
+                ranges = [(lo, hi)]
+            # the unmasked whole-segment fast path only when this task
+            # reads the ENTIRE file in one window
+            chunked = (
+                len(ranges) > 1 or lo != 0 or hi != seg.n_blocks
+            )
             for b0, b1 in ranges:
                 if kernel_mask is not None and not kernel_mask[b0:b1].any():
                     continue  # window fully kernel-rejected

@@ -1542,3 +1542,76 @@ def test_signed_pushdown_fuzz_matches_direct_eval(values, comparisons):
         and all(ops[op](v, lit) for op, lit in comparisons)
     ]
     assert sorted(int(k) for k in kept) == sorted(want)
+
+
+def test_large_files_split_into_block_spans(spark, tmp_path):
+    """Scan-range splitting: two 100k-row segments must NOT cap the
+    scan at two tasks — partitions() splits them into disjoint block
+    spans (the reference scheduler's scan ranges), and every row is
+    read exactly once, with pushdown still correct across spans."""
+    import pandas as pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        encode_segment_columns,
+        register_fledir,
+    )
+
+    register_fledir(spark)
+    path = str(tmp_path / "big_fle")
+
+    def encode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                i = int(row["seg_id"])
+                qty = np.arange(i * 100_000, (i + 1) * 100_000,
+                                dtype=np.int64)
+                yield pd.DataFrame({
+                    "seg_id": [i],
+                    "payload": [encode_segment_columns([("q", qty)])],
+                })
+
+    (
+        spark.createDataFrame([(0,), (1,)], "seg_id long")
+        .repartition(2)
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+
+    r = FleDirReader({"path": path})
+    parts = r.partitions()
+    assert len(parts) == 8  # floor-8 target met by splitting 2 files
+    spans = [
+        (p, s)
+        for part in parts
+        for p, s in zip(part.paths, part.spans)
+    ]
+    assert all(s is not None for _, s in spans)
+    # disjoint, complete coverage per file
+    per_file: dict = {}
+    for p, (b0, b1) in spans:
+        per_file.setdefault(p, []).append((b0, b1))
+    n_blocks = (100_000 + 63) // 64
+    for ranges in per_file.values():
+        ranges.sort()
+        assert ranges[0][0] == 0 and ranges[-1][1] >= n_blocks
+        for (a0, a1), (c0, c1) in zip(ranges, ranges[1:]):
+            assert a1 == c0  # contiguous, no overlap
+
+    df = spark.read.format("fledir").option("path", path).load()
+    assert df.count() == 200_000
+    assert df.rdd.getNumPartitions() == 8
+    # pushdown across span boundaries: exact range count
+    n = (
+        spark.read.format("fledir").option("path", path).load()
+        .filter("q >= 150000 AND q < 150123").count()
+    )
+    assert n == 123
+    # explicit numpartitions above the file count is honored by splits
+    # UP TO window granularity: 1563 blocks per file / 256-block
+    # windows = 7 spans per file, 14 total
+    r32 = FleDirReader({"path": path, "numpartitions": "32"})
+    assert len(r32.partitions()) == 14

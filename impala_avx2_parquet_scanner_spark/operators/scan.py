@@ -1536,6 +1536,49 @@ def scan_fle_count_by_partition(
     )
 
 
+@query(
+    "scan_fle_retention",
+    oracle="""
+SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE YEAR(l_shipdate) >= 1997
+GROUP BY 1
+""",
+    tags=("scan", "encoding", "fle", "maintenance", "layout"),
+)
+def scan_fle_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION expiry on the partitioned FLE container (round 9):
+    lineitem lives as ``ship_year=YYYY`` leaves and
+    `expire_fledir_partitions` atomically retires every pre-1997
+    partition — the unit of deletion is the PARTITION, exactly the
+    per-partition location model retention uses on every hive-layout
+    table (descriptors.h:178-262); each expired leaf's manifest is
+    removed FIRST so planning never half-sees it, no kept byte is
+    rewritten, and a crash mid-expiry leaves a smaller-but-valid
+    table.  At 100 TB this is how data ages out: a metadata operation,
+    not a scan-and-rewrite.  The query then aggregates the surviving
+    table per year with the key materialized from the directory
+    names; the DuckDB oracle replays the retention predicate
+    (`YEAR(l_shipdate) >= 1997`) over the raw parquet rows — an
+    over-expired or under-expired partition flips whole groups."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        materialize_fle_retention_dir,
+    )
+
+    path = materialize_fle_retention_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = spark.read.format("fledir").option("path", path).load()
+    return df.groupBy("ship_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 _FLE_MINMAX_META_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,

@@ -73,8 +73,10 @@ __all__ = [
     "segment_reencode_columns",
     "merge_segments_columns",
     "sort_merged_columns",
+    "zorder_merged_columns",
     "plan_compaction_bins",
     "compact_fledir",
+    "expire_fledir_partitions",
     "materialize_fle_compact_dir",
 ]
 
@@ -272,7 +274,8 @@ def plan_compaction_bins(
 
 
 def _compact_leaf(
-    spark, path: str, target_rows: int, sort_by: "str | None" = None
+    spark, path: str, target_rows: int, sort_by: "str | None" = None,
+    zorder_by: "tuple[str, str] | None" = None,
 ) -> dict:
     import re
 
@@ -325,7 +328,9 @@ def _compact_leaf(
                     with open(p, "rb") as fh:
                         segs.append(parse_segment(fh.read()))
                 merged = merge_segments_columns(segs)
-                if sort_by is not None:
+                if zorder_by is not None:
+                    merged = zorder_merged_columns(merged, *zorder_by)
+                elif sort_by is not None:
                     merged = sort_merged_columns(merged, sort_by)
                 payload = encode_segment_columns(merged)
                 yield _pd.DataFrame(
@@ -357,6 +362,7 @@ def _compact_leaf(
 def compact_fledir(
     spark, path: str, target_rows: int = 1 << 20,
     sort_by: "str | None" = None,
+    zorder_by: "tuple[str, str] | None" = None,
 ) -> dict:
     """Compact a fledir table (flat or hive-partitioned) in place.
 
@@ -371,6 +377,11 @@ def compact_fledir(
     before encoding — restores monotone per-chunk BSTA stats when the
     input was locally sorted (see :func:`sort_merged_columns`).
 
+    ``zorder_by=(col_a, col_b)`` instead re-sorts each merged segment
+    by the MORTON key of two numeric columns — OPTIMIZE ZORDER as a
+    rewrite of existing data (see :func:`zorder_merged_columns`);
+    mutually exclusive with ``sort_by``.
+
     STREAM-SAFE: the streaming reader's offset is the processed
     file-name set, so a naive rewrite would make a checkpointed stream
     re-emit every merged row.  Compaction therefore records a lineage
@@ -382,10 +393,16 @@ def compact_fledir(
     — the file-format analog of Delta's remove-actions)."""
     if target_rows <= 0:
         raise ValueError("fledir compaction: target_rows must be positive")
+    if sort_by is not None and zorder_by is not None:
+        raise ValueError(
+            "fledir compaction: sort_by and zorder_by are mutually "
+            "exclusive"
+        )
     part = discover_fledir_partitions(path)
     leaves = [leaf for _, leaf in part[1]] if part is not None else [path]
     reports = [
-        _compact_leaf(spark, leaf, target_rows, sort_by) for leaf in leaves
+        _compact_leaf(spark, leaf, target_rows, sort_by, zorder_by)
+        for leaf in leaves
     ]
     return {
         "path": path,
@@ -463,3 +480,205 @@ def materialize_fle_compact_dir(spark, sf_dir: str) -> str:
         fh.write(json.dumps(report))
     os.replace(tmp, marker)
     return out
+
+
+def zorder_merged_columns(
+    cols: list[tuple], col_a: str, col_b: str, bits: int = 16
+) -> list[tuple]:
+    """Reorder every merged column by the MORTON (Z-order) key of two
+    numeric columns.  Scope is honest and per-segment: a within-bin
+    reorder cannot tighten FILE-level manifest stats (each merged file
+    still spans its input rows' full 2-D range) — what it buys is the
+    CHUNK tier: after the Z-sort, each BSTA chunk covers a narrow 2-D
+    box, so the mid-file skip refutes chunk windows for range
+    predicates on EITHER dimension (test-pinned: summed per-chunk
+    spans shrink several-fold on both columns vs an unordered merge).
+    File-level 2-D pruning needs the global range-partitioned Z layout
+    the ingest path writes (`materialize_fle_zorder_dir`).  Quantizes
+    both columns to `bits` over their merged min/max (NULLs sort last,
+    like :func:`sort_merged_columns`); numpy bit-interleave mirrors
+    the JVM-side `zorder_value` of the parquet sink."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _is_null_cell,
+    )
+
+    def quantized(name: str) -> tuple[np.ndarray, np.ndarray]:
+        entry = next((e for e in cols if e[0] == name), None)
+        if entry is None:
+            raise ValueError(
+                f"fledir compaction: zorder_by column {name!r} not in "
+                f"segment columns {[e[0] for e in cols]}"
+            )
+        raw = np.asarray(entry[1])
+        if raw.dtype == object:
+            nulls = np.array([_is_null_cell(v) for v in raw], dtype=bool)
+            vals = np.array(
+                [0.0 if n else float(v) for v, n in zip(raw, nulls)]
+            )
+        else:
+            vals = raw.astype(np.float64)
+            nulls = np.isnan(vals)
+            vals = np.where(nulls, 0.0, vals)
+        ok = ~nulls
+        lo = vals[ok].min() if ok.any() else 0.0
+        hi = vals[ok].max() if ok.any() else 0.0
+        span = (hi - lo) or 1.0
+        q = np.clip(
+            ((vals - lo) / span * ((1 << bits) - 1)).astype(np.uint64),
+            0, (1 << bits) - 1,
+        )
+        return q, nulls
+
+    qa, na = quantized(col_a)
+    qb, nb = quantized(col_b)
+    z = np.zeros(qa.size, dtype=np.uint64)
+    for i in range(bits):
+        z |= ((qa >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+        z |= ((qb >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+    # NULL in either dimension sorts after every real point
+    z = np.where(na | nb, np.uint64(~np.uint64(0)), z)
+    order = np.argsort(z, kind="stable")
+    return [
+        (name, np.asarray(values)[order], *rest)
+        for name, values, *rest in cols
+    ]
+
+
+def expire_fledir_partitions(path: str, cutoff) -> dict:
+    """RETENTION delete on a hive-partitioned fledir: atomically drop
+    every leaf directory whose FIRST partition-key value compares
+    strictly below `cutoff` (the typed value the directory name parses
+    to — int keys compare numerically, string keys lexically).
+
+    The unit of deletion is the PARTITION, exactly like retention on
+    every hive-layout table (the reference drops partitions through
+    the same per-partition location model, descriptors.h:178-262):
+    no segment is rewritten, no manifest edited — each expired leaf's
+    `_DONE` is removed FIRST (readers planning afterwards see a
+    missing manifest and skip nothing silently: discovery lists only
+    committed leaves), then its files, then the empty directory.
+    Expiring never touches a kept leaf, so a crash mid-expire leaves
+    a smaller-but-valid table.  Returns {partitions_dropped,
+    partitions_kept, rows_dropped} (rows from the manifests — zero
+    segment bytes read)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_row_count,
+    )
+
+    part = discover_fledir_partitions(path)
+    if part is None:
+        raise ValueError(
+            f"fledir: {path} is not hive-partitioned — retention "
+            "expiry drops whole col=value partitions"
+        )
+    _, leaves = part
+    dropped = kept = rows_dropped = 0
+    for values, leaf in leaves:
+        if not type(values[0]) is type(cutoff) and not (
+            isinstance(values[0], (int, float))
+            and isinstance(cutoff, (int, float))
+        ):
+            raise TypeError(
+                f"fledir: cutoff {cutoff!r} does not compare against "
+                f"partition key value {values[0]!r}"
+            )
+        if values[0] < cutoff:
+            rows_dropped += fledir_row_count(leaf)
+            done = os.path.join(leaf, "_DONE")
+            if os.path.exists(done):
+                os.remove(done)  # unseal FIRST: planning skips the leaf
+            for f in os.listdir(leaf):
+                try:
+                    os.remove(os.path.join(leaf, f))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(leaf)
+            except OSError:
+                pass
+            dropped += 1
+        else:
+            kept += 1
+    return {
+        "partitions_dropped": dropped,
+        "partitions_kept": kept,
+        "rows_dropped": rows_dropped,
+    }
+
+
+def materialize_fle_retention_dir(spark, sf_dir: str) -> str:
+    """Write-once: lineitem partitioned by ``ship_year=YYYY`` leaves,
+    then the pre-1997 partitions RETIRED through
+    :func:`expire_fledir_partitions` (idempotence via the `_EXPIRED`
+    sentinel, invisible to the reader halves).  What remains is the
+    post-retention table the `scan_fle_retention` query certifies
+    against the raw rows."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import (
+        ensure_runtime_confs,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _clear_segments,
+        _fle_asset_dir,
+    )
+    from pyspark.sql import functions as F
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    root = _fle_asset_dir(sf_dir, "fle_retention_assets")
+    marker = os.path.join(root, "_EXPIRED")
+    if os.path.exists(marker):
+        return root
+
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.year("l_shipdate").alias("ship_year"),
+            F.col("l_quantity").cast("long").alias("l_quantity"),
+        )
+    )
+    # bounded partition-key discovery for the write-once fixture build
+    # (~7 distinct years — the same driver-side dimension
+    # materialization Spark's own partitioned writes perform)
+    years = [
+        r["ship_year"]
+        for r in df.select("ship_year").distinct().collect()
+    ]
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            yield _pd.DataFrame({
+                "seg_id": [pid * 100_000 + i],
+                "payload": [encode_segment_columns([
+                    (
+                        "l_quantity",
+                        pdf["l_quantity"].to_numpy().astype(np.int64),
+                    ),
+                ])],
+            })
+
+    for y in sorted(years):
+        leaf = os.path.join(root, f"ship_year={int(y)}")
+        if os.path.exists(os.path.join(leaf, "_DONE")):
+            continue
+        _clear_segments(leaf)
+        (
+            df.filter(F.col("ship_year") == int(y))
+            .select("l_quantity")
+            .mapInPandas(encode, schema="seg_id long, payload binary")
+            .write.format("fledir")
+            .mode("overwrite")
+            .option("path", leaf)
+            .save()
+        )
+    report = expire_fledir_partitions(root, 1997)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(report))
+    os.replace(tmp, marker)
+    return root

@@ -503,3 +503,167 @@ def test_crashed_compaction_pending_never_promoted_by_plain_overwrite(
         _os.path.join(path, _LINEAGE_NAME + ".pending")
     )
     assert _read_lineage(path) == {}
+
+
+def _write_two_col_dir(spark, path: str, n_segments: int = 16,
+                       rows_per: int = 400, seed: int = 29) -> str:
+    import pandas as pd
+
+    register_fledir(spark)
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for _ in range(n_segments):
+        a = rng.integers(0, 100_000, rows_per).astype(np.int64)
+        b = rng.integers(0, 100_000, rows_per).astype(np.int64)
+        payloads.append(encode_segment_columns([("a", a), ("b", b)]))
+
+    def encode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                i = int(row["seg_id"])
+                yield pd.DataFrame(
+                    {"seg_id": [i], "payload": [payloads[i]]}
+                )
+
+    (
+        spark.createDataFrame(
+            [(i,) for i in range(n_segments)], "seg_id long"
+        )
+        .repartition(1)
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    return path
+
+
+def test_compact_zorder_by_gives_chunk_tier_2d_locality(
+    spark, tmp_path
+):
+    """Z-order compaction is a WITHIN-SEGMENT reorder: it cannot
+    tighten file-level manifest stats (each merged file still spans
+    its inputs' 2-D range) but it must give the BSTA CHUNK tier 2-D
+    locality — summed per-chunk code spans shrink several-fold on BOTH
+    columns vs the same compaction without the reorder."""
+
+    def chunk_spans(path):
+        out = {"a": 0, "b": 0}
+        for name, _ in _manifest_entries(path):
+            with open(os.path.join(path, name), "rb") as fh:
+                seg = parse_segment(fh.read())
+            for ci, c in enumerate(seg.columns):
+                mins, maxs = seg.chunk_stats[ci]
+                live = mins <= maxs  # skip empty intervals
+                out[c.name] += int((maxs[live] - mins[live]).sum())
+        return out
+
+    # 32k rows → one 500-block merged file → ~32 BSTA chunks: enough
+    # curve resolution that each chunk's 2-D box is clearly sub-domain
+    plain = _write_two_col_dir(spark, str(tmp_path / "plain"),
+                               rows_per=2000)
+    compact_fledir(spark, plain, target_rows=40_000)
+    zordered = _write_two_col_dir(spark, str(tmp_path / "z"),
+                                  rows_per=2000)
+    before = sorted(
+        tuple(r) for r in
+        spark.read.format("fledir").option("path", zordered).load()
+        .collect()
+    )
+    report = compact_fledir(spark, zordered, target_rows=40_000,
+                            zorder_by=("a", "b"))
+    assert report["compacted"] and report["files_after"] == 1
+    # data survives byte-exactly
+    after = sorted(
+        tuple(r) for r in
+        spark.read.format("fledir").option("path", zordered).load()
+        .collect()
+    )
+    assert after == before
+    sp_plain, sp_z = chunk_spans(plain), chunk_spans(zordered)
+    assert sp_z["a"] < 0.5 * sp_plain["a"]
+    assert sp_z["b"] < 0.5 * sp_plain["b"]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_fledir(spark, zordered, target_rows=800, sort_by="a",
+                       zorder_by=("a", "b"))
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        zorder_merged_columns,
+    )
+
+    with pytest.raises(ValueError, match="zorder_by column"):
+        zorder_merged_columns(
+            [("a", np.arange(4, dtype=np.int64), "int")], "a", "nope"
+        )
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        discover_fledir_partitions,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        expire_fledir_partitions,
+    )
+    import pandas as pd
+
+    register_fledir(spark)
+    root = str(tmp_path / "ret")
+    for day, n in ((20260801, 5), (20260802, 7), (20260803, 9)):
+        leaf = os.path.join(root, f"day={day}")
+
+        def encode(batches, n=n):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    qty = np.arange(n, dtype=np.int64)
+                    yield pd.DataFrame({
+                        "seg_id": [int(row["seg_id"])],
+                        "payload": [
+                            encode_segment_columns([("q", qty)])
+                        ],
+                    })
+
+        (
+            spark.createDataFrame([(0,)], "seg_id long")
+            .mapInPandas(encode, schema="seg_id long, payload binary")
+            .write.format("fledir")
+            .mode("overwrite")
+            .option("path", leaf)
+            .save()
+        )
+
+    report = expire_fledir_partitions(root, 20260802)
+    assert report == {
+        "partitions_dropped": 1,
+        "partitions_kept": 2,
+        "rows_dropped": 5,
+    }
+    # the expired leaf is gone from discovery AND from disk
+    _, leaves = discover_fledir_partitions(root)
+    assert [v for v, _ in leaves] == [(20260802,), (20260803,)]
+    assert not os.path.exists(os.path.join(root, "day=20260801"))
+    df = spark.read.format("fledir").option("path", root).load()
+    assert df.count() == 16
+    # flat dir refuses; mismatched cutoff type refuses
+    flat = str(tmp_path / "flat")
+    (
+        spark.createDataFrame([(0,)], "seg_id long")
+        .mapInPandas(
+            lambda it: (
+                __import__("pandas").DataFrame({
+                    "seg_id": [0],
+                    "payload": [encode_segment_columns(
+                        [("q", np.arange(3, dtype=np.int64))]
+                    )],
+                }) for _ in it
+            ),
+            schema="seg_id long, payload binary",
+        )
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", flat)
+        .save()
+    )
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        expire_fledir_partitions(flat, 1)
+    with pytest.raises(TypeError, match="does not compare"):
+        expire_fledir_partitions(root, "2026-08-02")

@@ -121,6 +121,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_minmax_meta", "lineitem"),
     ("scan_fle_count_by_partition", "lineitem"),
     ("scan_fle_zorder", "lineitem"),
+    ("scan_fle_retention", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

@@ -1075,10 +1075,23 @@ def decode_segment_columns(
                 live[:, None].astype(np.int64) * 64
                 + np.arange(64, dtype=np.int64)
             ).ravel()[keep]
-            taken = _plain_str_arrow(c, seg.n).take(pa.array(gidx))
+            # per-PARSE cache: the zero-copy Arrow wrap and the lane
+            # validity are O(n) builds — the chunked read calls this
+            # once per decode window, so rebuilding them per window
+            # made plain-string columns O(n^2/window) per segment
+            # (review finding); one build per parsed file fixes it
+            cache = getattr(c, "_plain_cache", None)
+            if cache is None:
+                cache = (
+                    _plain_str_arrow(c, seg.n),
+                    _lane_validity(c, seg.n),
+                )
+                c._plain_cache = cache
+            arrow_arr, lanes = cache
+            taken = arrow_arr.take(pa.array(gidx))
             out[c.name] = (
                 np.asarray(taken.to_pandas(), dtype=object),
-                _lane_validity(c, seg.n)[gidx],
+                lanes[gidx],
             )
             continue
         codes = fle_unpack(c.planes[live], c.width, n_sub)[keep]
@@ -1355,7 +1368,13 @@ class FleDirReader(DataSourceReader):
         that kept 2 files of 64), files larger than one decode window
         are SPLIT into disjoint block spans so the target is still met
         — pruning must not trade away task parallelism.  Files with
-        unknown row counts (legacy manifests) never split."""
+        unknown row counts (legacy manifests) never split.  Honest
+        cost note: each span task reads and parses its WHOLE file and
+        evaluates kernels over all blocks before decoding only its
+        window (sections are column-contiguous, so a span cannot be a
+        byte range) — splitting wins when decode dominates, which the
+        compaction bench measured; the split factor is bounded by the
+        [8, 64] partition band."""
         total_rows = sum(r for _, _, r in items)
         target = self._bucket_count(len(items), total_rows)
         expanded: list[tuple] = []
@@ -2412,6 +2431,7 @@ def _clear_segments(path: str) -> None:
     for f in os.listdir(path):
         if (
             f.endswith(".fle") or f == "_DONE" or ".fle.tmp-" in f
+            or f.endswith(".retired")
             or f in (_LINEAGE_NAME, _LINEAGE_NAME + ".pending")
         ):
             try:
@@ -2485,18 +2505,38 @@ class FleDirWriter(DataSourceWriter):
     or aborted overwrite leaves the old committed data fully readable."""
 
     def __init__(self, options, overwrite: bool):
+        import json as _json
+
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("fledir requires option 'path'")
         self.overwrite = overwrite
         #: set by compact_fledir's rewrite ONLY: promote the staged
-        #: `_LINEAGE.pending` at commit.  A plain overwrite instead
-        #: DELETES both the sidecar and any stale pending file — new
-        #: table contents must never inherit a crashed compaction's
+        #: `_LINEAGE.pending` at commit (BEFORE the merged names
+        #: appear, so a concurrent stream never sees a merged file
+        #: without its lineage).  A plain overwrite instead DELETES
+        #: both the sidecar and any stale pending file — new table
+        #: contents must never inherit a crashed compaction's
         #: merged→sources map
         self.promote_lineage = str(
             options.get("promotelineage", "false")
         ).lower() in ("true", "1")
+        #: append-mode surgical replacement (compaction's incremental
+        #: commit): these committed names leave the manifest and their
+        #: files are RETIRED (renamed `<name>.retired`, invisible to
+        #: both reader halves) rather than deleted — a checkpointed
+        #: stream replaying a planned-but-uncommitted batch can still
+        #: read them until `vacuum_fledir` reclaims the space (the
+        #: Delta remove-action + VACUUM split)
+        raw = options.get("retirenames")
+        self.retire_names: set[str] = (
+            set(_json.loads(raw)) if raw else set()
+        )
+        if self.retire_names and overwrite:
+            raise ValueError(
+                "fledir: retirenames is an append-mode contract "
+                "(overwrite already replaces the whole directory)"
+            )
 
     def write(self, rows):
         import json as _json
@@ -2531,6 +2571,18 @@ class FleDirWriter(DataSourceWriter):
 
     def commit(self, messages):
         previous = _manifest_entries(self.dir)
+        pending = os.path.join(self.dir, _LINEAGE_NAME + ".pending")
+        final = os.path.join(self.dir, _LINEAGE_NAME)
+        if self.promote_lineage and os.path.exists(pending):
+            # promote the merged→sources map BEFORE any merged name
+            # becomes visible: until the renames below, the map's new
+            # entries reference files that do not exist (inert); after
+            # them, a stream listing the directory always finds the
+            # lineage that classifies the merged files.  Review finding:
+            # promoting after the manifest swap left a window where a
+            # concurrent stream saw a merged file as 'genuinely new'
+            # and re-emitted every row.
+            os.replace(pending, final)
         new_entries: list[tuple[str, str]] = []
         for m in messages:
             tmps = getattr(m, "tmps", None) or m.files
@@ -2544,9 +2596,11 @@ class FleDirWriter(DataSourceWriter):
         new_names = {n for n, _ in new_entries}
         if not self.overwrite:
             # append: previous committed segments stay in the manifest
-            # (a re-written name takes this attempt's entry)
+            # (a re-written name takes this attempt's entry; retired
+            # names — a compaction's merged-away sources — leave it)
             new_entries += [
-                (n, s) for n, s in previous if n not in new_names
+                (n, s) for n, s in previous
+                if n not in new_names and n not in self.retire_names
             ]
         entries = sorted(new_entries)
         done = os.path.join(self.dir, "_DONE")
@@ -2557,35 +2611,43 @@ class FleDirWriter(DataSourceWriter):
             ))
         os.replace(tmp_done, done)  # atomic manifest swap
         if self.overwrite:
-            # lineage handoff: the compaction write (and ONLY it —
-            # option promotelineage) staged `_LINEAGE.pending` before
-            # its job, promoted now that the new manifest is durable.
-            # Any other overwrite REPLACES the table's rows, so both
-            # the sidecar AND a crashed compaction's stale pending
-            # file are removed — fresh data must never be mistaken
-            # for already-streamed merges
-            pending = os.path.join(
-                self.dir, _LINEAGE_NAME + ".pending"
-            )
-            final = os.path.join(self.dir, _LINEAGE_NAME)
-            if self.promote_lineage and os.path.exists(pending):
-                os.replace(pending, final)
-            else:
-                for p in (pending, final):
-                    if os.path.exists(p):
-                        try:
-                            os.remove(p)
-                        except OSError:
-                            pass
+            # a plain overwrite REPLACES the table's rows, so both the
+            # lineage sidecar AND a crashed compaction's stale pending
+            # file are removed — fresh data must never be mistaken for
+            # already-streamed merges
+            for p in (pending, final):
+                if os.path.exists(p):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         if self.overwrite:
             # destruction happens ONLY after the new _DONE is durable:
             # sweep every .fle not in the new manifest (covers stale
-            # committed segments AND unsealed leftovers from crashes)
+            # committed segments AND unsealed leftovers from crashes),
+            # plus retired files — the new table's rows owe no replay
+            # to the replaced table's stream history
             keep = {n for n, _ in entries}
             for f in os.listdir(self.dir):
-                if f.endswith(".fle") and f not in keep:
+                if (
+                    f.endswith(".fle") and f not in keep
+                ) or f.endswith(".retired"):
                     try:
                         os.remove(os.path.join(self.dir, f))
+                    except OSError:
+                        pass
+        elif self.retire_names:
+            # RETIRE (not delete) the merged-away sources, only after
+            # the new manifest is durable: `<name>.retired` is
+            # invisible to both reader halves but still serves a
+            # checkpointed stream's replay of a planned batch whose
+            # offsets predate the compaction; `vacuum_fledir` reclaims
+            # the space once no replay can need them
+            for name in self.retire_names:
+                src = os.path.join(self.dir, name)
+                if os.path.exists(src):
+                    try:
+                        os.replace(src, src + ".retired")
                     except OSError:
                         pass
 
@@ -2769,7 +2831,18 @@ try:  # streaming half (Spark >= 4.0)
 
             out = []
             for name in names:
-                with open(os.path.join(self.dir, name), "rb") as fh:
+                p = os.path.join(self.dir, name)
+                if not os.path.exists(p) and os.path.exists(
+                    p + ".retired"
+                ):
+                    # the segment was compacted away AFTER this batch's
+                    # offsets were planned: its bytes live on as
+                    # `<name>.retired` (invisible to fresh scans) until
+                    # vacuum, precisely so this replay can still serve
+                    # the batch — review finding: deleting sources
+                    # wedged a restarted stream with FileNotFoundError
+                    p = p + ".retired"
+                with open(p, "rb") as fh:
                     seg = parse_segment(fh.read())
                 cols = decode_segment_columns(seg)
                 order = seg.columns
@@ -2855,9 +2928,31 @@ try:  # streaming half (Spark >= 4.0)
             }
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            fresh = sorted(
-                set(end.get("names", [])) - set(start.get("names", []))
-            )
+            # replay of a PLANNED batch after restart: the offset delta
+            # contains both genuinely-read names and names read() merely
+            # ABSORBED (compaction products whose sources were already
+            # processed).  Re-emitting an absorbed name would duplicate
+            # every row it merged (review finding), so the replay
+            # applies the same lineage classification as read(): a
+            # merged name whose sources are covered by the START offset
+            # contributed zero rows to this batch.
+            seen = set(start.get("names", []))
+            lineage = _read_lineage(self.dir)
+
+            def covered(name: str) -> bool:
+                if name in seen:
+                    return True
+                srcs_ = lineage.get(name)
+                return bool(srcs_) and all(covered(s) for s in srcs_)
+
+            fresh = []
+            for f in sorted(
+                set(end.get("names", [])) - seen
+            ):
+                srcs = lineage.get(f)
+                if srcs and all(covered(s) for s in srcs):
+                    continue  # absorbed: no rows in the original batch
+                fresh.append(f)
             return iter(self._rows(fresh))
 
         def commit(self, end: dict) -> None:

@@ -20,10 +20,17 @@ block-size file management, SURVEY §2A #17).
   re-encodes one merged segment inside an Arrow batch
   (``mapInPandas``), so a 100 TB table compacts with cluster
   parallelism, never through the driver;
-- **commit is atomic** — the merged segments ride the existing
-  ``FleDirWriter`` overwrite protocol (temp-name task writes, rename at
-  commit, atomic ``_DONE`` swap, stale files destroyed only after the
-  new manifest is durable), so a reader never observes a half-compacted
+- **the rewrite is INCREMENTAL** — only multi-file bins are rewritten
+  (a segment already at target size is carried in the manifest
+  untouched), so a periodic compaction of a streaming table costs
+  O(new data), not O(table);
+- **commit is atomic and surgical** — merged segments ride the
+  ``FleDirWriter`` protocol in append mode with the ``retirenames``
+  contract (temp-name task writes, lineage promoted first, rename at
+  commit, atomic ``_DONE`` swap, then the merged-away sources RETIRED
+  — renamed ``<name>.retired``, invisible to every reader but still
+  serving a checkpointed stream's replay until :func:`vacuum_fledir`
+  reclaims them), so a reader never observes a half-compacted
   directory and a crashed compaction leaves the old table fully
   readable;
 - **stats survive** — the encoder recomputes the manifest min/max and
@@ -76,6 +83,7 @@ __all__ = [
     "zorder_merged_columns",
     "plan_compaction_bins",
     "compact_fledir",
+    "vacuum_fledir",
     "expire_fledir_partitions",
     "materialize_fle_compact_dir",
 ]
@@ -153,6 +161,34 @@ def segment_reencode_columns(seg: ParsedSegment) -> list[tuple]:
     return out
 
 
+def _all_null(values) -> bool:
+    """True iff every lane of a re-encode values array is a NULL marker
+    (None / NaN / NaT per the kind conventions)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _is_null_cell,
+    )
+
+    arr = np.asarray(values)
+    if arr.dtype == object:
+        return all(_is_null_cell(v) for v in arr)
+    if arr.dtype.kind == "f":
+        return bool(np.isnan(arr).all())
+    if arr.dtype.kind == "M":
+        return bool(np.isnat(arr).all())
+    return arr.size == 0
+
+
+def _null_values_for(hint, n: int) -> np.ndarray:
+    """n NULL lanes in the dtype the encoder for `hint` expects."""
+    if hint == "ts":
+        return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
+    if hint == "date":
+        return np.full(n, np.datetime64("NaT"), dtype="datetime64[D]")
+    if hint in ("f64", "f64_nan_null"):
+        return np.full(n, np.nan)
+    return np.full(n, None, dtype=object)
+
+
 def _merge_hint(name: str, hints: set):
     """One hint for a merged column whose source segments disagree.
     Disagreement is rare and always writer-policy-shaped: a numeric
@@ -192,8 +228,26 @@ def merge_segments_columns(segs: list[ParsedSegment]) -> list[tuple]:
     out: list[tuple] = []
     for name in names:
         entries = [p[name] for p in per_seg]
-        hint = _merge_hint(name, {e[2] for e in entries})
-        values = np.concatenate([np.asarray(e[1]) for e in entries])
+        # an ALL-NULL segment carries no type evidence: its stored kind
+        # is whatever a hint-less empty inference defaulted to, so only
+        # segments with at least one live lane vote on the merged hint
+        # (review finding: one all-NULL segment of a nullable typed
+        # column made _merge_hint raise on a perfectly scannable table)
+        nullish = [_all_null(e[1]) for e in entries]
+        live = [e for e, an in zip(entries, nullish) if not an]
+        if live:
+            hint = _merge_hint(name, {e[2] for e in live})
+            values = np.concatenate([
+                _null_values_for(hint, np.asarray(e[1]).size)
+                if an else np.asarray(e[1])
+                for e, an in zip(entries, nullish)
+            ])
+        else:
+            hints = {e[2] for e in entries}
+            hint = next(iter(hints)) if len(hints) == 1 else None
+            values = np.concatenate(
+                [np.asarray(e[1], dtype=object) for e in entries]
+            )
         out.append((name, values, hint))
     return out
 
@@ -252,12 +306,23 @@ def _segment_rows(path: str, name: str, stats_json: str) -> int:
 def plan_compaction_bins(
     path: str, target_rows: int
 ) -> list[list[str]]:
-    """Greedy first-fit bins over the committed manifest, in manifest
-    (sorted-name) order so a sorted layout's global order survives the
-    merge.  A single segment already at or above ``target_rows`` keeps
-    its own bin.  Metadata-only: reads ``_DONE`` (and, for legacy
-    stats-less manifests, 14 header bytes per file)."""
-    entries = _manifest_entries(path)
+    """Greedy first-fit bins over the committed manifest, in NUMERIC
+    segment-id order (ids increase over a table's lifetime, so this is
+    write order — a sorted layout's global order survives the merge,
+    and a prior generation's big merged files never interleave
+    lexically with newly appended tiny ones and split their bins);
+    names without a numeric id fall back to manifest order after the
+    numbered ones.  A single segment already at or above
+    ``target_rows`` keeps its own bin.  Metadata-only: reads ``_DONE``
+    (and, for legacy stats-less manifests, 14 header bytes per
+    file)."""
+    import re
+
+    def order_key(item):
+        m = re.match(r"seg_(\d+)\.fle$", item[0])
+        return (0, int(m.group(1))) if m else (1, item[0])
+
+    entries = sorted(_manifest_entries(path), key=order_key)
     bins: list[list[str]] = []
     cur: list[str] = []
     cur_rows = 0
@@ -287,15 +352,25 @@ def _compact_leaf(
     )
 
     bins = plan_compaction_bins(path, target_rows)
+    multi = [b for b in bins if len(b) > 1]
     n_before = sum(len(b) for b in bins)
     report = {
         "path": path,
         "files_before": n_before,
         "files_after": n_before,
+        "files_retired": 0,
         "compacted": False,
     }
-    if len(bins) >= n_before:  # every bin is a single file: no-op
+    if not multi:  # every bin is a single file: no-op
         return report
+
+    # INCREMENTAL: only multi-file bins are rewritten (review finding —
+    # re-encoding a 10M-row segment that is already at target size made
+    # every maintenance cycle O(table) instead of O(new data)); kept
+    # files stay untouched in the manifest via the append-mode commit,
+    # and the merged-away sources leave it through the writer's
+    # `retirenames` contract (retired, not deleted — stream replay).
+    bins = multi
 
     # GENERATION-FRESH merged names: new seg ids start above every id
     # the directory has ever used, so a merged file can never reuse a
@@ -308,13 +383,14 @@ def _compact_leaf(
             max_id = max(max_id, int(m.group(1)))
     base = (max_id // 1_000_000 + 1) * 1_000_000
     names = [f"seg_{base + i}.fle" for i in range(len(bins))]
+    sources = sorted({n for b in bins for n in b})
 
     # stage the stream-safety lineage BEFORE the job: each merged name
     # maps to its immediate source names, and prior generations' entries
     # are kept so a checkpoint holding any generation's names still
-    # resolves (the stream's covered() recursion).  The writer's
-    # overwrite commit promotes `.pending` to `_LINEAGE` atomically
-    # right after the manifest swap; a crashed job leaves it inert.
+    # resolves (the stream's covered() recursion).  The writer's commit
+    # promotes `.pending` to `_LINEAGE` atomically BEFORE the merged
+    # names appear; a crashed job leaves it inert.
     lineage = _read_lineage(path)
     for nm, b in zip(names, bins):
         lineage[nm] = sorted(b)
@@ -349,12 +425,14 @@ def _compact_leaf(
         .repartition(max(len(bins), 1))
         .mapInPandas(rewrite, schema="seg_id long, payload binary")
         .write.format("fledir")
-        .mode("overwrite")
+        .mode("append")
         .option("path", path)
         .option("promotelineage", "true")
+        .option("retirenames", json.dumps(sources))
         .save()
     )
-    report["files_after"] = len(bins)
+    report["files_after"] = n_before - len(sources) + len(bins)
+    report["files_retired"] = len(sources)
     report["compacted"] = True
     return report
 
@@ -409,8 +487,32 @@ def compact_fledir(
         "leaves": len(leaves),
         "files_before": sum(r["files_before"] for r in reports),
         "files_after": sum(r["files_after"] for r in reports),
+        "files_retired": sum(r["files_retired"] for r in reports),
         "compacted": any(r["compacted"] for r in reports),
     }
+
+
+def vacuum_fledir(path: str) -> dict:
+    """Reclaim retired segment files (flat or partitioned root).
+    Compaction RETIRES its merged-away sources (`<name>.retired`,
+    invisible to every reader) instead of deleting them, so a
+    checkpointed stream can replay a batch planned before the
+    compaction; vacuum is the operator's statement that no such replay
+    is pending (the Delta VACUUM half of the remove-action split).
+    Lineage entries stay — the stream's coverage recursion needs only
+    names, never bytes."""
+    part = discover_fledir_partitions(path)
+    leaves = [leaf for _, leaf in part[1]] if part is not None else [path]
+    removed = 0
+    for leaf in leaves:
+        for f in os.listdir(leaf):
+            if f.endswith(".retired"):
+                try:
+                    os.remove(os.path.join(leaf, f))
+                    removed += 1
+                except OSError:
+                    pass
+    return {"path": path, "files_removed": removed}
 
 
 def materialize_fle_compact_dir(spark, sf_dir: str) -> str:
@@ -475,6 +577,7 @@ def materialize_fle_compact_dir(spark, sf_dir: str) -> str:
         )
 
     report = compact_fledir(spark, out, target_rows=100_000)
+    vacuum_fledir(out)  # fixture has no checkpointed stream to serve
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(json.dumps(report))

@@ -667,3 +667,144 @@ def test_expire_partitions_retention(spark, tmp_path):
         expire_fledir_partitions(flat, 1)
     with pytest.raises(TypeError, match="does not compare"):
         expire_fledir_partitions(root, "2026-08-02")
+
+
+def test_replay_skips_absorbed_and_reads_retired(spark, tmp_path):
+    """The two review findings on the replay path: (1) a restarted
+    stream replaying a planned batch must NOT re-emit absorbed merged
+    files; (2) a replay whose offsets predate the compaction reads the
+    RETIRED source bytes instead of crashing on deleted files."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleStreamReader,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        vacuum_fledir,
+    )
+
+    path = _write_tiny_dir(spark, str(tmp_path), n_segments=6,
+                           rows_per=50)
+    r = FleStreamReader({"path": path})
+    names = sorted(n for n, _ in _manifest_entries(path))
+    # batch 1 planned and committed: first 6 names
+    off1 = {"names": names}
+    rows1 = list(r.readBetweenOffsets(r.initialOffset(), off1))
+    assert len(rows1) == 300
+
+    report = compact_fledir(spark, path, target_rows=10_000)
+    assert report["files_retired"] == 6
+    # retired bytes still on disk, invisible to a fresh batch scan
+    retired = [f for f in os.listdir(path) if f.endswith(".retired")]
+    assert len(retired) == 6
+    n = spark.read.format("fledir").option("path", path).load().count()
+    assert n == 300
+
+    # batch 2 read() absorbs the merged file...
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == []
+    # ...and the REPLAY of batch 2 must also emit zero rows (finding 1:
+    # the naive end-start diff re-emitted all 300)
+    assert list(r.readBetweenOffsets(off1, off2)) == []
+
+    # replay of batch 1 after the compaction deleted nothing: the
+    # retired files serve it (finding 2: FileNotFoundError before)
+    assert len(list(r.readBetweenOffsets(r.initialOffset(), off1))) \
+        == 300
+
+    # vacuum reclaims; replay of historic offsets is then impossible
+    assert vacuum_fledir(path)["files_removed"] == 6
+    assert not [f for f in os.listdir(path) if f.endswith(".retired")]
+    with pytest.raises(FileNotFoundError):
+        list(r.readBetweenOffsets(r.initialOffset(), off1))
+
+
+def test_incremental_compaction_leaves_target_size_files_alone(
+    spark, tmp_path
+):
+    """O(new data) maintenance: a bin that is a single already-big file
+    is carried by manifest entry, never re-read or rewritten."""
+    path = _write_tiny_dir(spark, str(tmp_path), n_segments=12,
+                           rows_per=50)
+    compact_fledir(spark, path, target_rows=300)  # 12 → 2 merged
+    merged = sorted(n for n, _ in _manifest_entries(path))
+    inodes = {
+        n: os.stat(os.path.join(path, n)).st_ino for n in merged
+    }
+    # append 4 new tiny segments
+    _append_tiny(spark, path, start=100, n_segments=4, rows_per=50)
+    report = compact_fledir(spark, path, target_rows=300)
+    assert report["compacted"]
+    # only the 4 new tiny files were merged; the 2 big ones untouched
+    assert report["files_retired"] == 4
+    for n, ino in inodes.items():
+        assert os.stat(os.path.join(path, n)).st_ino == ino
+    df = spark.read.format("fledir").option("path", path).load()
+    assert df.count() == 800
+
+
+def _append_tiny(spark, path, start, n_segments, rows_per):
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                i = int(row["seg_id"])
+                qty = np.arange(i * rows_per, (i + 1) * rows_per,
+                                dtype=np.int64)
+                flag = np.array(
+                    ["A" if v % 3 else "R" for v in qty], dtype=object
+                )
+                yield pd.DataFrame({
+                    "seg_id": [i],
+                    "payload": [encode_segment_columns(
+                        [("l_quantity", qty), ("l_returnflag", flag)]
+                    )],
+                })
+
+    (
+        spark.createDataFrame(
+            [(start + i,) for i in range(n_segments)], "seg_id long"
+        )
+        .repartition(2)
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+
+
+def test_merge_all_null_segment_defers_to_typed_sibling():
+    """Review finding: an all-NULL object segment re-infers as DICT and
+    previously made _merge_hint raise against a typed sibling."""
+    typed = encode_segment_columns([
+        ("b", np.array([True, None, False], dtype=object), "bool"),
+        ("t", np.array(
+            ["1995-01-01T00:00:00"] * 3, dtype="datetime64[us]"), "ts"),
+    ])
+    all_null = encode_segment_columns([
+        ("b", np.array([None, None], dtype=object)),
+        ("t", np.array([None, None], dtype=object)),
+    ])
+    merged = merge_segments_columns(
+        [parse_segment(typed), parse_segment(all_null)]
+    )
+    seg = parse_segment(encode_segment_columns(merged))
+    assert seg.n == 5
+    db = _decoded(encode_segment_columns(merged))
+    vals, valid, _ = db["b"]
+    assert list(valid) == [True, False, True, False, False]
+    assert bool(vals[0]) is True and bool(vals[2]) is False
+    tvals, tvalid, _ = db["t"]
+    assert list(tvalid) == [True, True, True, False, False]
+
+
+def test_retirenames_refused_with_overwrite(spark, tmp_path):
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirWriter,
+    )
+
+    with pytest.raises(ValueError, match="append-mode contract"):
+        FleDirWriter(
+            {"path": str(tmp_path), "retirenames": '["seg_0.fle"]'},
+            overwrite=True,
+        )

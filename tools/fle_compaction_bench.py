@@ -92,7 +92,9 @@ def main() -> None:
     )
 
     tiny = build_tiny()
-    compacted = os.path.join(ROOT, "compacted")
+    # key the compacted layout on its target: a rerun with a different
+    # TARGET_ROWS must not silently reuse a stale layout (review finding)
+    compacted = os.path.join(ROOT, f"compacted_{TARGET_ROWS}")
     spark = get_spark("fle-compaction-bench")
     register_fledir(spark)
 

@@ -43,22 +43,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: prefix so they sort into the driver's window.  Every other query keeps
 #: its plain name and remains covered by tools/parity.py + pytest.
 #:
-#: ROUND-9 ROTATION (completes the sweep): keeps the same 15 sentinels as
-#: rounds 4-8 (one per §2 family, including every query that was ever
-#: driver-red), takes ALL 14 remaining never-driver-hashed names — the
-#: scan_fle_* typed/pruning/layout family (the engine's re-expression of
-#: the reference's headline feature, fle-encoding.h:7962-8313),
-#: fn_char_semantics (the CHAR/VARCHAR type-edge contract), and the three
-#: tiny-table full scans — and fills the remaining 21 slots with re-hashes
-#: prioritizing (a) plan-changed-since-last-hash (tpch_q13 rewritten r7,
-#: tpch_q2 de-pinned r6), (b) the round-4 first-hash block (oldest
-#: evidence), (c) family representation (every §2 family appears in every
-#: window).  When this round's driver run lands, every one of the
-#: registry's pre-round-9 276 names has driver-grade hash evidence;
-#: rounds 10+ rotate re-hashes only, oldest-hash-first (ROTATION.md is
-#: the ledger and stages the round-10 queue).
+#: ROUND-10 ROTATION: keeps the same 15 sentinels as rounds 4-9 (one per
+#: §2 family, including every query that was ever driver-red), takes ALL
+#: 9 remaining never-driver-hashed names — the round-9 fledir maintenance
+#: and layout family (dictionary-cap fallback, schema evolution,
+#: multi-level partitions, compaction, runtime filter, metadata MIN/MAX,
+#: grouped metadata count, Z-order, retention) — and fills the remaining
+#: 26 slots with re-hashes, oldest-hash-first: the round-4 first-hash
+#: block remainder (15) then the round-5 block (11), family-balanced.
+#: When this round's driver run lands, every name ever registered has
+#: driver-grade hash evidence; ROTATION.md is the ledger and stages the
+#: round-11 queue (the six round-5 names deferred from this window).
 CORE_WINDOW: tuple[str, ...] = (
-    # ---- 15 sentinels retained from the round-4..8 windows ----
+    # ---- 15 sentinels retained from the round-4..9 windows ----
     "tpch_q1",
     "tpch_q6",
     "pred_eq",
@@ -74,48 +71,45 @@ CORE_WINDOW: tuple[str, ...] = (
     "ann_ivf_topk",
     "multimodal_features",
     "udf_pandas_scalar",
-    # ---- 14 first-hash: the complete never-hashed pool ----
-    # scan_fle_* — typed kernels, stats tiers, layout features
-    "scan_fle_multicolumn",
-    "scan_fle_stat_pruned",
-    "scan_fle_chunk_pruned",
-    "scan_fle_signed",
-    "scan_fle_double",
-    "scan_fle_temporal",
-    "scan_fle_like",
-    "scan_fle_negation",
-    "scan_fle_partitioned",
-    "scan_fle_count_meta",
-    # CHAR/VARCHAR semantics contract
-    "fn_char_semantics",
-    # tiny-table full-scan value pins
-    "scan_full_nation",
-    "scan_full_region",
-    "scan_full_supplier",
-    # ---- 21 re-hash ----
-    # plan changed since last driver hash
-    "tpch_q13",
-    "tpch_q2",
-    # round-4 first-hash block (oldest evidence), family-balanced
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q20",
-    "pred_ge",
-    "pred_is_null",
-    "pred_le",
-    "scan_partition_pruned",
-    "agg_grouping_sets",
-    "dedup_semantic",
-    "events_ab_lift",
-    "fn_datearith",
-    "fn_decimal",
-    "graph_pagerank",
-    "join_scd2_pit",
-    "merge_cdc_snapshot",
-    "multimodal_frame_dedup",
-    "set_intersect_all",
-    "window_gaps_islands",
-    "text_bpe_train",
+    # ---- 9 first-hash: the complete never-hashed pool (round-9 fledir) ----
+    "scan_fle_dict_fallback",
+    "scan_fle_schema_evolution",
+    "scan_fle_partitioned_multi",
+    "scan_fle_compacted",
+    "scan_fle_runtime_filter",
+    "scan_fle_minmax_meta",
+    "scan_fle_count_by_partition",
+    "scan_fle_zorder",
+    "scan_fle_retention",
+    # ---- 26 re-hash, oldest-evidence-first ----
+    # round-4 first-hash block remainder (15)
+    "sample_weighted",
+    "fn_try",
+    "events_ohlc",
+    "tpch_q16",
+    "tpch_q21",
+    "agg_kmv_merge",
+    "dedup_winnowing",
+    "agg_ols_regression",
+    "ann_pq_adc_topk",
+    "events_path_transitions",
+    "subq_not_in",
+    "text_bm25_topk",
+    "window_ignore_nulls",
+    "window_lag_lead",
+    "window_trailing_features",
+    # round-5 block (11, family-balanced; 6 deferred to round 11)
+    "agg_corr_matrix",
+    "agg_hll_native",
+    "agg_kmv_intersect",
+    "agg_weighted_median",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "events_interval_union",
+    "fn_nested_array",
+    "fn_regex",
+    "fn_url_parse",
+    "join_asof_nearest",
 )
 
 _EXPORT_PREFIX = "a0_"

@@ -1531,8 +1531,28 @@ def scan_fle_count_by_partition(
 
     path = materialize_fle_partitioned_dir(spark, sf_dir)
     keys, rows = fledir_partition_row_counts(path)
+    return partition_counts_df(spark, keys, rows)
+
+
+def partition_counts_df(spark: SparkSession, keys, rows) -> DataFrame:
+    """(keys, typed rows) from `fledir_partition_row_counts` → a
+    DataFrame whose key columns carry the VALUE-derived Spark type:
+    partition-key values come back typed (int for int-round-tripping
+    directory names like ship_year, str otherwise), so hardcoding
+    `string` broke every int-keyed layout (ADVICE r9)."""
+    key_types = [
+        "bigint"
+        if rows and all(
+            isinstance(r[i], int) and not isinstance(r[i], bool)
+            for r in rows
+        )
+        else "string"
+        for i in range(len(keys))
+    ]
     return spark.createDataFrame(
-        rows, ", ".join([f"{k} string" for k in keys]) + ", n_rows bigint"
+        rows,
+        ", ".join(f"{k} {t}" for k, t in zip(keys, key_types))
+        + ", n_rows bigint",
     )
 
 
@@ -1574,6 +1594,52 @@ def scan_fle_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_fledir(spark)
     df = spark.read.format("fledir").option("path", path).load()
     return df.groupBy("ship_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "scan_fle_retention_multi",
+    oracle="""
+SELECT l_linestatus,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE YEAR(l_shipdate) >= 1996
+GROUP BY 1, 2
+""",
+    tags=("scan", "encoding", "fle", "maintenance", "layout"),
+)
+def scan_fle_retention_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETENTION on a NON-LEADING partition key (round 10): lineitem
+    lives as two-level ``l_linestatus=X/ship_year=YYYY`` leaves and
+    `expire_fledir_partitions(key="ship_year")` retires every
+    pre-1996 year under EVERY status — the reference's partition
+    model is n-level (descriptors.h:178-262), so retention must
+    address any key, not just the leading one (VERDICT r9 #4).  The
+    per-leaf retire work runs as a DISTRIBUTED Spark job (one task
+    per group of leaves, unseal→delete ordering kept inside each
+    leaf): at a 100k-leaf object-store table the driver-side delete
+    loop is the bottleneck, the fan-out is not (VERDICT r9 #5).  The
+    query aggregates the surviving table with BOTH keys materialized
+    from the directory names; the DuckDB oracle replays the retention
+    predicate over the raw parquet rows — an over- or under-expired
+    leaf flips whole groups."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        materialize_fle_retention_multi_dir,
+    )
+
+    path = materialize_fle_retention_multi_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = spark.read.format("fledir").option("path", path).load()
+    return df.groupBy("l_linestatus", "ship_year").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").alias("sum_qty"),
     )

@@ -1843,6 +1843,51 @@ class FleDirReader(DataSourceReader):
             _and(m)
         return mask
 
+    def _plain_value_mask(
+        self, seg: ParsedSegment, c: ParsedColumn, op: str, value
+    ) -> np.ndarray:
+        """One pushed string conjunct evaluated on a PLAIN byte-array
+        section: Arrow compute kernels over the zero-copy string wrap
+        (no Python strings materialize), NULL lanes masked out, packed
+        back into the kernel word-bitset shape.  Keeps a pushed
+        conjunct correct on directories where the dictionary-cap
+        fallback mixed dict and plain segments for the same column."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = _plain_str_arrow(c, seg.n)
+        if op == "eqns":
+            op = "eq"  # non-NULL <=> literal ≡ eq (NULL lanes excluded)
+        if op == "in":
+            res = pc.is_in(
+                arr,
+                value_set=pa.array([str(v) for v in value], pa.string()),
+            )
+        elif op in ("startswith", "endswith", "contains"):
+            res = {
+                "startswith": pc.starts_with,
+                "endswith": pc.ends_with,
+                "contains": pc.match_substring,
+            }[op](arr, pattern=str(value))
+        else:
+            res = {
+                "eq": pc.equal, "lt": pc.less, "le": pc.less_equal,
+                "gt": pc.greater, "ge": pc.greater_equal,
+            }[op](arr, pa.scalar(str(value), pa.string()))
+        rows = np.asarray(
+            pc.fill_null(res, False).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        rows &= _lane_validity(c, seg.n)  # NULL lanes store "" — clear
+        pad = (-seg.n) % 64
+        if pad:
+            rows = np.concatenate([rows, np.zeros(pad, dtype=bool)])
+        return (
+            np.packbits(rows, bitorder="little")
+            .view("<u8")
+            .astype(np.uint64)
+        )
+
     def _conjunct_mask(
         self, seg: ParsedSegment, c: ParsedColumn, i: int, op: str, value
     ) -> np.ndarray:
@@ -1852,18 +1897,21 @@ class FleDirReader(DataSourceReader):
         negation stays well-defined."""
         zeros = np.zeros(seg.n_blocks, dtype=np.uint64)
         if c.kind == _KIND_STR_PLAIN:
-            # plain byte-array sections have no planes: only the
-            # validity-word predicates ever reach here (pushability
-            # keeps value comparisons residual)
+            # plain byte-array sections have no planes.  Validity-word
+            # predicates ride the validity bitset; VALUE comparisons
+            # reach here only on a MIXED directory (a dictionary-cap
+            # fallback appended plain segments behind dict ones, so
+            # pushability was probed on a dict segment) and are
+            # evaluated on the decoded values — the reference filters
+            # PLAIN pages row-by-row too (hdfs-parquet-scanner.cc:
+            # 1825-1834's per-row conjunct eval on non-dict pages).
             if op == "is_not_null":
                 return self._valid_lane_mask(seg, c)
             if op == "is_null" or (op == "eqns" and value is None):
                 return self._full_lane_mask(seg) & ~self._valid_lane_mask(
                     seg, c
                 )
-            raise AssertionError(
-                f"fledir: op {op!r} cannot run on a plain string section"
-            )
+            return self._plain_value_mask(seg, c, op, value)
         if op == "eqns":
             # null-safe equality: <=> NULL matches exactly the NULL
             # rows; a non-null literal matches like eq (the eq kernel
@@ -2449,6 +2497,48 @@ def _clear_segments(path: str) -> None:
 _LINEAGE_NAME = "_LINEAGE"
 
 
+def _lineage_covered(
+    name: str,
+    seen: "set[str]",
+    lineage: "dict[str, list[str]]",
+    memo: "dict[str, bool]",
+) -> bool:
+    """True iff the stream already processed `name` directly or every
+    original source it was merged from is covered — chained through
+    generations of compaction.  Iterative worklist + memo (ADVICE r9):
+    a long-lived checkpoint over a frequently compacted table grows one
+    lineage generation per compaction, deep enough that a recursive
+    check would hit Python's recursion limit and fail the stream.  A
+    cyclic map (corrupt sidecar) resolves to uncovered instead of
+    looping."""
+    open_: set[str] = set()  # expanding, result pending (cycle guard)
+    stack: list[tuple[str, bool]] = [(name, False)]
+    while stack:
+        n, expanded = stack.pop()
+        if expanded:
+            memo[n] = all(
+                memo.get(s, False) for s in (lineage.get(n) or ())
+            )
+            open_.discard(n)
+            continue
+        if n in memo:
+            continue
+        if n in seen:
+            memo[n] = True
+            continue
+        srcs = lineage.get(n)
+        if not srcs:
+            memo[n] = False
+            continue
+        if n in open_:
+            memo[n] = False  # cycle: resolve uncovered, don't loop
+            continue
+        open_.add(n)
+        stack.append((n, True))
+        stack.extend((s, False) for s in srcs if s not in memo)
+    return memo[name]
+
+
 def _read_lineage(path: str) -> "dict[str, list[str]]":
     """{merged_name: [original source names...]} — empty if none."""
     p = os.path.join(path, _LINEAGE_NAME)
@@ -2583,6 +2673,32 @@ class FleDirWriter(DataSourceWriter):
             # concurrent stream saw a merged file as 'genuinely new'
             # and re-emitted every row.
             os.replace(pending, final)
+        elif not self.overwrite:
+            # APPEND without a staged lineage: a writer may legally
+            # reuse a segment name that a long-vacuumed compaction once
+            # minted (writer names are pid-scoped, merged names are
+            # million-aligned — but pids recycle and tables outlive
+            # both).  A stale lineage entry under that name would make
+            # the stream classify the genuinely NEW file as an
+            # already-processed merge and silently drop its rows, so
+            # evict those keys BEFORE the renames make the new names
+            # visible (mirror of the promote-before-rename ordering
+            # above; ADVICE r9).
+            committed = {
+                n for m in messages if m is not None for n in m.files
+            }
+            lineage = _read_lineage(self.dir)
+            stale = committed & set(lineage)
+            if stale:
+                for k in stale:
+                    del lineage[k]
+                tmp_l = final + ".tmp"
+                with open(tmp_l, "w") as fh:
+                    fh.write("\n".join(
+                        f"{name}\t{','.join(srcs)}"
+                        for name, srcs in sorted(lineage.items())
+                    ))
+                os.replace(tmp_l, final)
         new_entries: list[tuple[str, str]] = []
         for m in messages:
             tmps = getattr(m, "tmps", None) or m.files
@@ -2878,16 +2994,16 @@ try:  # streaming half (Spark >= 4.0)
             )
             lineage = _read_lineage(self.dir)
 
+            # a name is covered if the stream processed it directly OR
+            # every immediate source it was merged from is covered —
+            # chaining through generations of compaction, so a
+            # checkpoint holding gen-1 merged names still recognizes
+            # the gen-2 merge of them (iterative + memoized:
+            # _lineage_covered)
+            memo: dict[str, bool] = {}
+
             def covered(name: str) -> bool:
-                # a name is covered if the stream processed it directly
-                # OR every immediate source it was merged from is
-                # covered — the recursion chains through generations of
-                # compaction, so a checkpoint holding gen-1 merged
-                # names still recognizes the gen-2 merge of them
-                if name in seen:
-                    return True
-                srcs_ = lineage.get(name)
-                return bool(srcs_) and all(covered(s) for s in srcs_)
+                return _lineage_covered(name, seen, lineage, memo)
 
             fresh, absorbed = [], []
             for f in current:
@@ -2939,11 +3055,10 @@ try:  # streaming half (Spark >= 4.0)
             seen = set(start.get("names", []))
             lineage = _read_lineage(self.dir)
 
+            memo: dict[str, bool] = {}
+
             def covered(name: str) -> bool:
-                if name in seen:
-                    return True
-                srcs_ = lineage.get(name)
-                return bool(srcs_) and all(covered(s) for s in srcs_)
+                return _lineage_covered(name, seen, lineage, memo)
 
             fresh = []
             for f in sorted(

@@ -162,3 +162,39 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir):
         [("l_quantity", "le", 5), ("price", "le", 10000.0)]
     )
     assert both <= min(by_qty, by_price)
+
+
+def test_grouped_partition_counts_int_keys_typed(spark, tmp_path):
+    """ADVICE r9: partition-key values come back TYPED — an int-keyed
+    layout (ship_year=1997) must surface a bigint key column, not
+    crash createDataFrame with a string schema."""
+    from impala_avx2_parquet_scanner_spark.operators.scan import (
+        partition_counts_df,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_partition_row_counts,
+    )
+
+    root = str(tmp_path / "grp_int")
+    for year, n in ((1996, 4), (1997, 9)):
+        _write_dir(
+            spark,
+            os.path.join(root, f"ship_year={year}"),
+            [[("q", np.arange(n, dtype=np.int64))]],
+        )
+    keys, rows = fledir_partition_row_counts(root)
+    assert keys == ["ship_year"] and sorted(rows) == [(1996, 4), (1997, 9)]
+    df = partition_counts_df(spark, keys, rows)
+    assert dict(df.dtypes) == {"ship_year": "bigint", "n_rows": "bigint"}
+    assert sorted(map(tuple, df.collect())) == [(1996, 4), (1997, 9)]
+    # string keys keep the string type (the original query's layout)
+    root2 = str(tmp_path / "grp_str")
+    for key, n in (("A", 2), ("R", 3)):
+        _write_dir(
+            spark,
+            os.path.join(root2, f"flag={key}"),
+            [[("q", np.arange(n, dtype=np.int64))]],
+        )
+    keys2, rows2 = fledir_partition_row_counts(root2)
+    df2 = partition_counts_df(spark, keys2, rows2)
+    assert dict(df2.dtypes) == {"flag": "string", "n_rows": "bigint"}

@@ -261,3 +261,57 @@ def test_evolution_spark_e2e(spark, tmp_path):
     assert sorted(map(tuple, df.collect())) == [
         ("A", 0.0), ("A", 2.0), ("B", 1.0), ("B", 3.0),
     ]
+
+
+# ------------------------------------------- mixed dict/plain kinds
+
+
+def test_mixed_dict_plain_segments_pushed_predicates(tmp_path):
+    """ADVICE r9 (medium): the dictionary-cap fallback can leave one
+    column dict-kind in some segments and plain-kind in others of the
+    same directory.  Pushability is probed on the FIRST segment (dict
+    here), so every pushed value conjunct must still evaluate correctly
+    on the plain segments — via the decoded-value Arrow kernels — not
+    crash the scan."""
+    d = os.fspath(tmp_path / "mixeddir")
+    _commit(d, encode_segment_columns([
+        ("s", np.array(["aa", "bb", None, "cc"], dtype=object)),  # dict
+        ("q", np.arange(4, dtype=np.int64)),
+    ]), name="seg_0.fle")
+    _commit(d, encode_segment_columns([
+        ("s", np.array(["bb", None, "ab", "zz"], dtype=object),
+         "str_plain"),
+        ("q", np.arange(4, 8, dtype=np.int64)),
+    ]), name="seg_1.fle")
+
+    def run(pushed):
+        r = FleDirReader({"path": d})
+        r.pushed = list(pushed)
+        rows = []
+        for part in r.partitions():
+            for b in r.read(part):
+                rows += list(zip(*[c.to_pylist() for c in b.columns]))
+        return sorted(q for _, q in rows)
+
+    # probe (first segment, dict) says these push
+    probe = FleDirReader({"path": d})
+    for op, lit in (
+        ("eq", "bb"), ("lt", "bb"), ("in", ("aa", "zz")),
+        ("startswith", "a"), ("contains", "b"), ("endswith", "b"),
+    ):
+        assert probe._literal_pushable("s", op, lit), (op, lit)
+
+    assert run([("s", "eq", "bb")]) == [1, 4]
+    assert run([("s", "lt", "bb")]) == [0, 6]
+    assert run([("s", "in", ("aa", "zz"))]) == [0, 7]
+    assert run([("s", "startswith", "a")]) == [0, 6]
+    assert run([("s", "contains", "b")]) == [1, 4, 6]
+    assert run([("s", "endswith", "b")]) == [1, 4, 6]
+    # negation complements against valid lanes only (NULLs stay out)
+    assert run([("s", "not_eq", "bb")]) == [0, 3, 6, 7]
+    assert run([("s", "not_in", ("aa", "zz"))]) == [1, 3, 4, 6]
+    # null-safe equality on the mixed column
+    assert run([("s", "eqns", "bb")]) == [1, 4]
+    assert run([("s", "not_eqns", "bb")]) == [0, 2, 3, 5, 6, 7]
+    # conjunction across the mixed column and an int column
+    assert run([("s", "ge", "bb"), ("q", "le", 5)]) == [1, 3, 4]

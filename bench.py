@@ -201,6 +201,33 @@ def main() -> None:
             "max": round(s[-1], 4),
         }
 
+    # --- machine-weather gate (VERDICT r9 #2) ---------------------
+    # MICROBENCH.md's calibration: quiet band is spark_floor
+    # ~0.076-0.10 s on this VM.  A loud window makes every wall-clock
+    # in the artifact untrustworthy (round 9's committed run read
+    # 64 s where the same tree reads ~15 s quiet), so probe the floor
+    # up front and, if loud, wait and re-probe a bounded number of
+    # times instead of committing a run the pre-registered reading
+    # rule already rejects.  All probes land in the artifact so it
+    # self-reports its weather.
+    weather_probes: list[float] = []
+    retries = int(os.environ.get("SPARK_GRAFT_WEATHER_RETRIES", "3"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_WEATHER_WAIT", "45"))
+
+    def floor_probe() -> float:
+        fb, _ = timed_best(
+            lambda: spark.read.parquet(
+                os.path.join(sf_dir, "region.parquet")
+            ).count(),
+            base_floor=3,
+        )
+        return round(fb, 4)
+
+    weather_probes.append(floor_probe())
+    while weather_probes[-1] > 0.105 and len(weather_probes) <= retries:
+        time.sleep(wait_s)
+        weather_probes.append(floor_probe())
+
     times: dict[str, float] = {}
     rep_stats: dict[str, dict] = {}
     for name in names:
@@ -231,6 +258,10 @@ def main() -> None:
     )
     out["spark_floor_sec"] = round(floor_best, 4)
     out["spark_floor_stats"] = floor_stats
+    out["weather_probes"] = weather_probes
+    out["weather"] = (
+        "quiet" if floor_best <= 0.105 else "loud"
+    )
 
     # Yardstick extras are best-effort: the headline JSON contract must
     # survive any failure in them (missing duckdb, full /tmp, ...).

@@ -2904,18 +2904,68 @@ try:  # streaming half (Spark >= 4.0)
             self.dir = options.get("path")
             if not self.dir:
                 raise ValueError("fledir requires option 'path'")
-            if discover_fledir_partitions(self.dir) is not None:
-                # the live feed lists *.fle at the ROOT; a partitioned
-                # root holds only subdirectories, so the stream would
-                # silently stay empty forever — fail loudly instead
-                raise ValueError(
-                    "fledir streaming reads a FLAT segment feed; "
-                    f"{self.dir} is a partitioned (col=value) layout — "
-                    "stream each partition directory separately"
-                )
+            #: a hive-partitioned root streams as a MERGED per-leaf
+            #: feed (round 10; previously refused): offset names are
+            #: leaf-relative POSIX paths and the partition-key values
+            #: materialize as trailing constant columns, matching the
+            #: batch schema's key-columns-last convention.  Leaves are
+            #: re-discovered every micro-batch, so partitions appended
+            #: mid-stream start flowing and partitions RETIRED by
+            #: `expire_fledir_partitions` stop being listed the moment
+            #: their manifest is gone (retention must expire only
+            #: fully-streamed partitions — the same fully-consumed
+            #: contract compaction has: a planned-but-uncommitted
+            #: batch can replay retired COMPACTION sources, but an
+            #: expired leaf's bytes are deleted, not retired).
+            self.partitioned = (
+                discover_fledir_partitions(self.dir) is not None
+            )
 
         def initialOffset(self) -> dict:
             return {"names": []}
+
+        def _leaf_map(self) -> "dict[str, tuple]":
+            """{leaf-relative POSIX path: typed partition values} for
+            the currently committed leaves (re-discovered per call)."""
+            part = discover_fledir_partitions(self.dir)
+            if part is None:
+                return {}
+            return {
+                os.path.relpath(leaf, self.dir).replace(os.sep, "/"):
+                    vals
+                for vals, leaf in part[1]
+            }
+
+        def _list_current(self) -> list:
+            """Sorted feed listing: bare `.fle` names on a flat root,
+            leaf-qualified relative paths on a partitioned one."""
+            if not self.partitioned:
+                return sorted(
+                    f for f in os.listdir(self.dir)
+                    if f.endswith(".fle")
+                )
+            names = []
+            for rel in self._leaf_map():
+                leaf = os.path.join(self.dir, rel)
+                names += [
+                    f"{rel}/{f}" for f in os.listdir(leaf)
+                    if f.endswith(".fle")
+                ]
+            return sorted(names)
+
+        def _lineage_all(self) -> "dict[str, list[str]]":
+            """The feed's merged lineage map: per-leaf `_LINEAGE`
+            sidecars with keys AND sources qualified by the leaf path
+            (compaction of a partitioned root runs per leaf, so every
+            merged↔source relation stays inside one leaf)."""
+            if not self.partitioned:
+                return _read_lineage(self.dir)
+            out: dict[str, list[str]] = {}
+            for rel in self._leaf_map():
+                sub = _read_lineage(os.path.join(self.dir, rel))
+                for k, srcs in sub.items():
+                    out[f"{rel}/{k}"] = [f"{rel}/{s}" for s in srcs]
+            return out
 
         def _rows(self, names):
             # returns a LIST of plain-python tuples: the stream
@@ -2945,6 +2995,7 @@ try:  # streaming half (Spark >= 4.0)
                     return _decm.Decimal(int(v)).scaleb(-c.scale)
                 return int(v)
 
+            leaf_map = self._leaf_map() if self.partitioned else {}
             out = []
             for name in names:
                 p = os.path.join(self.dir, name)
@@ -2958,6 +3009,21 @@ try:  # streaming half (Spark >= 4.0)
                     # the batch — review finding: deleting sources
                     # wedged a restarted stream with FileNotFoundError
                     p = p + ".retired"
+                rel = name.rpartition("/")[0]
+                key_cells: tuple = ()
+                if rel:
+                    vals = leaf_map.get(rel)
+                    if vals is None:
+                        # leaf mid-expiry (manifest gone, file still
+                        # readable): parse the key values from the
+                        # path components with the standard typing
+                        vals = tuple(
+                            _typed_partition_value(
+                                comp.partition("=")[2]
+                            )
+                            for comp in rel.split("/")
+                        )
+                    key_cells = tuple(vals)
                 with open(p, "rb") as fh:
                     seg = parse_segment(fh.read())
                 cols = decode_segment_columns(seg)
@@ -2970,7 +3036,7 @@ try:  # streaming half (Spark >= 4.0)
                             else cell(c, cols[c.name][0][j])
                         )
                         for c in order
-                    ))
+                    ) + key_cells)
             return out
 
         def _sealed(self, name: str) -> bool:
@@ -2989,10 +3055,8 @@ try:  # streaming half (Spark >= 4.0)
 
         def read(self, start: dict):
             seen = set(start.get("names", []))
-            current = sorted(
-                f for f in os.listdir(self.dir) if f.endswith(".fle")
-            )
-            lineage = _read_lineage(self.dir)
+            current = self._list_current()
+            lineage = self._lineage_all()
 
             # a name is covered if the stream processed it directly OR
             # every immediate source it was merged from is covered —
@@ -3053,7 +3117,7 @@ try:  # streaming half (Spark >= 4.0)
             # merged name whose sources are covered by the START offset
             # contributed zero rows to this batch.
             seen = set(start.get("names", []))
-            lineage = _read_lineage(self.dir)
+            lineage = self._lineage_all()
 
             memo: dict[str, bool] = {}
 

@@ -271,15 +271,30 @@ def sort_merged_columns(cols: list[tuple], sort_by: str) -> list[tuple]:
         )
     vals = np.asarray(entry[1])
     if vals.dtype == object:
-        nulls = [_is_null_cell(v) for v in vals]
-        order = np.asarray(
-            sorted(
-                range(vals.size),
-                key=lambda i: (nulls[i], 0) if nulls[i]
-                else (False, vals[i]),
-            ),
-            dtype=np.int64,
+        # split NULLs out, then materialize the valid keys as a TYPED
+        # numpy array so argsort runs vectorized ('<U…' for strings,
+        # int64 for ints) instead of a per-element Python-object sort
+        # — 2.5x on a string-sorted 1M-row merge (VERDICT r9 #7;
+        # MICROBENCH.md row).  Keys numpy cannot type
+        # (Decimal, datetime objects, mixed) keep the object sort.
+        nulls = np.fromiter(
+            (_is_null_cell(v) for v in vals), dtype=bool,
+            count=vals.size,
         )
+        valid_idx = np.flatnonzero(~nulls)
+        key = vals[valid_idx]
+        try:
+            typed = np.asarray(key.tolist())
+            if typed.dtype == object:
+                raise TypeError("untypeable sort key")
+            sub = np.argsort(typed, kind="stable")
+        except (TypeError, ValueError, OverflowError):
+            sub = np.asarray(
+                sorted(range(key.size), key=key.__getitem__),
+                dtype=np.int64,
+            )
+        # NULLS LAST, original order preserved within ties and NULLs
+        order = np.concatenate([valid_idx[sub], np.flatnonzero(nulls)])
     else:
         # native dtypes: stable argsort already puts NaN/NaT last —
         # exactly the NULL markers of the f64/ts/date conventions

@@ -1615,3 +1615,71 @@ def test_large_files_split_into_block_spans(spark, tmp_path):
     # windows = 7 spans per file, 14 total
     r32 = FleDirReader({"path": path, "numpartitions": "32"})
     assert len(r32.partitions()) == 14
+
+
+def test_fle_stream_partitioned_root_e2e(spark, tmp_path):
+    """Round 10: a hive-partitioned fledir root streams end-to-end
+    through Structured Streaming — leaf-qualified offsets, partition
+    keys materialized as trailing typed columns, and a leaf appended
+    mid-stream delivered exactly once."""
+    import os as _os
+
+    import numpy as _np
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDataSource,
+        encode_segment_columns,
+        segment_stats,
+        parse_segment,
+    )
+
+    try:
+        spark.dataSource.register(FleDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "fle_stream_part")
+
+    def put(flag: str, day: int, seg_id: int, base: int):
+        leaf = _os.path.join(root, f"flag={flag}", f"day={day}")
+        _os.makedirs(leaf, exist_ok=True)
+        payload = encode_segment_columns([
+            ("q", _np.arange(base, base + 3, dtype=_np.int64)),
+        ])
+        name = f"seg_{seg_id:06d}.fle"
+        with open(_os.path.join(leaf, name), "wb") as fh:
+            fh.write(payload)
+        import json as _json
+
+        entry = segment_stats(parse_segment(payload))
+        entry["__rows__"] = 3
+        done = _os.path.join(leaf, "_DONE")
+        prev = ""
+        if _os.path.exists(done):
+            with open(done) as fh:
+                prev = fh.read() + "\n"
+        with open(done, "w") as fh:
+            fh.write(prev + f"{name}\t{_json.dumps(entry)}")
+        return {(base + k, flag, day) for k in range(3)}
+
+    want = put("A", 1, 0, 0) | put("A", 2, 1, 100) | put("R", 1, 2, 200)
+    stream = (
+        spark.readStream.format("fledir").option("path", root).load()
+    )
+    assert [f.name for f in stream.schema.fields] == ["q", "flag", "day"]
+    assert dict((f.name, f.dataType.simpleString())
+                for f in stream.schema.fields)["day"] == "bigint"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("fle_stream_part_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        want |= put("R", 2, 3, 300)  # new leaf arrives mid-stream
+        q.processAllAvailable()
+        rows = spark.table("fle_stream_part_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 12  # 4 leaves x 3 rows, exactly once
+    assert {(r.q, r.flag, r.day) for r in rows} == want

@@ -1013,3 +1013,224 @@ def test_vacuum_distributed_matches_driver_loop(spark, tmp_path):
     assert report["files_removed"] == 2 * n_leaves
     # idempotent, and the driver-loop path agrees on the empty state
     assert vacuum_fledir(root)["files_removed"] == 0
+
+
+# ---------------------------------------- merge-hint lattice fuzz
+
+
+def _lattice_segment(num_profile, str_profile, rows, seed):
+    """One segment whose two columns exercise a merge-lattice corner:
+    numeric int-vs-offset-vs-all-NULL, string dict-vs-plain-vs-all-NULL
+    (hintless all-NULL columns store as the empty-inference default and
+    must not vote on the merged hint)."""
+    rng = np.random.default_rng(seed)
+    if num_profile == "nonneg":
+        q = rng.integers(0, 50, rows).astype(np.int64)
+        num = (q, None)
+    elif num_profile == "signed":
+        q = rng.integers(-50, 50, rows).astype(np.int64)
+        q[0] = -1  # force at least one negative → offset planes
+        num = (q, None)
+    elif num_profile == "nulls":
+        o = np.array(
+            [None if rng.random() < 0.4 else int(v)
+             for v in rng.integers(-20, 20, rows)],
+            dtype=object,
+        )
+        num = (o, None)
+    else:  # all_null
+        num = (np.full(rows, None, dtype=object), None)
+    if str_profile == "dict":
+        s = rng.choice(np.array(["A", "B", "C"], dtype=object), rows)
+        st_ = (s.astype(object), None)
+    elif str_profile == "plain":
+        s = np.array(
+            [None if rng.random() < 0.2 else f"u-{rng.integers(1e6)}"
+             for _ in range(rows)],
+            dtype=object,
+        )
+        st_ = (s, "str_plain")
+    elif str_profile == "nulls":
+        s = np.array(
+            [None if rng.random() < 0.5 else "A" for _ in range(rows)],
+            dtype=object,
+        )
+        st_ = (s, None)
+    else:  # all_null
+        st_ = (np.full(rows, None, dtype=object), None)
+    cols = [("q", *num), ("s", *st_)]
+    expected_q = [
+        None if v is None else int(v) for v in np.asarray(num[0])
+    ]
+    expected_s = list(st_[0])
+    return encode_segment_columns(cols), expected_q, expected_s
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _PROFILE_NUM = st.sampled_from(
+        ["nonneg", "signed", "nulls", "all_null"]
+    )
+    _PROFILE_STR = st.sampled_from(["dict", "plain", "nulls", "all_null"])
+    _SEGMENTS = st.lists(
+        st.tuples(
+            _PROFILE_NUM, _PROFILE_STR, st.integers(1, 40),
+            st.integers(0, 2**31 - 1),
+        ),
+        min_size=2, max_size=5,
+    )
+
+    @given(_SEGMENTS)
+    @settings(max_examples=150, deadline=None)
+    def test_merge_hint_lattice_fuzz_roundtrip(specs):
+        """VERDICT r9 #8: fuzz mixed-kind / all-NULL / evolved segment
+        sets through merge→re-encode→decode and compare every lane
+        against the raw concatenation.  The {int,offset}→offset and
+        all-NULL-no-vote rules must hold on every composition."""
+        from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+            decode_segment_columns,
+        )
+        from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+            merge_segments_columns,
+        )
+
+        payloads, exp_q, exp_s = [], [], []
+        for num_p, str_p, rows, seed in specs:
+            p, eq, es = _lattice_segment(num_p, str_p, rows, seed)
+            payloads.append(p)
+            exp_q += eq
+            exp_s += es
+        segs = [parse_segment(p) for p in payloads]
+        try:
+            merged = merge_segments_columns(segs)
+        except ValueError as exc:
+            # the only legal refusal is a genuine kind conflict
+            assert "incompatible kinds" in str(exc)
+            return
+        out = decode_segment_columns(
+            parse_segment(encode_segment_columns(merged))
+        )
+        got_q = [
+            int(w) if v else None for w, v in zip(*out["q"])
+        ]
+        assert got_q == exp_q
+        got_s = [w if v else None for w, v in zip(*out["s"])]
+        assert got_s == exp_s
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+def test_stream_partitioned_root_compact_expire_exactly_once(
+    spark, tmp_path
+):
+    """VERDICT r9 #6 — the three-way composition: a checkpointed
+    stream over a HIVE-PARTITIONED fledir root that is Z-order
+    compacted AND retention-expired mid-stream.  Exactly-once must
+    hold across the whole cycle: merged files absorb, a leaf appended
+    mid-stream starts flowing (with its key columns materialized),
+    fully-streamed expired leaves stop being listed, planned batches
+    replay bit-exact, and nothing is ever emitted twice or lost."""
+    import pandas as pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleStreamReader,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        expire_fledir_partitions,
+    )
+
+    register_fledir(spark)
+    root = str(tmp_path / "sroot")
+
+    def write_leaf(status, day, seg_ids, base):
+        leaf = os.path.join(root, f"status={status}", f"day={day}")
+
+        def encode(batches, base=base):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    i = int(row["seg_id"])
+                    x = np.arange(
+                        base + i * 10, base + i * 10 + 5,
+                        dtype=np.int64,
+                    )
+                    y = (x * 7) % 101
+                    yield pd.DataFrame({
+                        "seg_id": [i],
+                        "payload": [encode_segment_columns(
+                            [("x", x), ("y", y)]
+                        )],
+                    })
+
+        mode = (
+            "append"
+            if os.path.exists(os.path.join(leaf, "_DONE"))
+            else "overwrite"
+        )
+        (
+            spark.createDataFrame(
+                [(i,) for i in seg_ids], "seg_id long"
+            )
+            .mapInPandas(encode, schema="seg_id long, payload binary")
+            .write.format("fledir")
+            .mode(mode)
+            .option("path", leaf)
+            .save()
+        )
+        return {
+            (int(base + i * 10 + k), int((base + i * 10 + k) * 7 % 101),
+             status, day)
+            for i in seg_ids for k in range(5)
+        }
+
+    committed = set()
+    committed |= write_leaf("F", 1, range(3), 0)
+    committed |= write_leaf("F", 2, range(3), 1000)
+    committed |= write_leaf("O", 1, range(3), 2000)
+
+    r = FleStreamReader({"path": root})
+    rows1, off1 = r.read(r.initialOffset())
+    emitted = set(map(tuple, rows1))
+    assert emitted == committed  # key columns materialized per leaf
+
+    # Z-order compact the whole root per leaf, mid-stream
+    rep = compact_fledir(
+        spark, root, target_rows=10**6, zorder_by=("x", "y")
+    )
+    assert rep["compacted"] and rep["leaves"] == 3
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == []  # merged files absorbed, zero re-emission
+
+    # a NEW leaf appended mid-stream starts flowing
+    new_rows = write_leaf("O", 2, [7], 3000)
+    committed |= new_rows
+    rows3, off3 = r.read(off2)
+    rows3 = set(map(tuple, rows3))
+    assert rows3 == new_rows
+    emitted |= rows3
+
+    # planned batches replay bit-exact against the compacted layout
+    assert list(r.readBetweenOffsets(off1, off2)) == []
+    assert set(
+        map(tuple, r.readBetweenOffsets(off2, off3))
+    ) == new_rows
+
+    # retention-expire the fully-streamed day=1 leaves (second key,
+    # distributed)
+    report = expire_fledir_partitions(root, 2, key="day", spark=spark)
+    assert report["partitions_dropped"] == 2
+    rows4, off4 = r.read(off3)
+    assert list(rows4) == []  # nothing new, nothing re-emitted
+
+    # exactly-once over the whole cycle
+    assert emitted == committed
+
+    # batch read of the surviving table == the day=2 survivors
+    df = spark.read.format("fledir").option("path", root).load()
+    got = {
+        (row["x"], row["y"], row["status"], row["day"])
+        for row in df.collect()
+    }
+    assert got == {t for t in committed if t[3] == 2}

@@ -356,7 +356,10 @@ def test_metadata_only_row_count(tmp_path):
         )
 
 
-def test_stream_reader_rejects_partitioned_root(tmp_path):
+def test_stream_reader_partitioned_root_merged_feed(tmp_path):
+    """Round 10: a hive-partitioned root streams as a merged per-leaf
+    feed — leaf-qualified offset names, partition keys materialized as
+    trailing typed cells (previously this layout was refused)."""
     import pytest
 
     from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
@@ -367,10 +370,21 @@ def test_stream_reader_rejects_partitioned_root(tmp_path):
     if not FLE_STREAM_API_AVAILABLE:
         pytest.skip("streaming DataSource requires Spark >= 4.0")
     root = _mk_string_partitioned(tmp_path)
-    with pytest.raises(ValueError, match="partitioned"):
-        FleStreamReader({"path": root})
-    # a single partition directory streams fine (flat layout)
-    FleStreamReader({"path": os.path.join(root, "l_returnflag=A")})
+    r = FleStreamReader({"path": root})
+    rows, off = r.read(r.initialOffset())
+    rows = list(rows)
+    assert rows and all(len(t) >= 2 for t in rows)
+    # every offset name is leaf-qualified; every row carries its key
+    assert all("/" in n for n in off["names"])
+    keys = {t[-1] for t in rows}
+    assert keys == {v[0] for v, _ in __import__(
+        "impala_avx2_parquet_scanner_spark.sources.fle_datasource",
+        fromlist=["discover_fledir_partitions"],
+    ).discover_fledir_partitions(root)[1]}
+    # a single partition directory still streams as a flat feed
+    flat = FleStreamReader({"path": os.path.join(root, "l_returnflag=A")})
+    frows, foff = flat.read(flat.initialOffset())
+    assert all("/" not in n for n in foff["names"])
 
 
 def test_reordered_read_schema_maps_by_position(tmp_path):

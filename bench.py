@@ -215,6 +215,15 @@ def main() -> None:
     wait_s = float(os.environ.get("SPARK_GRAFT_WEATHER_WAIT", "45"))
 
     def floor_probe() -> float:
+        # settle the JVM first: broadcast/shuffle debris from the
+        # warm-up is freed only after a collection notices it, and an
+        # un-GC'd heap has been measured to inflate back-to-back
+        # readings 5.5->42 s (tools/scale_check.py's _run)
+        import gc as _gc
+
+        _gc.collect()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         fb, _ = timed_best(
             lambda: spark.read.parquet(
                 os.path.join(sf_dir, "region.parquet")

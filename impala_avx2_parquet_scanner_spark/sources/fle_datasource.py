@@ -2917,9 +2917,20 @@ try:  # streaming half (Spark >= 4.0)
             #: contract compaction has: a planned-but-uncommitted
             #: batch can replay retired COMPACTION sources, but an
             #: expired leaf's bytes are deleted, not retired).
+            #: Re-probed at every micro-batch, not frozen here: a
+            #: stream started on an EMPTY root must notice col=value
+            #: leaves that appear later (a flat live feed keeps
+            #: probing None — the root holds `.fle` files, never
+            #: key directories).
             self.partitioned = (
                 discover_fledir_partitions(self.dir) is not None
             )
+
+        def _reprobe(self) -> None:
+            if not self.partitioned:
+                self.partitioned = (
+                    discover_fledir_partitions(self.dir) is not None
+                )
 
         def initialOffset(self) -> dict:
             return {"names": []}
@@ -2995,7 +3006,14 @@ try:  # streaming half (Spark >= 4.0)
                     return _decm.Decimal(int(v)).scaleb(-c.scale)
                 return int(v)
 
-            leaf_map = self._leaf_map() if self.partitioned else {}
+            # per-name "/" detection rather than the partitioned flag:
+            # a replay can carry leaf-qualified names even if the root
+            # probed flat at construction
+            leaf_map = (
+                self._leaf_map()
+                if any("/" in n for n in names)
+                else {}
+            )
             out = []
             for name in names:
                 p = os.path.join(self.dir, name)
@@ -3054,6 +3072,7 @@ try:  # streaming half (Spark >= 4.0)
                 return False
 
         def read(self, start: dict):
+            self._reprobe()
             seen = set(start.get("names", []))
             current = self._list_current()
             lineage = self._lineage_all()
@@ -3116,6 +3135,7 @@ try:  # streaming half (Spark >= 4.0)
             # applies the same lineage classification as read(): a
             # merged name whose sources are covered by the START offset
             # contributed zero rows to this batch.
+            self._reprobe()
             seen = set(start.get("names", []))
             lineage = self._lineage_all()
 

@@ -490,3 +490,38 @@ def test_spark_e2e_partitioned(spark, sf_dir):
     got = sorted(map(tuple, df.filter(cond).collect()))
     want = sorted(map(tuple, base.filter(cond).collect()))
     assert got == want and got
+
+
+def test_stream_empty_root_notices_partition_layout(tmp_path):
+    """A stream started on an EMPTY root must notice col=value leaves
+    that appear later (the partitioned probe is per-micro-batch, not
+    frozen at construction)."""
+    import pytest
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FLE_STREAM_API_AVAILABLE,
+        FleStreamReader,
+    )
+
+    if not FLE_STREAM_API_AVAILABLE:
+        pytest.skip("streaming DataSource requires Spark >= 4.0")
+    root = tmp_path / "late_root"
+    root.mkdir()
+    r = FleStreamReader({"path": os.fspath(root)})
+    rows0, off0 = r.read(r.initialOffset())
+    assert list(rows0) == [] and off0 == {"names": []}
+    # leaves arrive after the stream started
+    _write_partition(
+        root, "flag=A", [("q", np.array([1, 2], dtype=np.int64))]
+    )
+    _write_partition(
+        root, "flag=B", [("q", np.array([7], dtype=np.int64))]
+    )
+    rows1, off1 = r.read(off0)
+    got = sorted(map(tuple, rows1))
+    assert got == [(1, "A"), (2, "A"), (7, "B")]
+    assert all("/" in n for n in off1["names"])
+    # replay of the planned batch is bit-exact
+    assert sorted(
+        map(tuple, r.readBetweenOffsets(off0, off1))
+    ) == got

@@ -1719,6 +1719,75 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_SUM_META_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN l_orderkey % 7 <> 0 THEN 1 END) AS BIGINT)
+           AS n_qty,
+       CAST(SUM(CASE WHEN l_orderkey % 7 <> 0
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT)
+           AS sum_qty,
+       CAST(SUM(CASE WHEN l_orderkey % 7 <> 0
+                     THEN CAST(l_quantity AS BIGINT) END) AS DOUBLE)
+           / CAST(COUNT(CASE WHEN l_orderkey % 7 <> 0 THEN 1 END)
+                  AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) - 5) AS BIGINT)
+           AS sum_disc,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+"""
+
+
+@query(
+    "scan_fle_sum_meta",
+    oracle=_FLE_SUM_META_ORACLE,
+    tags=("scan", "encoding", "fle", "metadata"),
+)
+def scan_fle_sum_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only SUM/AVG on the FLE container (round 10): the
+    aggregate-from-metadata shortcut pushed PAST what parquet can do —
+    footers carry min/max/null-count (`aggregatePushdown` answers
+    MIN/MAX from them; the reference short-circuits count(*) from
+    row-group metadata, hdfs-parquet-scanner.cc:1377-1396), but no
+    footer keeps a SUM.  The container's writer folds one at commit
+    time DIRECTLY ON THE ENCODED PLANES (`plane_sum`: plane j
+    contributes popcount(plane_j ∧ valid)·2^j — the
+    aggregate-on-encoded-data theme of fle-encoding.h applied to
+    addition), so SUM and AVG = sum/n_valid are a driver-side manifest
+    read with zero segment bytes touched.  Three kinds exercise the
+    three arithmetic paths: a NULL-bearing int column (null lanes
+    masked out of every popcount), a SIGNED column through the offset
+    kind (value sum = code sum + base·n_valid), and a decimal(12,2)
+    (unscaled-integer sum, scale restored at read — exact, no float
+    drift).  The 8 segments are hash-scattered so no layout trick can
+    help; the DuckDB oracle recomputes all sums from the raw parquet
+    rows, certifying the manifest stats against the data."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_row_count,
+        fledir_sum,
+        materialize_fle_sum_dir,
+    )
+
+    path = materialize_fle_sum_dir(spark, sf_dir)
+    s = fledir_sum(path, ["qty", "disc", "price_dec"])
+    sum_qty, n_qty = s["qty"]
+    sum_disc, _ = s["disc"]
+    sum_dec, _ = s["price_dec"]
+    row = (
+        fledir_row_count(path),
+        n_qty,
+        int(sum_qty),
+        float(sum_qty) / float(n_qty),
+        int(sum_disc),
+        float(sum_dec),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows bigint, n_qty bigint, sum_qty bigint, avg_qty double, "
+        "sum_disc bigint, sum_price double",
+    )
+
+
 _FLE_ZORDER_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -287,6 +287,46 @@ def plane_min_max(
     return vmin, vmax
 
 
+def plane_sum(
+    planes: np.ndarray,
+    bit_width: int,
+    n: int,
+    validity: np.ndarray | None = None,
+) -> tuple[int, int] | None:
+    """(code_sum, n_valid) of the VALID lanes computed directly on the
+    plane words — no value is decoded (the aggregate-on-encoded-data
+    theme of fle-encoding.h applied to SUM): plane j holds bit j of
+    every lane, so the column's code sum is
+    Σ_j popcount(plane_j ∧ valid) · 2^j — O(bit_width) popcounts per
+    segment.  Accumulated in arbitrary-precision Python ints: a full
+    u64-wide million-row column's sum exceeds int64 and a float64
+    detour would silently round, so neither is used.  Returns None
+    when no lane is valid.  The fledir writer uses this for the
+    per-segment SUM stat its manifest carries (the aggregate-pushdown
+    analog of the footer min/max: parquet keeps no sum statistic, but
+    the reference's metadata count(*) shortcut,
+    hdfs-parquet-scanner.cc:1377-1396, generalizes to any aggregate
+    the writer can fold at encode time)."""
+    p = np.asarray(planes, dtype=_U64)
+    nb = p.shape[0]
+    cand = (
+        np.full(nb, _ALL_ONES, dtype=_U64)
+        if validity is None
+        else np.asarray(validity, dtype=_U64).copy()
+    )
+    rem = n % _BLOCK
+    if nb and rem:
+        cand[-1] &= (_U64(1) << _U64(rem)) - _U64(1)
+    if nb == 0 or not cand.any():
+        return None
+    total = 0
+    for j in range(bit_width):
+        c = popcount(p[:, j] & cand)
+        if c:
+            total += c << j
+    return total, popcount(cand)
+
+
 def pack_validity(valid: np.ndarray) -> np.ndarray:
     """Boolean validity vector → one uint64 word per 64-value block
     (bit i of word b = row 64b+i is non-NULL): the def-level words

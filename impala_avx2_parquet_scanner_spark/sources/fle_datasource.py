@@ -2394,6 +2394,7 @@ def segment_stats(seg: ParsedSegment) -> dict:
     footer-stats analog the reader's `partitions()` prunes files with."""
     from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
         plane_min_max,
+        plane_sum,
         popcount,
     )
 
@@ -2409,7 +2410,9 @@ def segment_stats(seg: ParsedSegment) -> dict:
             n_valid = popcount(v)
         has_null = n_valid < seg.n
         if n_valid == 0:
-            out[c.name] = {"min": None, "max": None, "has_null": has_null}
+            out[c.name] = {
+                "min": None, "max": None, "has_null": has_null, "nv": 0,
+            }
             continue
         if c.kind == _KIND_STR_PLAIN:
             # no code space: min/max read the raw byte-array section
@@ -2419,6 +2422,7 @@ def segment_stats(seg: ParsedSegment) -> dict:
             sub = vals[lv]
             out[c.name] = {
                 "min": min(sub), "max": max(sub), "has_null": has_null,
+                "nv": n_valid,
             }
             continue
         if c.kind == _KIND_DICT:
@@ -2456,7 +2460,23 @@ def segment_stats(seg: ParsedSegment) -> dict:
                 extra = {"t": "f64"}
             elif c.kind == _KIND_DEC:
                 extra = {"t": "dec", "s": c.scale}
-        out[c.name] = {"min": mn, "max": mx, "has_null": has_null, **extra}
+            if c.kind in (_KIND_INT, _KIND_OFFSET, _KIND_DEC):
+                # exact SUM folded on the planes (plane_sum — no
+                # decode, arbitrary-precision): value sum = code sum
+                # + base·n_valid for the offset kinds; decimals stay
+                # in unscaled-integer space (the `s` tag scales them
+                # back at read).  f64's sortable-bits codes are not
+                # additive and ts/date have no SQL SUM — neither
+                # carries the stat.
+                ps = plane_sum(
+                    c.planes, c.width, seg.n, validity=c.validity
+                )
+                if ps is not None:
+                    extra["sum"] = ps[0] + c.base * ps[1]
+        out[c.name] = {
+            "min": mn, "max": mx, "has_null": has_null, "nv": n_valid,
+            **extra,
+        }
     return out
 
 
@@ -3633,6 +3653,136 @@ def fledir_min_max(path: str, columns: list[str]) -> dict:
                     mx if cur_mx is None or mx > cur_mx else cur_mx,
                 )
     return agg
+
+
+def fledir_sum(path: str, columns: list[str]) -> dict:
+    """Metadata-only SUM over a committed fledir (flat or partitioned):
+    {column: (sum, n_valid)} folded from the manifest's per-segment
+    `sum`/`nv` stats with ZERO segment bytes read — the aggregate-
+    pushdown shortcut generalized past what parquet footers can answer
+    (footers keep min/max/null-count but no sum; the container's writer
+    folds it on the encoded planes at commit time, `plane_sum`).  With
+    `n_valid` alongside, AVG = sum / n_valid is exact too.  SQL
+    semantics: NULL lanes never contribute, an all-NULL segment adds
+    nothing, and a column with no valid lane anywhere answers
+    (None, 0) — SUM of the empty set is NULL.  Decimal columns come
+    back as exact `decimal.Decimal` via the manifest's scale tag;
+    integer sums are arbitrary-precision (a table-wide sum may exceed
+    int64 — callers cast deliberately).  Loud failures: a stats-less
+    legacy manifest entry, and a column whose kind carries no sum stat
+    (strings, dictionaries, doubles, timestamps) — answering from
+    metadata that does not exist would mean silently scanning."""
+    import decimal as _decm
+    import json as _json
+
+    part = discover_fledir_partitions(path)
+    roots = [leaf for _, leaf in part[1]] if part else [path]
+    agg: dict[str, list] = {c: [0, 0, False, None] for c in columns}
+    for root in roots:
+        entries = _manifest_entries(root)
+        if not entries and not os.path.exists(os.path.join(root, "_DONE")):
+            raise ValueError(f"fledir: {root} has no _DONE manifest")
+        for name, stats_json in entries:
+            if not stats_json:
+                raise ValueError(
+                    f"fledir: segment {name!r} has a stats-less manifest "
+                    "entry — metadata SUM needs the stats written at "
+                    "commit time"
+                )
+            st = _json.loads(stats_json)
+            for c in columns:
+                e = st.get(c)
+                if e is None:
+                    raise KeyError(
+                        f"fledir: column {c!r} missing from segment "
+                        f"{name!r} stats"
+                    )
+                nv = e.get("nv")
+                if nv == 0 or e["min"] is None:
+                    continue  # all-NULL segment: contributes nothing
+                if "sum" not in e or nv is None:
+                    raise ValueError(
+                        f"fledir: column {c!r} carries no sum stat in "
+                        f"segment {name!r} — either the kind is not "
+                        "summable (string/dict/double/temporal) or the "
+                        "manifest predates the sum stat (rewrite or "
+                        "compact the table to refresh it)"
+                    )
+                a = agg[c]
+                a[0] += int(e["sum"])
+                a[1] += int(nv)
+                a[2] = True
+                if e.get("t") == "dec":
+                    a[3] = int(e["s"])
+    out: dict[str, tuple] = {}
+    for c, (total, nv, seen, scale) in agg.items():
+        if not seen:
+            out[c] = (None, 0)
+        elif scale is not None:
+            out[c] = (_decm.Decimal(total).scaleb(-scale), nv)
+        else:
+            out[c] = (total, nv)
+    return out
+
+
+def materialize_fle_sum_dir(spark, sf_dir: str) -> str:
+    """Write-once: the metadata-SUM fixture — lineitem reduced to one
+    nullable int column (quantity, NULLed on every 7th orderkey so the
+    null-exclusion path is live), one SIGNED int column (the discount
+    recentered to −5..5, exercising the offset kind's base·n_valid
+    term), and one decimal(12,2) column (unscaled-integer sum +
+    scale-tag restore).  8 hash-scattered segments: nothing about the
+    layout helps the aggregate — the manifest alone must."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_sum_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("qty", pdf["qty"].to_numpy()),
+                ("disc", pdf["disc"].to_numpy().astype(np.int64)),
+                ("price_dec", pdf["price_dec"].to_numpy(), ("dec", 12, 2)),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.when(
+                F.col("l_orderkey") % 7 != 0,
+                F.col("l_quantity").cast("long"),
+            ).alias("qty"),
+            (
+                F.round(F.col("l_discount") * 100).cast("long") - F.lit(5)
+            ).alias("disc"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias(
+                "price_dec"
+            ),
+        )
+        .repartition(8)
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    return out
 
 
 def materialize_fle_partitioned_dir(spark, sf_dir: str) -> str:

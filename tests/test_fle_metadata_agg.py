@@ -198,3 +198,121 @@ def test_grouped_partition_counts_int_keys_typed(spark, tmp_path):
     keys2, rows2 = fledir_partition_row_counts(root2)
     df2 = partition_counts_df(spark, keys2, rows2)
     assert dict(df2.dtypes) == {"flag": "string", "n_rows": "bigint"}
+
+
+def test_plane_sum_exact_random_and_big_ints():
+    """plane_sum == numpy/python-int sum on random widths, with NULL
+    lanes excluded, and EXACT past float64 precision (2^62-scale
+    values whose float sum would round)."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        fle_pack,
+        pack_validity,
+        plane_sum,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _encode_int_column,
+    )
+
+    rng = np.random.default_rng(42)
+    for n in (1, 63, 64, 65, 1000):
+        vals = rng.integers(0, 1 << 20, size=n).astype(np.uint64)
+        valid = rng.random(n) > 0.3
+        if not valid.any():
+            valid[0] = True
+        codes, _, width, _ = _encode_int_column("x", vals.astype(np.int64))
+        planes, _n = fle_pack(codes, width)
+        got = plane_sum(planes, width, n, validity=pack_validity(valid))
+        assert got == (int(vals[valid].sum()), int(valid.sum()))
+    big = np.array([(1 << 62) + 1, (1 << 62) + 3, 5], dtype=np.uint64)
+    codes, _, width, _ = _encode_int_column("x", big.astype(object))
+    planes, _n = fle_pack(codes, width)
+    got = plane_sum(planes, width, 3)
+    assert got == ((1 << 63) + 9, 3)  # exceeds int64; float64 would round
+    # no valid lane → None
+    assert plane_sum(planes, width, 3,
+                     validity=pack_validity(np.zeros(3, bool))) is None
+
+
+def test_fledir_sum_typed_null_and_signed_paths(spark, tmp_path):
+    import decimal as decm
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_sum,
+    )
+
+    seg_a = [
+        ("q", np.array([5.0, np.nan, 9.0])),              # int + NULL
+        ("d", np.array([-7, 3, -1], dtype=np.int64)),     # signed offset
+        ("m", np.array([decm.Decimal("1.25"),
+                        decm.Decimal("-3.50"),
+                        decm.Decimal("0.75")], dtype=object),
+         ("dec", 12, 2)),
+        ("s", np.array(["aa", "bb", "cc"], dtype=object)),
+    ]
+    seg_b = [
+        ("q", np.array([None, None, None], dtype=object)),  # all NULL
+        ("d", np.array([10, -20, 4], dtype=np.int64)),
+        ("m", np.array([decm.Decimal("9.99"), None,
+                        decm.Decimal("-0.01")], dtype=object),
+         ("dec", 12, 2)),
+        ("s", np.array(["x", "y", None], dtype=object)),
+    ]
+    path = _write_dir(spark, str(tmp_path / "sum"), [seg_a, seg_b])
+    got = fledir_sum(path, ["q", "d", "m"])
+    assert got["q"] == (14, 2)          # all-NULL segment adds nothing
+    assert got["d"] == (-11, 6)         # base·n_valid term exercised
+    assert got["m"] == (decm.Decimal("8.48"), 5)
+    assert isinstance(got["m"][0], decm.Decimal)
+    # string column carries no sum stat → loud, not silent scan
+    with pytest.raises(ValueError, match="no sum stat"):
+        fledir_sum(path, ["s"])
+    # all-NULL everywhere → SQL NULL
+    allnull = _write_dir(
+        spark, str(tmp_path / "sum_null"),
+        [[("q", np.array([None, None], dtype=object))]],
+    )
+    assert fledir_sum(allnull, ["q"]) == {"q": (None, 0)}
+
+
+def test_fledir_sum_partitioned_root_and_legacy_manifest(spark, tmp_path):
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_sum,
+    )
+
+    root = str(tmp_path / "sum_part")
+    for key, lo in (("A", 100), ("R", 5)):
+        _write_dir(
+            spark,
+            os.path.join(root, f"flag={key}"),
+            [[("q", np.arange(lo, lo + 10, dtype=np.int64))]],
+        )
+    assert fledir_sum(root, ["q"]) == {"q": (sum(range(100, 110))
+                                             + sum(range(5, 15)), 20)}
+    flat = str(tmp_path / "sum_legacy")
+    _write_dir(spark, flat, [[("q", np.array([1, 2], dtype=np.int64))]])
+    done = os.path.join(flat, "_DONE")
+    with open(done) as fh:
+        names = [ln.split("\t")[0] for ln in fh.read().splitlines() if ln]
+    with open(done, "w") as fh:
+        fh.write("\n".join(names))
+    with pytest.raises(ValueError, match="stats-less"):
+        fledir_sum(flat, ["q"])
+
+
+def test_segment_stats_carry_nv_on_every_kind(spark, tmp_path):
+    """nv (non-null lane count — the parquet footer null-count analog)
+    rides every column's manifest entry, typed and string kinds alike."""
+    import json
+
+    seg = [
+        ("q", np.array([1.0, np.nan, 3.0])),
+        ("s", np.array(["a", None, "c"], dtype=object)),
+        ("p", np.array([1.5, 2.5, np.nan]), "f64_nan_null"),
+    ]
+    path = _write_dir(spark, str(tmp_path / "nv"), [seg])
+    with open(os.path.join(path, "_DONE")) as fh:
+        stats = json.loads(fh.read().splitlines()[0].split("\t", 1)[1])
+    assert stats["q"]["nv"] == 2 and stats["s"]["nv"] == 2
+    assert stats["p"]["nv"] == 2
+    assert stats["q"]["sum"] == 4
+    assert "sum" not in stats["p"]  # sortable-bits doubles: not additive

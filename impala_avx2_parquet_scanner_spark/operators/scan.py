@@ -1719,6 +1719,66 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_BLOOM_ORACLE = """
+SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+       MD5(CAST(CAST(l_orderkey * 10 + l_linenumber AS BIGINT)
+                AS VARCHAR)) AS fp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey * 10 + l_linenumber = 13
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "scan_fle_bloom_lookup",
+    oracle=_FLE_BLOOM_ORACLE,
+    tags=("scan", "encoding", "fle", "datasource", "pushdown", "layout"),
+)
+def scan_fle_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-SIDECAR POINT LOOKUP on the FLE container (round 10): the
+    reference probes a per-slot bitmap filter BY HASH inside the scan
+    and skips rows it refutes (hdfs-parquet-scanner.cc:235-246,
+    464-470; CrcHash / MurmurHash2_64 at hash-util.h:44-95) — here the
+    same probe is made durable AT REST.  The fixture hash-scatters a
+    high-cardinality row id across 8 segments, so every segment's
+    manifest min/max spans nearly the whole id domain and the stats
+    tier prunes NOTHING — the needle-in-haystack shape every id
+    column has after a shuffle, and at 100 TB the difference between
+    touching one segment and all of them.  Each segment instead
+    carries an opt-in `seg.fle.bf` sidecar (writer option
+    ``bloomcols``) with a per-column bloom filter; the executor task
+    probes it BEFORE the segment's first byte is read and skips
+    refuted files outright.  Both hash domains run: the int id
+    (splitmix64 over value space) and its md5 fingerprint string
+    (CRC32-pair), as a conjunctive eq pair — either bloom alone
+    suffices to skip.  Fail-open by construction: a missing sidecar
+    or a mistyped literal just falls back to the exact kernels, so
+    the oracle (DuckDB replaying the lookup on the raw rows) is
+    certifying a pure optimization, never a semantic."""
+    import hashlib as _hashlib
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_bloom_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_bloom_dir(spark, sf_dir)
+    register_fledir(spark)
+    fp13 = _hashlib.md5(b"13").hexdigest()
+    df = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .filter((F.col("rid") == 13) & (F.col("fp") == fp13))
+    )
+    return df.groupBy("rid", "fp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").alias("sum_qty"),
+    )
+
+
 _FLE_SUM_META_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(CASE WHEN l_orderkey % 7 <> 0 THEN 1 END) AS BIGINT)

@@ -2257,8 +2257,27 @@ class FleDirReader(DataSourceReader):
         pcols = self.partitioned[0] if self.partitioned else []
         pvals = getattr(partition, "part_values", None) or []
         pspans = getattr(partition, "spans", None) or []
+        # pushed eq/in conjuncts eligible for the bloom-sidecar probe
+        # (the reference's hash bitmap-filter probe at rest,
+        # hdfs-parquet-scanner.cc:235-246): a refuted segment is
+        # skipped before its FIRST byte is read.  eqns with a non-NULL
+        # literal is an eq for this purpose; NULL elements of an IN
+        # list can never match and drop out of the probe.
+        bloom_conj = [
+            (col, [v] if op in ("eq", "eqns") else
+             [x for x in v if x is not None])
+            for col, op, v in self.pushed
+            if (op in ("eq", "eqns") and v is not None) or op == "in"
+        ]
+        bloom_conj = [(c, vs) for c, vs in bloom_conj if vs]
         for idx, path in enumerate(partition.paths):
             span = pspans[idx] if idx < len(pspans) else None
+            if bloom_conj:
+                bfp = path + ".bf"
+                if os.path.exists(bfp) and bloom_sidecar_refutes(
+                    bfp, bloom_conj
+                ):
+                    continue  # proven pointless: zero segment bytes
             with open(path, "rb") as fh:
                 payload = fh.read()
             # parse ONCE: the same parsed sections feed both the kernel
@@ -2480,12 +2499,211 @@ def segment_stats(seg: ParsedSegment) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter sidecars: the reference's hash bitmap-filter probe
+# (hdfs-parquet-scanner.cc:235-246 probes a per-slot bitmap BY HASH during
+# the scan; hash-util.h:44-65/72-95 supplies CrcHash and MurmurHash2_64)
+# made real AT REST.  min/max stats cannot prune a point lookup on a
+# hash-scattered high-cardinality column — every segment's interval spans
+# the domain — so an opt-in per-segment sidecar (`seg_N.fle.bf`) carries a
+# bloom filter per requested column and the reader probes it BEFORE the
+# segment's first byte is read.  The probe runs on the EXECUTOR inside the
+# task that owns the file (the scalable choice: a driver-side probe of
+# 100k sidecars would serialize the lookup the way a driver-side listdir
+# serializes vacuum), so scheduling is unchanged and only IO is saved —
+# the same position the reference's adaptive filter occupies in its scan.
+
+_BF_MAGIC = b"FBF1"
+_BF_K = 4  # probes per value; with m/n=10 bits/value FPR ≈ 1.2%
+_BF_BITS_PER_VALUE = 10
+_BF_MAX_BITS = 1 << 23  # 1 MiB cap per column block
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit finalizer mix (splitmix64) — the stand-in for
+    the reference's MurmurHash2_64 (hash-util.h:72-95): same role (a
+    cheap avalanche over a 64-bit lane), numpy-wrapping arithmetic."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash64_bytes(values: "list[bytes]") -> np.ndarray:
+    """Byte strings → 64-bit hashes: a CRC32 pair (two seeds) packed to
+    64 bits — CrcHash is the reference's string hash (hash-util.h:
+    44-65) — then decorrelated through the splitmix finalizer (CRC is
+    linear; the k derived probe positions must not be)."""
+    import zlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, b in enumerate(values):
+        c1 = zlib.crc32(b)
+        c2 = zlib.crc32(b, 0x9E3779B9)
+        out[i] = (c1 << 32) | c2
+    return _splitmix64(out)
+
+
+def _bloom_words(h: np.ndarray, m: int) -> np.ndarray:
+    """Hashes → bloom bitmap (m bits, m a power of two) as u64 words.
+    Double hashing: probe i sits at (h1 + i·h2) mod m with h2 forced
+    odd — build and probe agree because m divides 2^64, so numpy's
+    wrapping add and Python's exact add produce the same low bits."""
+    words = np.zeros(m // 64, dtype=np.uint64)
+    if h.size == 0:
+        return words
+    h1 = h & np.uint64(m - 1)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    for i in range(_BF_K):
+        pos = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+        np.bitwise_or.at(
+            words,
+            (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return words
+
+
+def _bloom_maybe(words: np.ndarray, m: int, h: int,
+                 k: int = _BF_K) -> bool:
+    """True unless some probe bit is clear (definite absence)."""
+    h1 = int(h) & (m - 1)
+    h2 = ((int(h) >> 32) | 1)
+    for i in range(k):
+        pos = (h1 + i * h2) & (m - 1)
+        if not (int(words[pos >> 6]) >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def build_segment_blooms(seg: ParsedSegment, cols: list[str]) -> bytes:
+    """Sidecar payload for one segment: magic + u32 header length +
+    JSON header {cols: {name: {ht, m, k, off, len}}} + concatenated
+    bitmap blocks.  Hash domains: value-space int64 for the plane
+    kinds (int / signed offset), utf-8 bytes for strings — dictionary
+    columns hash their (distinct, already materialized) dictionary
+    entries, plain strings their distinct values.  Sized at
+    ~10 bits/distinct value (power of two, 1 MiB cap).  An all-NULL
+    column writes an empty bloom: every probe then refutes, which is
+    correct — eq never matches NULL."""
+    import json as _json
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_codec import (
+        fle_unpack,
+    )
+
+    blocks: list[bytes] = []
+    hdr: dict[str, dict] = {}
+    off = 0
+    for colname in cols:
+        c = seg.column(colname)  # KeyError is the loud failure
+        if c.kind == _KIND_DICT:
+            h = _hash64_bytes([str(d).encode() for d in c.dictionary])
+            ht = "str"
+        elif c.kind == _KIND_STR_PLAIN:
+            vals = _plain_str_values(c, seg.n)
+            lv = _lane_validity(c, seg.n)
+            h = _hash64_bytes(
+                [str(s).encode() for s in np.unique(vals[lv])]
+            )
+            ht = "str"
+        elif c.kind in (_KIND_INT, _KIND_OFFSET):
+            codes = fle_unpack(c.planes, c.width, seg.n)
+            lv = _lane_validity(c, seg.n)
+            v = codes[lv].astype(np.int64) + np.int64(c.base)
+            h = _splitmix64(np.unique(v).astype(np.uint64))
+            ht = "i64"
+        else:
+            raise ValueError(
+                f"fledir: bloomcols column {colname!r} has kind "
+                f"{c.kind} — blooms support int, signed offset, "
+                "dictionary and plain-string columns (point lookups "
+                "on doubles/temporals/booleans are not a bloom shape)"
+            )
+        n = max(int(h.size), 1)
+        m = 64
+        while m < n * _BF_BITS_PER_VALUE and m < _BF_MAX_BITS:
+            m <<= 1
+        b = _bloom_words(h, m).tobytes()
+        hdr[colname] = {
+            "ht": ht, "m": m, "k": _BF_K, "off": off, "len": len(b),
+        }
+        off += len(b)
+        blocks.append(b)
+    hj = _json.dumps({"cols": hdr}, sort_keys=True).encode()
+    return _BF_MAGIC + struct.pack("<I", len(hj)) + hj + b"".join(blocks)
+
+
+def bloom_sidecar_refutes(
+    bf_path: str, conjuncts: "list[tuple[str, list]]"
+) -> bool:
+    """True when the sidecar PROVES some pushed conjunct matches no row
+    of the segment (every literal of an eq/in conjunct absent from its
+    column's bloom) — the caller then skips the segment without reading
+    its first byte.  Only the probed columns' blocks are read (seek on
+    the header offsets), so the cost is a few KB however wide the
+    sidecar.  Fail-open everywhere: a missing/garbled sidecar, an
+    unknown column, or a literal whose type does not match the hash
+    domain simply declines to skip — the kernels still evaluate the
+    conjunct exactly."""
+    import json as _json
+
+    try:
+        with open(bf_path, "rb") as fh:
+            if fh.read(4) != _BF_MAGIC:
+                return False
+            (hl,) = struct.unpack("<I", fh.read(4))
+            hdr = _json.loads(fh.read(hl))["cols"]
+            base = 8 + hl
+            for col, vals in conjuncts:
+                e = hdr.get(col)
+                if e is None:
+                    continue
+                hs: list[int] = []
+                typed_ok = True
+                for v in vals:
+                    if (
+                        e["ht"] == "i64"
+                        and isinstance(v, int)
+                        and not isinstance(v, bool)
+                        and -(1 << 63) <= v < (1 << 63)
+                    ):
+                        hs.append(int(_splitmix64(
+                            np.array([v], dtype=np.int64).astype(np.uint64)
+                        )[0]))
+                    elif e["ht"] == "str" and isinstance(v, str):
+                        hs.append(int(_hash64_bytes([v.encode()])[0]))
+                    else:
+                        typed_ok = False
+                        break
+                if not typed_ok or not hs:
+                    continue
+                fh.seek(base + int(e["off"]))
+                words = np.frombuffer(
+                    fh.read(int(e["len"])), dtype=np.uint64
+                )
+                if int(e["len"]) != int(e["m"]) // 8 or words.size == 0:
+                    continue  # truncated block: fail open
+                if not any(
+                    _bloom_maybe(words, int(e["m"]), h, int(e["k"]))
+                    for h in hs
+                ):
+                    return True
+    except (OSError, ValueError, KeyError):
+        return False
+    return False
+
+
 class _FleCommit(WriterCommitMessage):
     def __init__(self, files: list[str], stats: list[str],
-                 tmps: "list[str] | None" = None):
+                 tmps: "list[str] | None" = None,
+                 bfs: "list[tuple[str, str]] | None" = None):
         self.files = files
         self.stats = stats
         self.tmps = tmps or []
+        #: (final sidecar name, temp sidecar name) pairs
+        self.bfs = bfs or []
 
 
 def _clear_segments(path: str) -> None:
@@ -2642,6 +2860,16 @@ class FleDirWriter(DataSourceWriter):
         self.retire_names: set[str] = (
             set(_json.loads(raw)) if raw else set()
         )
+        #: opt-in bloom sidecars (option bloomcols=a,b): each task
+        #: writes `seg_N.fle.bf` next to its segment so point lookups
+        #: on hash-scattered high-cardinality columns can skip whole
+        #: files before the first byte — the reference's hash
+        #: bitmap-filter probe (hdfs-parquet-scanner.cc:235-246) at
+        #: rest.  Compaction output drops them (its writer does not
+        #: pass the option) — re-request on the compacted table.
+        self.bloom_cols: list[str] = [
+            c for c in (options.get("bloomcols") or "").split(",") if c
+        ]
         if self.retire_names and overwrite:
             raise ValueError(
                 "fledir: retirenames is an append-mode contract "
@@ -2657,6 +2885,7 @@ class FleDirWriter(DataSourceWriter):
         written: list[str] = []
         tmps: list[str] = []
         stats: list[str] = []
+        bfs: list[tuple[str, str]] = []
         for row in rows:
             name = f"seg_{row.seg_id}.fle"
             tmp = f"{name}.tmp-{token}"
@@ -2669,6 +2898,19 @@ class FleDirWriter(DataSourceWriter):
             # (no decode) — carried to the manifest at commit
             seg = parse_segment(payload)
             entry = segment_stats(seg)
+            if self.bloom_cols:
+                # bloom sidecar under a temp name (same invisibility
+                # contract as the segment itself); the manifest entry
+                # tags each bloomed column so readers of OTHER sites
+                # can see the capability without listing sidecars
+                bf_name = f"{name}.bf"
+                bf_tmp = f"{bf_name}.tmp-{token}"
+                blob = build_segment_blooms(seg, self.bloom_cols)
+                with open(os.path.join(self.dir, bf_tmp), "wb") as fh:
+                    fh.write(blob)
+                bfs.append((bf_name, bf_tmp))
+                for c in self.bloom_cols:
+                    entry[c]["bf"] = True
             # manifest row count (the parquet footer num_rows analog):
             # lets count(*) answer from the manifest alone, zero
             # segment bytes read (hdfs-parquet-scanner.cc:1377-1396's
@@ -2677,7 +2919,7 @@ class FleDirWriter(DataSourceWriter):
             # the key is reserved here at write time.
             entry["__rows__"] = seg.n
             stats.append(_json.dumps(entry))
-        return _FleCommit(written, stats, tmps)
+        return _FleCommit(written, stats, tmps, bfs)
 
     def commit(self, messages):
         previous = _manifest_entries(self.dir)
@@ -2720,14 +2962,39 @@ class FleDirWriter(DataSourceWriter):
                     ))
                 os.replace(tmp_l, final)
         new_entries: list[tuple[str, str]] = []
+        written_bf = {
+            bf
+            for m in messages
+            for bf, _ in (getattr(m, "bfs", None) or ())
+        }
         for m in messages:
             tmps = getattr(m, "tmps", None) or m.files
             stats = getattr(m, "stats", [""] * len(m.files))
+            # bloom sidecars become visible BEFORE their segments: a
+            # manifest entry tagged bf must never find the sidecar
+            # missing (the probe fails open, but the invariant keeps
+            # the capability deterministic)
+            for bf_name, bf_tmp in getattr(m, "bfs", None) or ():
+                os.replace(
+                    os.path.join(self.dir, bf_tmp),
+                    os.path.join(self.dir, bf_name),
+                )
             for name, tmp, s in zip(m.files, tmps, stats):
                 os.replace(
                     os.path.join(self.dir, tmp),
                     os.path.join(self.dir, name),
                 )
+                if name + ".bf" not in written_bf:
+                    # a reused segment name must never inherit an
+                    # older generation's sidecar: a stale bloom would
+                    # wrongly refute values present in the NEW bytes
+                    # (silent row loss) — evict it with the rename
+                    try:
+                        os.remove(
+                            os.path.join(self.dir, name + ".bf")
+                        )
+                    except OSError:
+                        pass
                 new_entries.append((name, s))
         new_names = {n for n, _ in new_entries}
         if not self.overwrite:
@@ -2766,8 +3033,10 @@ class FleDirWriter(DataSourceWriter):
             keep = {n for n, _ in entries}
             for f in os.listdir(self.dir):
                 if (
-                    f.endswith(".fle") and f not in keep
-                ) or f.endswith(".retired"):
+                    (f.endswith(".fle") and f not in keep)
+                    or f.endswith(".retired")
+                    or (f.endswith(".fle.bf") and f[:-3] not in keep)
+                ):
                     try:
                         os.remove(os.path.join(self.dir, f))
                     except OSError:
@@ -2786,6 +3055,13 @@ class FleDirWriter(DataSourceWriter):
                         os.replace(src, src + ".retired")
                     except OSError:
                         pass
+                # the sidecar dies with the retirement: stream replay
+                # of a retired segment reads it by exact name and
+                # never consults blooms
+                try:
+                    os.remove(src + ".bf")
+                except OSError:
+                    pass
 
     def abort(self, messages):
         for m in messages:
@@ -2794,6 +3070,11 @@ class FleDirWriter(DataSourceWriter):
             for f in getattr(m, "tmps", None) or m.files:
                 try:
                     os.remove(os.path.join(self.dir, f))
+                except OSError:
+                    pass
+            for _bf_name, bf_tmp in getattr(m, "bfs", None) or ():
+                try:
+                    os.remove(os.path.join(self.dir, bf_tmp))
                 except OSError:
                     pass
 
@@ -3780,6 +4061,67 @@ def materialize_fle_sum_dir(spark, sf_dir: str) -> str:
         .write.format("fledir")
         .mode("overwrite")
         .option("path", out)
+        .save()
+    )
+    return out
+
+
+def materialize_fle_bloom_dir(spark, sf_dir: str) -> str:
+    """Write-once: the bloom point-lookup fixture — lineitem keyed by a
+    synthetic high-cardinality row id (``rid = l_orderkey·10 +
+    l_linenumber``) plus its md5 fingerprint string, HASH-SCATTERED
+    into 8 segments so every segment's min/max interval spans nearly
+    the whole domain (stats pruning is provably useless — the layout a
+    real id column has after any shuffle).  Written with
+    ``bloomcols=rid,fp`` so each segment carries a bloom sidecar for
+    the int id (splitmix-hashed value space) and the plain-string
+    fingerprint (CRC-pair hashed), the two hash domains of
+    hash-util.h:44-95."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_bloom_assets")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("rid", pdf["rid"].to_numpy().astype(np.int64)),
+                ("fp", pdf["fp"].to_numpy(), "str_plain"),
+                ("qty", pdf["qty"].to_numpy().astype(np.int64)),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long").alias("rid"),
+            F.md5(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                .cast("long").cast("string")
+            ).alias("fp"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .repartition(8, "rid")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .option("bloomcols", "rid,fp")
         .save()
     )
     return out

@@ -132,7 +132,9 @@ def test_plain_manifest_stats_prune_files(tmp_path):
         stats = [
             json.loads(ln.split("\t", 1)[1]) for ln in fh.read().splitlines()
         ]
-    assert stats[0]["s"] == {"min": "aa", "max": "ab", "has_null": False}
+    assert stats[0]["s"] == {
+        "min": "aa", "max": "ab", "has_null": False, "nv": 2,
+    }
     assert stats[1]["s"]["min"] == "zy"
     r = FleDirReader({"path": d})
     r.pushed = [("q", "ge", 5)]

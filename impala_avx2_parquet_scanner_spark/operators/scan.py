@@ -1719,6 +1719,80 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_TIME_TRAVEL_ORACLE = """
+SELECT 'g1' AS epoch, l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'current' AS epoch, l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_time_travel",
+    oracle=_FLE_TIME_TRAVEL_ORACLE,
+    tags=("scan", "encoding", "fle", "maintenance", "metadata"),
+)
+def scan_fle_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATIONAL SNAPSHOTS / TIME TRAVEL on the FLE container
+    (round 10): every commit copies the manifest it sealed into
+    `_history/<gen>.manifest`, and `option("generation", N)` reads the
+    table AS OF that commit — resolving names that compaction has
+    since merged away through their `.retired` files, the same
+    retire-then-vacuum split that already protects checkpointed stream
+    replay (the Delta/Iceberg remove-action + VACUUM model grafted
+    onto the reference's per-partition descriptor scoping,
+    descriptors.h:178-262: each directory owns its own timeline).  The
+    fixture commits three generations — pre-1997 rows (overwrite),
+    the 1997+ rows (append), then an in-place compaction — and the
+    query reads generation 1 AND the current table through the same
+    DataSource, tagging each epoch.  The DuckDB oracle recomputes both
+    epochs from the raw parquet rows: a snapshot leaking post-append
+    rows, or a compaction losing any, flips whole groups.  Snapshot
+    expiry is vacuum's job (`expire_fledir_snapshots`): after retired
+    files are reclaimed the timeline drops the generations they were
+    keeping readable, and an expired read fails loudly, never
+    partially."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_history_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_history_dir(spark, sf_dir)
+    register_fledir(spark)
+    g1 = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .option("generation", 1)
+        .load()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(F.lit("g1").alias("epoch"), "*")
+    )
+    cur = (
+        spark.read.format("fledir")
+        .option("path", path)
+        .load()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(F.lit("current").alias("epoch"), "*")
+    )
+    return g1.unionByName(cur)
+
+
 _FLE_BLOOM_ORACLE = """
 SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
        MD5(CAST(CAST(l_orderkey * 10 + l_linenumber AS BIGINT)

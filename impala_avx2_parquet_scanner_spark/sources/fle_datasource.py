@@ -1332,6 +1332,24 @@ class FleDirReader(DataSourceReader):
         #: never reach the segment kernels.
         self.partitioned = discover_fledir_partitions(self.dir)
         self._coerce_partition_types()
+        #: TIME TRAVEL (option generation=N): read the table AS OF a
+        #: committed generation from its `_history/N.manifest`
+        #: snapshot, resolving merged-away names through their
+        #: `.retired` files until vacuum expires the snapshot.  Flat
+        #: directories only: a partitioned root's leaves each own an
+        #: uncoordinated per-directory timeline (the per-partition
+        #: descriptor model, descriptors.h:178-262), so a root-level
+        #: generation number would silently mix epochs.
+        gen_opt = options.get("generation")
+        self.generation: "int | None" = (
+            int(gen_opt) if gen_opt is not None else None
+        )
+        if self.generation is not None and self.partitioned is not None:
+            raise ValueError(
+                "fledir: generation reads address ONE directory's "
+                "timeline — point the path at a leaf, not a "
+                "partitioned root"
+            )
         #: OPT-IN schema evolution (option schemaEvolution=true): a
         #: read-schema column absent from EVERY committed segment
         #: materializes as typed NULLs — the reference's missing-column
@@ -2146,7 +2164,19 @@ class FleDirReader(DataSourceReader):
         treating it as a sizing hint, not a truth."""
         import json as _json
 
-        done = os.path.join(dirpath, "_DONE")
+        if getattr(self, "generation", None) is not None:
+            done = os.path.join(
+                dirpath, _HISTORY_DIR, f"{self.generation}.manifest"
+            )
+            if not os.path.exists(done):
+                gens = _history_generations(dirpath)
+                raise ValueError(
+                    f"fledir: generation {self.generation} has no "
+                    f"snapshot in {dirpath} — committed generations: "
+                    f"{gens or 'none (table predates history)'}"
+                )
+        else:
+            done = os.path.join(dirpath, "_DONE")
         if not os.path.exists(done):
             raise ValueError(f"fledir: {dirpath} has no _DONE manifest")
         files: list[tuple[str, int]] = []
@@ -2166,6 +2196,23 @@ class FleDirReader(DataSourceReader):
                         rows = int(stats.get("__rows__") or 0)
                         if self.pushed and self._stats_refute(stats):
                             continue  # whole file pruned: never opened
+                if getattr(self, "generation", None) is not None:
+                    # snapshot name → surviving bytes: the live file if
+                    # the name is still current, else its .retired
+                    # twin (compaction retires, never deletes, until
+                    # vacuum).  A name with neither means vacuum
+                    # expired this snapshot — fail loudly, a partial
+                    # generation is not a generation.
+                    live = os.path.join(dirpath, name)
+                    if not os.path.exists(live):
+                        if os.path.exists(live + ".retired"):
+                            name += ".retired"
+                        else:
+                            raise ValueError(
+                                f"fledir: generation {self.generation}"
+                                f" expired — segment {name} was "
+                                "vacuumed after its retirement"
+                            )
                 files.append((name, rows))
         return files
 
@@ -2718,10 +2765,18 @@ def _clear_segments(path: str) -> None:
         if (
             f.endswith(".fle") or f == "_DONE" or ".fle.tmp-" in f
             or f.endswith(".retired")
+            or f.endswith(".bf") or ".fle.bf.tmp-" in f
             or f in (_LINEAGE_NAME, _LINEAGE_NAME + ".pending")
         ):
             try:
                 os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+    hist = os.path.join(path, _HISTORY_DIR)
+    if os.path.isdir(hist):
+        for f in os.listdir(hist):
+            try:
+                os.remove(os.path.join(hist, f))
             except OSError:
                 pass
 
@@ -2733,6 +2788,33 @@ def _clear_segments(path: str) -> None:
 #: duplicate-delivery hazard of rewriting files under a checkpointed
 #: file-name-set offset — the same problem Delta's remove-actions solve)
 _LINEAGE_NAME = "_LINEAGE"
+
+#: generational snapshot manifests: every commit copies the manifest it
+#: sealed into `_history/<gen>.manifest`, so a reader can ask for the
+#: table AS OF any committed generation (option generation=N) for as
+#: long as that generation's segments survive — compaction RETIRES its
+#: sources rather than deleting them, so the pre-compaction snapshot
+#: stays bit-readable until `vacuum_fledir` reclaims the space and
+#: expires the snapshot (the Delta/Iceberg time-travel split: remove
+#: actions keep history readable, VACUUM bounds it).  The same
+#: per-partition descriptor model that scopes manifests scopes history:
+#: each directory owns its own timeline (descriptors.h:178-262).
+_HISTORY_DIR = "_history"
+
+
+def _history_generations(dirpath: str) -> list[int]:
+    """Committed generation numbers of one directory, ascending."""
+    hist = os.path.join(dirpath, _HISTORY_DIR)
+    if not os.path.isdir(hist):
+        return []
+    out = []
+    for f in os.listdir(hist):
+        if f.endswith(".manifest"):
+            try:
+                out.append(int(f[: -len(".manifest")]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def _lineage_covered(
@@ -3008,11 +3090,37 @@ class FleDirWriter(DataSourceWriter):
         entries = sorted(new_entries)
         done = os.path.join(self.dir, "_DONE")
         tmp_done = done + ".tmp"
+        manifest_text = "\n".join(
+            f"{name}\t{s}" if s else name for name, s in entries
+        )
         with open(tmp_done, "w") as fh:
-            fh.write("\n".join(
-                f"{name}\t{s}" if s else name for name, s in entries
-            ))
+            fh.write(manifest_text)
         os.replace(tmp_done, done)  # atomic manifest swap
+        # generational snapshot: copy the manifest this commit sealed
+        # into _history/<gen>.manifest AFTER the swap (a crash between
+        # the two leaves the newest generation un-snapshotted — time
+        # travel to it unavailable, current reads untouched; the
+        # reverse order could record a generation that never became
+        # current).  An overwrite REPLACES the table's rows and is
+        # about to delete every prior segment, so its timeline
+        # restarts at generation 1 with prior snapshots cleared.
+        hist = os.path.join(self.dir, _HISTORY_DIR)
+        if self.overwrite and os.path.isdir(hist):
+            for f in os.listdir(hist):
+                try:
+                    os.remove(os.path.join(hist, f))
+                except OSError:
+                    pass
+        if self.overwrite:
+            gen = 1
+        else:
+            gens = _history_generations(self.dir)
+            gen = (gens[-1] + 1) if gens else 1
+        os.makedirs(hist, exist_ok=True)
+        htmp = os.path.join(hist, f"{gen}.manifest.tmp")
+        with open(htmp, "w") as fh:
+            fh.write(manifest_text)
+        os.replace(htmp, os.path.join(hist, f"{gen}.manifest"))
         if self.overwrite:
             # a plain overwrite REPLACES the table's rows, so both the
             # lineage sidecar AND a crashed compaction's stale pending
@@ -4006,6 +4114,67 @@ def fledir_sum(path: str, columns: list[str]) -> dict:
     return out
 
 
+def fledir_history(path: str) -> list[tuple]:
+    """The commit timeline of ONE fledir directory:
+    [(generation, n_segments, n_rows, readable), ...] ascending, folded
+    from the `_history/` snapshot manifests alone (zero segment bytes;
+    row counts from each snapshot's `__rows__` stats).  `readable`
+    reports whether a generation read would succeed TODAY: every
+    snapshot name still live or `.retired` — vacuum expires snapshots
+    by reclaiming retired segments.  Deliberately carries no wall-clock
+    timestamps: commit time is nondeterministic machine state, and the
+    table's history must hash identically across reruns (pass
+    timestamps through your own audit columns if you need them)."""
+    import json as _json
+
+    hist = os.path.join(path, _HISTORY_DIR)
+    out: list[tuple] = []
+    for gen in _history_generations(path):
+        n_segs = 0
+        n_rows = 0
+        readable = True
+        with open(os.path.join(hist, f"{gen}.manifest")) as fh:
+            for ln in fh.read().splitlines():
+                if not ln:
+                    continue
+                name, _, stats_json = ln.partition("\t")
+                n_segs += 1
+                if stats_json:
+                    try:
+                        n_rows += int(
+                            _json.loads(stats_json).get("__rows__") or 0
+                        )
+                    except ValueError:
+                        pass
+                live = os.path.join(path, name)
+                if not (
+                    os.path.exists(live)
+                    or os.path.exists(live + ".retired")
+                ):
+                    readable = False
+        out.append((gen, n_segs, n_rows, readable))
+    return out
+
+
+def expire_fledir_snapshots(path: str) -> dict:
+    """Drop every `_history/` snapshot that is no longer fully readable
+    (some segment neither live nor retired) — the bookkeeping half of
+    snapshot expiry; `vacuum_fledir` calls this after reclaiming
+    retired files so the timeline never advertises generations a read
+    would fail on.  The CURRENT generation is always readable (its
+    manifest IS `_DONE`) and is never dropped."""
+    hist = os.path.join(path, _HISTORY_DIR)
+    dropped: list[int] = []
+    for gen, _segs, _rows, readable in fledir_history(path):
+        if not readable:
+            try:
+                os.remove(os.path.join(hist, f"{gen}.manifest"))
+                dropped.append(gen)
+            except OSError:
+                pass
+    return {"path": path, "snapshots_dropped": dropped}
+
+
 def materialize_fle_sum_dir(spark, sf_dir: str) -> str:
     """Write-once: the metadata-SUM fixture — lineitem reduced to one
     nullable int column (quantity, NULLed on every 7th orderkey so the
@@ -4124,6 +4293,85 @@ def materialize_fle_bloom_dir(spark, sf_dir: str) -> str:
         .option("bloomcols", "rid,fp")
         .save()
     )
+    return out
+
+
+def materialize_fle_history_dir(spark, sf_dir: str) -> str:
+    """Write-once: the TIME-TRAVEL fixture — three committed
+    generations of one flat fledir.  Gen 1 (overwrite): lineitem rows
+    shipped before 1997.  Gen 2 (append): the 1997+ rows.  Gen 3:
+    in-place compaction (`compact_fledir`), which RETIRES the gen-1/2
+    segments behind merged ones — so generation 2 stays bit-readable
+    through its retired sources while the live table reads the merged
+    layout.  The timeline in `_history/` then has a snapshot per
+    commit, and a generation-1 read must reproduce exactly the
+    pre-append subset."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        compact_fledir,
+    )
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_history_assets_97")
+    if os.path.exists(os.path.join(out, "_DONE")) and os.path.exists(
+        os.path.join(out, _HISTORY_DIR, "3.manifest")
+    ):
+        return out
+    _clear_segments(out)
+
+    def make_encode(seg_base: int):
+        def encode(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for i, pdf in enumerate(batches):
+                payload = encode_segment_columns([
+                    ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                    (
+                        "l_quantity",
+                        pdf["l_quantity"].to_numpy().astype(np.int64),
+                    ),
+                ])
+                yield _pd.DataFrame(
+                    {
+                        "seg_id": [seg_base + pid * 100_000 + i],
+                        "payload": [payload],
+                    }
+                )
+
+        return encode
+
+    from pyspark.sql import functions as F
+
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        "l_shipdate",
+    )
+    # the append phase offsets its segment ids: a reused name would
+    # REWRITE a gen-1 segment instead of extending the table
+    for mode, seg_base, pred in (
+        ("overwrite", 0, F.col("l_shipdate") < "1997-01-01"),
+        ("append", 10_000, F.col("l_shipdate") >= "1997-01-01"),
+    ):
+        (
+            base.filter(pred)
+            .select("l_returnflag", "l_quantity")
+            .repartition(4)
+            .mapInPandas(
+                make_encode(seg_base),
+                schema="seg_id long, payload binary",
+            )
+            .write.format("fledir")
+            .mode(mode)
+            .option("path", out)
+            .save()
+        )
+    compact_fledir(spark, out)
     return out
 
 

@@ -508,8 +508,14 @@ def compact_fledir(
 
 
 def _vacuum_one_leaf(leaf: str) -> int:
-    """Delete one leaf's `.retired` files; → count removed.  Module
-    level so the distributed path can ship it to executors."""
+    """Delete one leaf's `.retired` files, then expire the `_history/`
+    snapshots those files were keeping readable (a timeline must never
+    advertise a generation a read would fail on); → count removed.
+    Module level so the distributed path can ship it to executors."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        expire_fledir_snapshots,
+    )
+
     removed = 0
     for f in os.listdir(leaf):
         if f.endswith(".retired"):
@@ -518,6 +524,7 @@ def _vacuum_one_leaf(leaf: str) -> int:
                 removed += 1
             except OSError:
                 pass
+    expire_fledir_snapshots(leaf)
     return removed
 
 
@@ -717,8 +724,21 @@ def _expire_one_leaf(leaf: str, root: "str | None" = None) -> int:
     if os.path.exists(done):
         os.remove(done)  # unseal FIRST: planning skips the leaf
     for f in os.listdir(leaf):
+        sub = os.path.join(leaf, f)
+        if os.path.isdir(sub):
+            # the leaf's snapshot timeline (_history/) dies with it
+            for g in os.listdir(sub):
+                try:
+                    os.remove(os.path.join(sub, g))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(sub)
+            except OSError:
+                pass
+            continue
         try:
-            os.remove(os.path.join(leaf, f))
+            os.remove(sub)
         except OSError:
             pass
     try:

@@ -490,7 +490,7 @@ def test_fledir_append_merges_manifest_and_overwrite_is_deferred(tmp_path):
     # overwrite that commits: only the new segment remains
     w4 = FleDirWriter({"path": out}, overwrite=True)
     w4.commit([w4.write([_Row(4, payload)])])
-    assert sorted(os.listdir(out)) == ["_DONE", "seg_4.fle"]
+    assert sorted(os.listdir(out)) == ["_DONE", "_history", "seg_4.fle"]
 
 
 def test_encode_object_ints_beyond_2_53_exact():
@@ -710,7 +710,7 @@ def test_writer_overwrite_clears_stale_segments(tmp_path):
 
     w2 = FleDirWriter({"path": out}, overwrite=True)
     w2.commit([w2.write([_Row(7, payload)])])
-    assert sorted(os.listdir(out)) == ["_DONE", "seg_7.fle"]
+    assert sorted(os.listdir(out)) == ["_DONE", "_history", "seg_7.fle"]
     parts = FleDirReader({"path": out}).partitions()
     assert [os.path.basename(p) for part in parts for p in part.paths] == [
         "seg_7.fle"

@@ -88,6 +88,8 @@ AUDITED = [
     # round-10 additions
     "scan_fle_retention", "scan_fle_retention_multi",
     "scan_fle_count_by_partition", "scan_fle_minmax_meta",
+    # round-10 session-2 additions
+    "scan_fle_sum_meta", "scan_fle_bloom_lookup", "scan_fle_time_travel",
 ]
 
 

@@ -122,6 +122,11 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_count_by_partition", "lineitem"),
     ("scan_fle_zorder", "lineitem"),
     ("scan_fle_retention", "lineitem"),
+    # round-10 session-2: metadata SUM, bloom point lookup, time travel
+    ("scan_fle_retention_multi", "lineitem"),
+    ("scan_fle_sum_meta", "lineitem"),
+    ("scan_fle_bloom_lookup", "lineitem"),
+    ("scan_fle_time_travel", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

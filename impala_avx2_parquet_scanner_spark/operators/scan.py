@@ -1719,6 +1719,69 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_MERGE_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 10 = 3
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                        AS DECIMAL(12,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'X',
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2))
+  FROM orders WHERE o_orderkey % 100 = 7
+)
+SELECT st AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY st
+"""
+
+
+@query(
+    "scan_fle_merge_upsert",
+    oracle=_FLE_MERGE_ORACLE,
+    tags=("scan", "encoding", "fle", "maintenance", "cdc"),
+)
+def scan_fle_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / UPSERT on the FLE container (round 10): Delta's ``MERGE
+    INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` at
+    segment-rewrite granularity — the CDC-apply operation a table
+    format needs once rows can change.  `merge_fledir` materializes
+    only the bounded update KEY SET on the driver (the join
+    runtime-filter contract), finds affected segments from METADATA
+    alone — manifest key min/max refutes non-overlapping files, bloom
+    sidecars (hash-util.h:44-95's probe at rest) refute
+    overlapping-but-absent ones, which on this hash-scattered fixture
+    is the only tier that can bound write amplification — then runs
+    the drop-matched-rows rewrite and the insert encode as distributed
+    Arrow-batch jobs landing in ONE atomic append commit: replaced
+    segments retire (the pre-merge generation stays time-travel
+    readable until vacuum), a crashed merge leaves the old table
+    intact.  The fixture updates every key%10==3 row (price+1000,
+    full-row replacement) and inserts brand-new keys (+10M, status
+    'X'); the DuckDB oracle replays the merge relationally over raw
+    parquet — a lost update, a leaked old row, or an over-eager
+    rewrite flips group sums.  The decimal price keeps every sum
+    exact; the final cast to DOUBLE is presentation only."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        materialize_fle_merge_dir,
+    )
+
+    path = materialize_fle_merge_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = spark.read.format("fledir").option("path", path).load()
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_dec").cast("double").alias("sum_price"),
+    )
+
+
 _FLE_TIME_TRAVEL_ORACLE = """
 SELECT 'g1' AS epoch, l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -983,3 +983,321 @@ def materialize_fle_retention_multi_dir(spark, sf_dir: str) -> str:
         fh.write(json.dumps(report))
     os.replace(tmp, marker)
     return root
+
+
+def merge_fledir(
+    spark,
+    path: str,
+    updates,
+    key: str,
+    *,
+    max_update_rows: int = 2_000_000,
+    rows_per_segment: int = 1 << 20,
+    bloomcols: "str | None" = None,
+) -> dict:
+    """MERGE (upsert) a batch of keyed full rows into a FLAT fledir —
+    Delta's ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT`` for the container, at segment-rewrite granularity.
+
+    ``updates`` is a DataFrame carrying exactly the stored columns
+    (full replacement rows) with a non-NULL, duplicate-free ``key``
+    column; every stored row whose key appears in ``updates`` is
+    replaced, every other update row is inserted.
+
+    Scale shape: only the KEY SET is ever materialized on the driver
+    (bounded by ``max_update_rows`` — the same bounded-collect contract
+    as the join runtime filter; a bigger merge is a rewrite job, use
+    overwrite).  Affected segments are found from METADATA alone: the
+    manifest's per-segment key min/max refutes non-overlapping files,
+    and a bloom sidecar (when the table was written with ``bloomcols``)
+    refutes overlapping-but-absent ones — the same two tiers the read
+    path prunes with, reused to bound WRITE amplification: a merge
+    touching k segments rewrites k segments, not the table.  The
+    rewrite and the insert encode both run as distributed Arrow-batch
+    jobs, and the whole merge lands in ONE atomic append commit
+    (rewritten + inserted segments visible together; replaced segments
+    RETIRED, so the pre-merge generation stays time-travel readable
+    until vacuum, and a crashed merge leaves the old table intact).
+
+    Streaming caveat (Delta parity): a checkpointed stream tailing the
+    directory treats rewritten segments as new files and will re-emit
+    their rows — MERGE is a batch-table operation; append-only stream
+    consumers of a merged-into table must tolerate replays (the
+    ``ignoreChanges`` contract).
+
+    Returns {segments_rewritten, segments_untouched, rows_matched,
+    rows_inserted}."""
+    import bisect
+
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _stat_to_value,
+        bloom_sidecar_refutes,
+        fledir_row_count,
+        probe_first_segment,
+    )
+
+    if discover_fledir_partitions(path) is not None:
+        raise ValueError(
+            "fledir: merge_fledir addresses ONE directory — merge each "
+            "leaf of a partitioned root separately (rows never move "
+            "across partition directories)"
+        )
+    first = probe_first_segment(path)
+    if first is None:
+        raise ValueError(f"fledir: {path} has no committed segments")
+    stored_cols = [c.name for c in first.columns]
+    if key not in stored_cols:
+        raise KeyError(f"fledir: key column {key!r} not stored in {path}")
+    up_cols = list(updates.columns)
+    if sorted(up_cols) != sorted(stored_cols):
+        raise ValueError(
+            f"fledir: merge updates must carry exactly the stored "
+            f"columns {sorted(stored_cols)} (full replacement rows); "
+            f"got {sorted(up_cols)}"
+        )
+    n_up = updates.count()
+    if n_up > max_update_rows:
+        raise ValueError(
+            f"fledir: {n_up} update rows exceed the merge budget "
+            f"({max_update_rows}) — at that scale rewrite the table "
+            "(overwrite) instead of merging segment-by-segment"
+        )
+    keys = [r[0] for r in updates.select(key).collect()]
+    if any(k is None for k in keys):
+        raise ValueError("fledir: merge keys must be non-NULL")
+    if len(set(keys)) != len(keys):
+        raise ValueError(
+            "fledir: duplicate keys in the update set — last-write "
+            "order would be nondeterministic"
+        )
+    ks = sorted(keys)
+
+    # ---- metadata probe: which committed segments can hold a key ----
+    import json as _json
+
+    entries = _manifest_entries(path)
+    affected: list[str] = []
+    untouched = 0
+    for name, stats_json in entries:
+        hit = True
+        if stats_json:
+            st = _json.loads(stats_json)
+            e = st.get(key)
+            if e is not None:
+                if e.get("min") is None:
+                    hit = False  # all-NULL keys: eq never matches
+                else:
+                    mn = _stat_to_value(e, e["min"])
+                    mx = _stat_to_value(e, e["max"])
+                    i = bisect.bisect_left(ks, mn)
+                    hit = i < len(ks) and ks[i] <= mx
+        if hit:
+            bf = os.path.join(path, name + ".bf")
+            if os.path.exists(bf) and bloom_sidecar_refutes(
+                bf, [(key, ks)]
+            ):
+                hit = False
+        if hit:
+            affected.append(name)
+        else:
+            untouched += 1
+
+    rows_before = fledir_row_count(path)
+
+    # ---- generation-fresh ids (same rule as compaction) ----
+    import re as _re
+
+    max_id = -1
+    for name, _ in entries:
+        m = _re.match(r"seg_(\d+)\.fle$", name)
+        if m:
+            max_id = max(max_id, int(m.group(1)))
+    base = (max_id // 1_000_000 + 1) * 1_000_000
+
+    # ---- encode hints for the INSERT segments: pin the kinds that
+    # cannot be inferred from arrow-decoded pandas values ----
+    hints: dict = {}
+    for c in first.columns:
+        if c.kind == _KIND_DEC:
+            hints[c.name] = ("dec", c.precision, c.scale)
+        elif c.kind == _KIND_F64:
+            # NaN lanes in updates read as NULL (the decode-side
+            # convention); genuine-NaN updates are not representable
+            hints[c.name] = "f64_nan_null"
+        else:
+            hints[c.name] = None
+
+    key_set = set(keys)
+
+    def rewrite(batches):
+        from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+            segment_reencode_columns,
+        )
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                with open(row["path_"], "rb") as fh:
+                    seg = parse_segment(fh.read())
+                cols = segment_reencode_columns(seg)
+                kvals = next(v for n2, v, _h in cols if n2 == key)
+                mask = np.array(
+                    [v not in key_set for v in kvals], dtype=bool
+                )
+                filtered = [
+                    (n2, np.asarray(v)[mask], h) for n2, v, h in cols
+                ]
+                yield _pd.DataFrame(
+                    {
+                        "seg_id": [int(row["seg_id"])],
+                        "payload": [encode_segment_columns(filtered)],
+                    }
+                )
+
+    def encode_inserts(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            cols = []
+            for n2 in stored_cols:
+                v = pdf[n2].to_numpy()
+                h = hints[n2]
+                cols.append((n2, v, h) if h is not None else (n2, v))
+            yield _pd.DataFrame(
+                {
+                    "seg_id": [base + 500_000 + pid * 1_000 + i],
+                    "payload": [encode_segment_columns(cols)],
+                }
+            )
+
+    register_fledir(spark)
+    rewritten_df = (
+        spark.createDataFrame(
+            [
+                (base + i, os.path.join(path, n))
+                for i, n in enumerate(affected)
+            ],
+            "seg_id long, path_ string",
+        )
+        .repartition(max(len(affected), 1))
+        .mapInPandas(rewrite, schema="seg_id long, payload binary")
+    )
+    n_parts = max(1, -(-n_up // rows_per_segment))
+    inserts_df = (
+        updates.select(*stored_cols)
+        .repartition(n_parts)
+        .mapInPandas(encode_inserts, schema="seg_id long, payload binary")
+    )
+    w = (
+        rewritten_df.unionByName(inserts_df)
+        .write.format("fledir")
+        .mode("append")
+        .option("path", path)
+        .option("retirenames", _json.dumps(affected))
+    )
+    if bloomcols:
+        w = w.option("bloomcols", bloomcols)
+    w.save()
+
+    rows_after = fledir_row_count(path)
+    return {
+        "path": path,
+        "segments_rewritten": len(affected),
+        "segments_untouched": untouched,
+        "rows_matched": rows_before + n_up - rows_after,
+        "rows_inserted": n_up,
+    }
+
+
+def materialize_fle_merge_dir(spark, sf_dir: str) -> str:
+    """Write-once: the MERGE/upsert fixture — orders keyed by the
+    unique ``o_orderkey``, HASH-SCATTERED into 8 bloom-carrying
+    segments (every segment's key interval spans the domain, so only
+    the blooms bound write amplification), then merged with a
+    deterministic update set: every ``key % 10 == 3`` row's price
+    bumped by 1000 (full-row replacement), plus brand-new keys
+    (``key + 10_000_000``, status 'X') for the ``key % 100 == 7``
+    subset.  The decimal price keeps every sum exact."""
+    import pandas as _pd
+
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import (
+        ensure_runtime_confs,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _clear_segments,
+        _fle_asset_dir,
+    )
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_merge_assets")
+    marker = os.path.join(out, "_MERGED")
+    if os.path.exists(os.path.join(out, "_DONE")) and os.path.exists(
+        marker
+    ):
+        return out
+    if os.path.exists(marker):
+        os.remove(marker)
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                (
+                    "o_orderkey",
+                    pdf["o_orderkey"].to_numpy().astype(np.int64),
+                ),
+                ("o_orderstatus", pdf["o_orderstatus"].to_numpy()),
+                (
+                    "price_dec",
+                    pdf["price_dec"].to_numpy(),
+                    ("dec", 12, 2),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+    )
+    (
+        base.repartition(8, "o_orderkey")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .option("bloomcols", "o_orderkey")
+        .save()
+    )
+    upd = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price_dec") + 1000).cast("decimal(12,2)").alias(
+            "price_dec"
+        ),
+    )
+    new = base.filter(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("price_dec") * 2).cast("decimal(12,2)").alias(
+            "price_dec"
+        ),
+    )
+    merge_fledir(
+        spark, out, upd.unionByName(new), key="o_orderkey",
+        bloomcols="o_orderkey",
+    )
+    with open(marker, "w") as fh:
+        fh.write("merged\n")
+    return out

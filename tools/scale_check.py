@@ -127,6 +127,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_sum_meta", "lineitem"),
     ("scan_fle_bloom_lookup", "lineitem"),
     ("scan_fle_time_travel", "lineitem"),
+    ("scan_fle_merge_upsert", "orders"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

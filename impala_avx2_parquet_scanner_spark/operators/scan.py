@@ -1719,6 +1719,58 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_DELETE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem
+WHERE NOT (CAST(l_quantity AS BIGINT) >= 45 AND l_returnflag = 'R')
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_delete_where",
+    oracle=_FLE_DELETE_ORACLE,
+    tags=("scan", "encoding", "fle", "maintenance", "cdc"),
+)
+def scan_fle_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE on the FLE container (round 10): the third leg of
+    the DML triad (append / merge / delete).  The predicate is a
+    conjunction in the container's own pushed-predicate mini-language
+    — exactly the SimplePredicates operator set the reference
+    evaluates inside its scan (simple-predicates.h:30-205), reused as
+    the DML predicate — and write amplification is bounded by the
+    SAME metadata tiers the read path prunes with: on this
+    quantity-sorted layout only the top-of-range segments can hold
+    qty ≥ 45, so the manifest stats confine the rewrite to them and
+    every other segment's name survives untouched (test-pinned).
+    Matched rows are dropped with exact Kleene semantics on decoded
+    values (NULL lanes never match a comparison), re-encoded in a
+    distributed Arrow-batch job, and committed atomically with the
+    replaced segments retired — the pre-delete generation stays
+    time-travel readable until vacuum.  The DuckDB oracle replays
+    ``NOT (qty >= 45 AND flag = 'R')`` over raw parquet: an
+    over-deleted or leaked row flips counts, sums, or the surviving
+    per-group maximum."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        register_fledir,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        materialize_fle_delete_dir,
+    )
+
+    path = materialize_fle_delete_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = spark.read.format("fledir").option("path", path).load()
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 _FLE_MERGE_ORACLE = """
 WITH merged AS (
   SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -1301,3 +1301,298 @@ def materialize_fle_merge_dir(spark, sf_dir: str) -> str:
     with open(marker, "w") as fh:
         fh.write("merged\n")
     return out
+
+
+_DELETE_OPS = {
+    "eq", "lt", "le", "gt", "ge", "in", "is_null", "is_not_null",
+}
+
+
+def _conjunct_rows(vals, op: str, value, n: int) -> np.ndarray:
+    """One (column OP literal) conjunct evaluated EXACTLY on decoded
+    values → boolean matched-rows vector.  Kleene semantics: a NULL
+    lane never matches a comparison (only is_null does) — the same
+    3VL the read kernels implement on validity words."""
+    arr = np.asarray(vals)
+    if arr.dtype == object:
+        from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+            _is_null_cell,
+        )
+
+        null = np.array([_is_null_cell(v) for v in arr], dtype=bool)
+    elif arr.dtype.kind == "f":
+        null = np.isnan(arr)
+    elif arr.dtype.kind == "M":
+        null = np.isnat(arr)
+    else:
+        null = np.zeros(n, dtype=bool)
+    if op == "is_null":
+        return null
+    if op == "is_not_null":
+        return ~null
+    if arr.dtype.kind == "M" and not isinstance(value, np.datetime64):
+        value = np.datetime64(value)
+    out = np.zeros(n, dtype=bool)
+    if arr.dtype == object:
+        # object lanes (nullable ints / strings / decimals): per-lane
+        # exact Python compares, NULLs skipped
+        import operator as _op
+
+        ops = {
+            "eq": _op.eq, "lt": _op.lt, "le": _op.le,
+            "gt": _op.gt, "ge": _op.ge,
+        }
+        if op == "in":
+            vset = set(v for v in value if v is not None)
+            for i in np.flatnonzero(~null):
+                out[i] = arr[i] in vset
+        else:
+            f = ops[op]
+            for i in np.flatnonzero(~null):
+                out[i] = bool(f(arr[i], value))
+        return out
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # NaT comparisons
+        if op == "in":
+            vv = [v for v in value if v is not None]
+            res = np.isin(arr, np.asarray(vv, dtype=arr.dtype))
+        else:
+            res = {
+                "eq": arr == value, "lt": arr < value,
+                "le": arr <= value, "gt": arr > value,
+                "ge": arr >= value,
+            }[op]
+    return np.asarray(res, dtype=bool) & ~null
+
+
+def delete_fledir(
+    spark,
+    path: str,
+    conjuncts: "list[tuple]",
+    *,
+    bloomcols: "str | None" = None,
+) -> dict:
+    """DELETE WHERE on a flat fledir: drop every row matching ALL
+    `conjuncts` — each a ``(column, op, literal)`` in the container's
+    pushed-predicate mini-language (op ∈ eq/lt/le/gt/ge/in/is_null/
+    is_not_null: exactly the SimplePredicates operator set,
+    simple-predicates.h:30-205, reused as the DML predicate).
+
+    Write amplification is bounded by the SAME metadata tiers the read
+    path prunes with: a segment whose manifest stats refute the
+    conjunction is untouched by construction (its name survives in the
+    manifest), an eq/in conjunct additionally probes the bloom
+    sidecars, and only the surviving segments are rewritten — decoded,
+    matched rows dropped with exact Kleene semantics (NULL lanes never
+    match a comparison), re-encoded — in a distributed Arrow-batch job
+    landing in ONE atomic append commit.  Replaced segments RETIRE, so
+    the pre-delete generation stays time-travel readable until vacuum
+    and a crashed delete leaves the old table intact.  A conjunct the
+    stats tier cannot reason about (exotic literal/column type) simply
+    disables pruning — every segment rewrites, correctness never rests
+    on the stats.  Streaming caveat as for merge: rewritten segments
+    replay to checkpointed streams.
+
+    Returns {segments_rewritten, segments_untouched, rows_deleted}."""
+    import json as _json
+
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        FleDirReader,
+        bloom_sidecar_refutes,
+        fledir_row_count,
+    )
+
+    if discover_fledir_partitions(path) is not None:
+        raise ValueError(
+            "fledir: delete_fledir addresses ONE directory — delete "
+            "from each leaf of a partitioned root separately"
+        )
+    if not conjuncts:
+        raise ValueError(
+            "fledir: delete needs at least one conjunct (a full-table "
+            "delete is mode('overwrite') with an empty frame)"
+        )
+    for c3 in conjuncts:
+        if len(c3) != 3 or c3[1] not in _DELETE_OPS:
+            raise ValueError(
+                f"fledir: bad delete conjunct {c3!r} — expected "
+                f"(column, op, literal) with op in {sorted(_DELETE_OPS)}"
+            )
+
+    r = FleDirReader({"path": path})
+    probe = r._column_kinds()
+    for col, _op2, _v in conjuncts:
+        if col not in probe:
+            raise KeyError(
+                f"fledir: delete column {col!r} not stored in {path}"
+            )
+    # stats-tier pruning ONLY when every conjunct passes the reader's
+    # own type-directed pushability vetting (the refutation logic is
+    # shared with the scan; feeding it a literal it would never accept
+    # could refute wrongly) — otherwise rewrite everything
+    if all(r._literal_pushable(c, o, v) for c, o, v in conjuncts):
+        r.pushed = list(conjuncts)
+    all_names = {n for n, _ in _manifest_entries(path)}
+    candidates = [n for n, _ in r._manifest_files(path)]
+    affected = []
+    for name in candidates:
+        bf = os.path.join(path, name + ".bf")
+        bf_conj = [
+            (c, [v] if o == "eq" else [x for x in v if x is not None])
+            for c, o, v in conjuncts
+            if o == "eq" or (o == "in" and v)
+        ]
+        if (
+            bf_conj
+            and os.path.exists(bf)
+            and bloom_sidecar_refutes(bf, bf_conj)
+        ):
+            continue
+        affected.append(name)
+    untouched = len(all_names) - len(affected)
+    rows_before = fledir_row_count(path)
+
+    import re as _re
+
+    max_id = -1
+    for name in all_names:
+        m = _re.match(r"seg_(\d+)\.fle$", name)
+        if m:
+            max_id = max(max_id, int(m.group(1)))
+    base = (max_id // 1_000_000 + 1) * 1_000_000
+
+    conj = list(conjuncts)
+
+    def rewrite(batches):
+        from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+            _conjunct_rows,
+            segment_reencode_columns,
+        )
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                with open(row["path_"], "rb") as fh:
+                    seg = parse_segment(fh.read())
+                cols = segment_reencode_columns(seg)
+                matched = np.ones(seg.n, dtype=bool)
+                for c, o, v in conj:
+                    vals = next(
+                        vv for nm, vv, _h in cols if nm == c
+                    )
+                    matched &= _conjunct_rows(vals, o, v, seg.n)
+                keep = ~matched
+                filtered = [
+                    (nm, np.asarray(vv)[keep], h)
+                    for nm, vv, h in cols
+                ]
+                yield _pd.DataFrame(
+                    {
+                        "seg_id": [int(row["seg_id"])],
+                        "payload": [encode_segment_columns(filtered)],
+                    }
+                )
+
+    register_fledir(spark)
+    if affected:
+        w = (
+            spark.createDataFrame(
+                [
+                    (base + i, os.path.join(path, n))
+                    for i, n in enumerate(affected)
+                ],
+                "seg_id long, path_ string",
+            )
+            .repartition(len(affected))
+            .mapInPandas(rewrite, schema="seg_id long, payload binary")
+            .write.format("fledir")
+            .mode("append")
+            .option("path", path)
+            .option("retirenames", _json.dumps(affected))
+        )
+        if bloomcols:
+            w = w.option("bloomcols", bloomcols)
+        w.save()
+
+    rows_after = fledir_row_count(path)
+    return {
+        "path": path,
+        "segments_rewritten": len(affected),
+        "segments_untouched": untouched,
+        "rows_deleted": rows_before - rows_after,
+    }
+
+
+def materialize_fle_delete_dir(spark, sf_dir: str) -> str:
+    """Write-once: the DELETE-WHERE fixture — lineitem (flag, quantity)
+    range-sorted by quantity into 8 segments, then
+    ``DELETE WHERE l_quantity >= 45 AND l_returnflag = 'R'`` run
+    through :func:`delete_fledir`.  The sorted layout makes the
+    manifest stats tier visibly bound write amplification: only the
+    top-of-range segments can hold qty ≥ 45, the rest survive
+    untouched."""
+    import pandas as _pd
+
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import (
+        ensure_runtime_confs,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _clear_segments,
+        _fle_asset_dir,
+    )
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    out = _fle_asset_dir(sf_dir, "fle_delete_assets")
+    marker = os.path.join(out, "_DELETED")
+    if os.path.exists(os.path.join(out, "_DONE")) and os.path.exists(
+        marker
+    ):
+        return out
+    if os.path.exists(marker):
+        os.remove(marker)
+    _clear_segments(out)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("l_quantity"),
+        )
+        .repartitionByRange(8, "l_quantity")
+        .sortWithinPartitions("l_quantity")
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    delete_fledir(
+        spark, out,
+        [("l_quantity", "ge", 45), ("l_returnflag", "eq", "R")],
+    )
+    with open(marker, "w") as fh:
+        fh.write("deleted\n")
+    return out

@@ -90,7 +90,7 @@ AUDITED = [
     "scan_fle_count_by_partition", "scan_fle_minmax_meta",
     # round-10 session-2 additions
     "scan_fle_sum_meta", "scan_fle_bloom_lookup", "scan_fle_time_travel",
-    "scan_fle_merge_upsert",
+    "scan_fle_merge_upsert", "scan_fle_delete_where",
 ]
 
 

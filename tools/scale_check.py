@@ -128,6 +128,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_bloom_lookup", "lineitem"),
     ("scan_fle_time_travel", "lineitem"),
     ("scan_fle_merge_upsert", "orders"),
+    ("scan_fle_delete_where", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

@@ -1719,6 +1719,51 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_STREAM_SINK_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_stream_sink",
+    oracle=_FLE_STREAM_SINK_ORACLE,
+    tags=("scan", "encoding", "fle", "streaming"),
+)
+def scan_fle_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SINK half of the container (round 10): lineitem rows
+    travel feed → `readStream.format("fledir")` →
+    `writeStream.format("fledir")` → committed sink table, and the
+    query aggregates the SINK.  The sink's exactly-once contract is
+    structural, not best-effort: each task lands its micro-batch
+    partition as an invisible temp segment, and the epoch commit
+    assigns DETERMINISTIC per-batch names (``seg_s{batch}_{i}.fle``)
+    while replacing the manifest's whole per-batch prefix — so a
+    replayed epoch (any parallelism) overwrites exactly its own rows
+    and sweeps a wider attempt's orphans, the same name-determinism
+    Spark's own file sinks rely on.  Sink output is a first-class
+    table: manifest stats/sums, bloom option, history generations,
+    compaction/retention/merge/delete all compose (test-pinned).  The
+    DuckDB oracle aggregates the ORIGINAL lineitem rows — any dropped,
+    duplicated, or corrupted row across the read-offset/write-commit
+    loop flips the group counts."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_stream_sink_dir,
+        register_fledir,
+    )
+
+    path = materialize_fle_stream_sink_dir(spark, sf_dir)
+    register_fledir(spark)
+    df = spark.read.format("fledir").option("path", path).load()
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 _FLE_DELETE_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

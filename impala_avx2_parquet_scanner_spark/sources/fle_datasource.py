@@ -3580,6 +3580,228 @@ def _fle_simple_stream_reader(self, schema):
 FleDataSource.simpleStreamReader = _fle_simple_stream_reader
 
 
+def _stream_rows_to_columns(rows, schema) -> list[tuple]:
+    """Micro-batch Rows → the (name, values, hint) list the segment
+    encoder expects, per Spark type: ints through the exact object
+    path (offset hint when any lane is negative), doubles under
+    f64_nan_null (a NULL lane round-trips as NaN — genuine-NaN data is
+    not representable through the sink, matching the decode-side
+    convention), timestamps/dates as datetime64 (None → NaT), decimals
+    with the schema's (p, s) pinned, strings under the writer's own
+    dictionary-vs-plain policy."""
+    from pyspark.sql import types as T
+
+    cols: list[tuple] = []
+    for i, f in enumerate(schema.fields):
+        vals = [r[i] for r in rows]
+        dt = f.dataType
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            arr = np.array(
+                [np.nan if v is None else float(v) for v in vals]
+            )
+            cols.append((f.name, arr, "f64_nan_null"))
+        elif isinstance(
+            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            present = [v for v in vals if v is not None]
+            hint = "offset" if any(v < 0 for v in present) else "int"
+            cols.append((f.name, np.array(vals, dtype=object), hint))
+        elif isinstance(dt, T.BooleanType):
+            cols.append((f.name, np.array(vals, dtype=object), "bool"))
+        elif isinstance(dt, T.TimestampType):
+            cols.append(
+                (f.name, np.array(vals, dtype="datetime64[us]"), "ts")
+            )
+        elif isinstance(dt, T.DateType):
+            cols.append(
+                (f.name, np.array(vals, dtype="datetime64[D]"), "date")
+            )
+        elif isinstance(dt, T.DecimalType):
+            cols.append((
+                f.name,
+                np.array(vals, dtype=object),
+                ("dec", dt.precision, dt.scale),
+            ))
+        elif isinstance(dt, T.StringType):
+            cols.append((f.name, np.array(vals, dtype=object)))
+        else:
+            raise ValueError(
+                f"fledir stream sink: unsupported column type "
+                f"{dt.simpleString()} for {f.name!r}"
+            )
+    return cols
+
+
+try:  # streaming SINK half (Spark >= 4.0)
+    from pyspark.sql.datasource import (
+        DataSourceStreamWriter as _DataSourceStreamWriter,
+    )
+
+    class _FleStreamCommit(WriterCommitMessage):
+        def __init__(self, tmp: str, stats: str, bf_tmp: "str | None"):
+            self.tmp = tmp
+            self.stats = stats
+            self.bf_tmp = bf_tmp
+
+    class FleStreamWriter(_DataSourceStreamWriter):
+        """Streaming SINK half of the container: `df.writeStream
+        .format("fledir")` lands each micro-batch as committed
+        segments with EXACTLY-ONCE epoch semantics.
+
+        Each task encodes its partition's rows into one segment under
+        an invisible temp name (`.stream-<uuid>.tmp` — neither reader
+        half lists it); the driver-side `commit(messages, batchId)`
+        assigns DETERMINISTIC per-epoch names (``seg_s{batchId}_{i}
+        .fle``) and replaces the manifest's whole ``seg_s{batchId}_``
+        prefix with this attempt's set.  That prefix replacement is
+        what makes epoch replay idempotent WITHOUT a side ledger: a
+        batch re-run after a crash (even with different parallelism,
+        so a different segment count) overwrites its own names,
+        re-manifests exactly its own rows, and the post-swap orphan
+        sweep removes any leftovers of a wider earlier attempt — the
+        same name-determinism contract Spark's own file sinks get
+        from their per-batch manifest.  Commits append to the table
+        (previous epochs' entries survive) and record a `_history/`
+        generation like every other commit, so the table stays
+        time-travel readable and the BATCH reader, the STREAM reader
+        (offset = file-name set), compaction, retention, merge and
+        delete all compose with sink output unchanged."""
+
+        def __init__(self, options, schema):
+            self.dir = options.get("path")
+            if not self.dir:
+                raise ValueError("fledir requires option 'path'")
+            self.schema = schema
+            self.bloom_cols = [
+                c
+                for c in (options.get("bloomcols") or "").split(",")
+                if c
+            ]
+            for c in self.bloom_cols:
+                if c not in {f.name for f in schema.fields}:
+                    raise ValueError(
+                        f"fledir stream sink: bloomcols column {c!r} "
+                        "not in the stream schema"
+                    )
+
+        def write(self, iterator):
+            import json as _json
+            import uuid as _uuid
+
+            rows = list(iterator)
+            if not rows:
+                return _FleStreamCommit("", "", None)
+            os.makedirs(self.dir, exist_ok=True)
+            cols = _stream_rows_to_columns(rows, self.schema)
+            payload = encode_segment_columns(cols)
+            token = _uuid.uuid4().hex[:12]
+            tmp = f".stream-{token}.tmp"
+            with open(os.path.join(self.dir, tmp), "wb") as fh:
+                fh.write(payload)
+            seg = parse_segment(payload)
+            entry = segment_stats(seg)
+            bf_tmp = None
+            if self.bloom_cols:
+                bf_tmp = f".stream-{token}.bf.tmp"
+                blob = build_segment_blooms(seg, self.bloom_cols)
+                with open(os.path.join(self.dir, bf_tmp), "wb") as fh:
+                    fh.write(blob)
+                for c in self.bloom_cols:
+                    entry[c]["bf"] = True
+            entry["__rows__"] = seg.n
+            return _FleStreamCommit(tmp, _json.dumps(entry), bf_tmp)
+
+        def commit(self, messages, batchId: int) -> None:
+            msgs = [
+                m for m in messages if m is not None and m.tmp
+            ]
+            prefix = f"seg_s{batchId}_"
+            finals = [f"{prefix}{i}.fle" for i in range(len(msgs))]
+            os.makedirs(self.dir, exist_ok=True)
+            for m, final in zip(msgs, finals):
+                os.replace(
+                    os.path.join(self.dir, m.tmp),
+                    os.path.join(self.dir, final),
+                )
+                bf_final = os.path.join(self.dir, final + ".bf")
+                if m.bf_tmp:
+                    os.replace(
+                        os.path.join(self.dir, m.bf_tmp), bf_final
+                    )
+                else:
+                    # replayed name must not inherit an earlier
+                    # attempt's sidecar
+                    try:
+                        os.remove(bf_final)
+                    except OSError:
+                        pass
+            done = os.path.join(self.dir, "_DONE")
+            previous = (
+                _manifest_entries(self.dir)
+                if os.path.exists(done)
+                else []
+            )
+            entries = sorted(
+                [
+                    (n, s)
+                    for n, s in previous
+                    if not n.startswith(prefix)
+                ]
+                + list(zip(finals, (m.stats for m in msgs)))
+            )
+            manifest_text = "\n".join(
+                f"{n}\t{s}" if s else n for n, s in entries
+            )
+            tmp_done = done + ".tmp"
+            with open(tmp_done, "w") as fh:
+                fh.write(manifest_text)
+            os.replace(tmp_done, done)
+            # orphans of a WIDER earlier attempt of this same epoch:
+            # deleted only after the new manifest is durable
+            keep = set(finals)
+            for f in os.listdir(self.dir):
+                if (
+                    f.startswith(prefix)
+                    and f.endswith(".fle")
+                    and f not in keep
+                ):
+                    for p in (f, f + ".bf"):
+                        try:
+                            os.remove(os.path.join(self.dir, p))
+                        except OSError:
+                            pass
+            # generation snapshot, like every commit (a replayed epoch
+            # mints a fresh generation with identical content — two
+            # commits happened, the timeline says so)
+            hist = os.path.join(self.dir, _HISTORY_DIR)
+            gens = _history_generations(self.dir)
+            gen = (gens[-1] + 1) if gens else 1
+            os.makedirs(hist, exist_ok=True)
+            htmp = os.path.join(hist, f"{gen}.manifest.tmp")
+            with open(htmp, "w") as fh:
+                fh.write(manifest_text)
+            os.replace(htmp, os.path.join(hist, f"{gen}.manifest"))
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in messages:
+                if m is None or not getattr(m, "tmp", ""):
+                    continue
+                for t in (m.tmp, getattr(m, "bf_tmp", None)):
+                    if t:
+                        try:
+                            os.remove(os.path.join(self.dir, t))
+                        except OSError:
+                            pass
+
+    def _fle_stream_writer(self, schema, overwrite):
+        return FleStreamWriter(self.options, schema)
+
+    FleDataSource.streamWriter = _fle_stream_writer
+    FLE_STREAM_SINK_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    FLE_STREAM_SINK_AVAILABLE = False
+
+
 def register_fledir(spark) -> None:
     try:
         spark.dataSource.register(FleDataSource)
@@ -4373,6 +4595,88 @@ def materialize_fle_history_dir(spark, sf_dir: str) -> str:
         )
     compact_fledir(spark, out)
     return out
+
+
+def materialize_fle_stream_sink_dir(spark, sf_dir: str) -> str:
+    """Write-once: the STREAM-SINK fixture — lineitem (flag, quantity)
+    committed as a 4-segment fledir FEED, then copied
+    feed → `readStream` → `writeStream.format("fledir")` →
+    SINK table under `trigger(availableNow)` with a checkpoint: the
+    whole streaming loop (offset = file-name set on the read side,
+    deterministic per-epoch names + prefix-replacement commits on the
+    write side) exercised end-to-end, leaving a committed fledir the
+    batch reader and the oracle then certify row-for-row."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    register_fledir(spark)
+    root = _fle_asset_dir(sf_dir, "fle_stream_sink_assets")
+    feed = os.path.join(root, "feed")
+    sink = os.path.join(root, "sink")
+    marker = os.path.join(root, "_STREAMED")
+    if os.path.exists(os.path.join(sink, "_DONE")) and os.path.exists(
+        marker
+    ):
+        return sink
+    if os.path.exists(marker):
+        os.remove(marker)
+    _clear_segments(feed)
+    _clear_segments(sink)
+    import shutil as _shutil
+
+    ckpt = os.path.join(root, "ckpt")
+    if os.path.isdir(ckpt):
+        _shutil.rmtree(ckpt)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            payload = encode_segment_columns([
+                ("l_returnflag", pdf["l_returnflag"].to_numpy()),
+                (
+                    "l_quantity",
+                    pdf["l_quantity"].to_numpy().astype(np.int64),
+                ),
+            ])
+            yield _pd.DataFrame(
+                {"seg_id": [pid * 100_000 + i], "payload": [payload]}
+            )
+
+    from pyspark.sql import functions as F
+
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("l_quantity"),
+        )
+        .repartition(4)
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("overwrite")
+        .option("path", feed)
+        .save()
+    )
+    q = (
+        spark.readStream.format("fledir")
+        .option("path", feed)
+        .load()
+        .writeStream.format("fledir")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    with open(marker, "w") as fh:
+        fh.write("streamed\n")
+    return sink
 
 
 def materialize_fle_partitioned_dir(spark, sf_dir: str) -> str:

@@ -129,6 +129,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_time_travel", "lineitem"),
     ("scan_fle_merge_upsert", "orders"),
     ("scan_fle_delete_where", "lineitem"),
+    ("scan_fle_stream_sink", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

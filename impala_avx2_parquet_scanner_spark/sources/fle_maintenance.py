@@ -1374,11 +1374,15 @@ def delete_fledir(
     *,
     bloomcols: "str | None" = None,
 ) -> dict:
-    """DELETE WHERE on a flat fledir: drop every row matching ALL
-    `conjuncts` — each a ``(column, op, literal)`` in the container's
-    pushed-predicate mini-language (op ∈ eq/lt/le/gt/ge/in/is_null/
-    is_not_null: exactly the SimplePredicates operator set,
-    simple-predicates.h:30-205, reused as the DML predicate).
+    """DELETE WHERE on a fledir (flat or hive-partitioned): drop every
+    row matching ALL `conjuncts` — each a ``(column, op, literal)`` in
+    the container's pushed-predicate mini-language (op ∈ eq/lt/le/gt/
+    ge/in/is_null/is_not_null: exactly the SimplePredicates operator
+    set, simple-predicates.h:30-205, reused as the DML predicate).  On
+    a partitioned root, conjuncts on partition KEYS prune whole leaves
+    driver-side and the data conjuncts run per leaf (per-leaf atomic,
+    like retention); an all-partition-key predicate refuses and points
+    at `expire_fledir_partitions`, the metadata-only form.
 
     Write amplification is bounded by the SAME metadata tiers the read
     path prunes with: a segment whose manifest stats refute the
@@ -1406,11 +1410,6 @@ def delete_fledir(
         fledir_row_count,
     )
 
-    if discover_fledir_partitions(path) is not None:
-        raise ValueError(
-            "fledir: delete_fledir addresses ONE directory — delete "
-            "from each leaf of a partitioned root separately"
-        )
     if not conjuncts:
         raise ValueError(
             "fledir: delete needs at least one conjunct (a full-table "
@@ -1422,6 +1421,49 @@ def delete_fledir(
                 f"fledir: bad delete conjunct {c3!r} — expected "
                 f"(column, op, literal) with op in {sorted(_DELETE_OPS)}"
             )
+    part = discover_fledir_partitions(path)
+    if part is not None:
+        # hive-partitioned root: partition-key conjuncts prune WHOLE
+        # leaves on the driver (exact typed evaluation, the same
+        # semantics the scan's partition pruning uses), and — since a
+        # key conjunct holds uniformly for every row of a kept leaf —
+        # drop out of the per-leaf conjunction; the data conjuncts run
+        # per leaf.  Atomicity is per leaf (each leaf commits its own
+        # generation), the same contract as retention expiry.
+        from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+            FleDirReader,
+        )
+
+        pcols, pairs = part
+        pconj = [c3 for c3 in conjuncts if c3[0] in pcols]
+        dconj = [c3 for c3 in conjuncts if c3[0] not in pcols]
+        if not dconj:
+            raise ValueError(
+                "fledir: every delete conjunct targets a partition "
+                "key — that is a partition drop, use "
+                "expire_fledir_partitions (metadata-only, no rewrite)"
+            )
+        total = {
+            "path": path, "segments_rewritten": 0,
+            "segments_untouched": 0, "rows_deleted": 0,
+            "leaves_pruned": 0,
+        }
+        for values, leaf in pairs:
+            if not all(
+                FleDirReader._part_filter_keep(
+                    values[pcols.index(c)], o, v
+                )
+                for c, o, v in pconj
+            ):
+                total["leaves_pruned"] += 1
+                continue  # no row of this leaf can match
+            rep = delete_fledir(
+                spark, leaf, dconj, bloomcols=bloomcols
+            )
+            total["segments_rewritten"] += rep["segments_rewritten"]
+            total["segments_untouched"] += rep["segments_untouched"]
+            total["rows_deleted"] += rep["rows_deleted"]
+        return total
 
     r = FleDirReader({"path": path})
     probe = r._column_kinds()

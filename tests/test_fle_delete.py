@@ -177,10 +177,44 @@ def test_delete_loud_failures(spark, tmp_path):
     with pytest.raises(KeyError):
         delete_fledir(spark, path, [("nope", "eq", 1)])
     root = str(tmp_path / "proot")
-    _write(spark, os.path.join(root, "p=A"),
-           [[("k", np.arange(3, dtype=np.int64))]])
-    with pytest.raises(ValueError, match="ONE directory"):
-        delete_fledir(spark, root, [("k", "eq", 1)])
+    for key in ("A", "B"):
+        _write(spark, os.path.join(root, f"p={key}"),
+               [[("k", np.arange(3, dtype=np.int64))]])
+    # all-partition-key predicate: that is a partition drop, refuse
+    with pytest.raises(ValueError, match="expire_fledir_partitions"):
+        delete_fledir(spark, root, [("p", "eq", "A")])
+
+
+def test_delete_partitioned_root_routes_and_prunes_leaves(
+    spark, tmp_path
+):
+    """Partition-key conjuncts prune whole leaves; data conjuncts run
+    per leaf; pruned leaves' bytes are untouched."""
+    root = str(tmp_path / "dp")
+    for key, lo in (("A", 0), ("B", 100), ("C", 200)):
+        _write(spark, os.path.join(root, f"p={key}"),
+               [[("k", np.arange(lo, lo + 20, dtype=np.int64))]])
+    rep = delete_fledir(
+        spark, root, [("p", "in", ["B", "C"]), ("k", "ge", 210)]
+    )
+    assert rep["leaves_pruned"] == 1       # p=A never visited
+    # within kept leaves the stats tier still applies: B's k interval
+    # (100..119) refutes k>=210, so only C's segment rewrites
+    assert rep["segments_rewritten"] == 1
+    assert rep["segments_untouched"] == 1
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("fledir")
+        .option("path", root).load().select("p", "k").collect()
+    )
+    assert [t for t in got if t[0] == "A"] == [
+        ("A", v) for v in range(0, 20)
+    ]
+    assert [t for t in got if t[0] == "C"] == [
+        ("C", v) for v in range(200, 210)
+    ]
+    assert len([t for t in got if t[0] == "B"]) == 20
+    assert rep["rows_deleted"] == 10
 
 
 def test_delete_unpushable_literal_still_exact(spark, tmp_path):

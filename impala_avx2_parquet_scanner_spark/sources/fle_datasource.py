@@ -2307,16 +2307,8 @@ class FleDirReader(DataSourceReader):
         # pushed eq/in conjuncts eligible for the bloom-sidecar probe
         # (the reference's hash bitmap-filter probe at rest,
         # hdfs-parquet-scanner.cc:235-246): a refuted segment is
-        # skipped before its FIRST byte is read.  eqns with a non-NULL
-        # literal is an eq for this purpose; NULL elements of an IN
-        # list can never match and drop out of the probe.
-        bloom_conj = [
-            (col, [v] if op in ("eq", "eqns") else
-             [x for x in v if x is not None])
-            for col, op, v in self.pushed
-            if (op in ("eq", "eqns") and v is not None) or op == "in"
-        ]
-        bloom_conj = [(c, vs) for c, vs in bloom_conj if vs]
+        # skipped before its FIRST byte is read.
+        bloom_conj = bloom_eq_in_conjuncts(self.pushed)
         for idx, path in enumerate(partition.paths):
             span = pspans[idx] if idx < len(pspans) else None
             if bloom_conj:
@@ -2737,9 +2729,64 @@ def bloom_sidecar_refutes(
                     for h in hs
                 ):
                     return True
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, struct.error):
+        # fail-open covers every malformed-sidecar shape: short files
+        # (struct.error on the length word), garbled headers with
+        # null/mistyped fields (TypeError on int()), bad JSON
+        # (ValueError) — a sidecar can only ever DECLINE to skip
         return False
     return False
+
+
+def bloom_eq_in_conjuncts(pushed) -> "list[tuple[str, list]]":
+    """The bloom-probeable subset of a pushed-conjunct list, shared by
+    the scan, merge and delete paths: eq/eqns with a non-NULL literal
+    (a NULL eqns is IS NULL — no bloom can speak to it) and IN with
+    its NULL elements dropped (they can never match)."""
+    out = [
+        (col, [v] if op in ("eq", "eqns") else
+         [x for x in v if x is not None])
+        for col, op, v in pushed
+        if (op in ("eq", "eqns") and v is not None)
+        or (op == "in" and v)
+    ]
+    return [(c, vs) for c, vs in out if vs]
+
+
+def bloom_sidecar_refutes_hashed(
+    bf_path: str, col: str, ht: str, hashes: "list[int]"
+) -> bool:
+    """Pre-hashed probe: True when the sidecar proves EVERY hash
+    absent from `col`'s bloom (the caller hashed the literal set ONCE
+    — merge probes hundreds of sidecars with the same key set, and
+    re-hashing 2M keys per segment would be O(keys × segments) driver
+    work).  Declines (False) when the column has no block or its hash
+    domain differs; fail-open on any malformed sidecar."""
+    import json as _json
+
+    if not hashes:
+        return False
+    try:
+        with open(bf_path, "rb") as fh:
+            if fh.read(4) != _BF_MAGIC:
+                return False
+            (hl,) = struct.unpack("<I", fh.read(4))
+            hdr = _json.loads(fh.read(hl))["cols"]
+            e = hdr.get(col)
+            if e is None or e["ht"] != ht:
+                return False
+            fh.seek(8 + hl + int(e["off"]))
+            words = np.frombuffer(
+                fh.read(int(e["len"])), dtype=np.uint64
+            )
+            if int(e["len"]) != int(e["m"]) // 8 or words.size == 0:
+                return False
+            return not any(
+                _bloom_maybe(words, int(e["m"]), h, int(e["k"]))
+                for h in hashes
+            )
+    except (OSError, ValueError, KeyError, TypeError, struct.error):
+        return False
 
 
 class _FleCommit(WriterCommitMessage):
@@ -3114,8 +3161,33 @@ class FleDirWriter(DataSourceWriter):
         if self.overwrite:
             gen = 1
         else:
+            # an append that REUSED a committed segment name replaced
+            # that name's bytes in place (the legal rewrite contract)
+            # — every snapshot referencing the old bytes is no longer
+            # faithfully readable and must EXPIRE NOW, or a
+            # generation read would silently return the new rows
+            # under the old manifest (review finding: the feature's
+            # contract is fail-loudly, never partially/wrongly)
             gens = _history_generations(self.dir)
+            # generation numbers stay MONOTONIC even when expiry
+            # empties the timeline — a renumbered timeline would let
+            # one number mean two different tables across commits
             gen = (gens[-1] + 1) if gens else 1
+            reused = new_names & {n for n, _ in previous}
+            if reused and os.path.isdir(hist):
+                for g in gens:
+                    gp = os.path.join(hist, f"{g}.manifest")
+                    try:
+                        with open(gp) as fh:
+                            names_g = {
+                                ln.partition("\t")[0]
+                                for ln in fh.read().splitlines()
+                                if ln
+                            }
+                        if names_g & reused:
+                            os.remove(gp)
+                    except OSError:
+                        continue
         os.makedirs(hist, exist_ok=True)
         htmp = os.path.join(hist, f"{gen}.manifest.tmp")
         with open(htmp, "w") as fh:
@@ -4672,8 +4744,16 @@ def materialize_fle_stream_sink_dir(spark, sf_dir: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
     q.stop()
+    if not finished:
+        # a timed-out availableNow run left a PARTIAL sink; writing
+        # the marker would cache it forever (review finding) — fail
+        # loudly so the next run rebuilds from _clear_segments
+        raise RuntimeError(
+            "fledir stream-sink fixture: the availableNow copy did "
+            "not finish within 300s — partial sink NOT marked"
+        )
     with open(marker, "w") as fh:
         fh.write("streamed\n")
     return sink

@@ -1033,7 +1033,6 @@ def merge_fledir(
 
     from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
         _stat_to_value,
-        bloom_sidecar_refutes,
         fledir_row_count,
         probe_first_segment,
     )
@@ -1077,6 +1076,32 @@ def merge_fledir(
     # ---- metadata probe: which committed segments can hold a key ----
     import json as _json
 
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _hash64_bytes,
+        _splitmix64,
+        bloom_sidecar_refutes_hashed,
+    )
+
+    # hash the key set ONCE per hash domain (review finding: hashing
+    # it anew inside every segment's probe made the driver-side scan
+    # O(keys × segments)); a key type outside both domains simply
+    # skips the bloom tier — min/max still bounds the rewrite
+    key_hashes: "tuple[str, list[int]] | None" = None
+    if all(
+        isinstance(k, int) and not isinstance(k, bool)
+        and -(1 << 63) <= k < (1 << 63)
+        for k in ks
+    ):
+        key_hashes = ("i64", [
+            int(h) for h in _splitmix64(
+                np.array(ks, dtype=np.int64).astype(np.uint64)
+            )
+        ])
+    elif all(isinstance(k, str) for k in ks):
+        key_hashes = ("str", [
+            int(h) for h in _hash64_bytes([k.encode() for k in ks])
+        ])
+
     entries = _manifest_entries(path)
     affected: list[str] = []
     untouched = 0
@@ -1093,10 +1118,10 @@ def merge_fledir(
                     mx = _stat_to_value(e, e["max"])
                     i = bisect.bisect_left(ks, mn)
                     hit = i < len(ks) and ks[i] <= mx
-        if hit:
+        if hit and key_hashes is not None:
             bf = os.path.join(path, name + ".bf")
-            if os.path.exists(bf) and bloom_sidecar_refutes(
-                bf, [(key, ks)]
+            if os.path.exists(bf) and bloom_sidecar_refutes_hashed(
+                bf, key, key_hashes[0], key_hashes[1]
             ):
                 hit = False
         if hit:
@@ -1356,7 +1381,31 @@ def _conjunct_rows(vals, op: str, value, n: int) -> np.ndarray:
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # NaT comparisons
         if op == "in":
-            vv = [v for v in value if v is not None]
+            # EXACT membership: a literal the column dtype cannot
+            # represent exactly can never match — dropping it is
+            # correct, CASTING it is not (np.isin with dtype=int64
+            # would truncate 1.5 → 1 and silently over-delete;
+            # review finding)
+            vv = []
+            for v in value:
+                if v is None:
+                    continue
+                if arr.dtype.kind == "M":
+                    vv.append(np.datetime64(v))
+                elif arr.dtype.kind in ("i", "u"):
+                    if isinstance(v, bool):
+                        continue
+                    if isinstance(v, (int, np.integer)):
+                        vv.append(int(v))
+                    elif (
+                        isinstance(v, float) and float(v).is_integer()
+                    ):
+                        vv.append(int(v))
+                    # fractional literal: no int lane equals it
+                else:
+                    vv.append(v)
+            if not vv:
+                return out
             res = np.isin(arr, np.asarray(vv, dtype=arr.dtype))
         else:
             res = {
@@ -1430,10 +1479,6 @@ def delete_fledir(
         # drop out of the per-leaf conjunction; the data conjuncts run
         # per leaf.  Atomicity is per leaf (each leaf commits its own
         # generation), the same contract as retention expiry.
-        from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
-            FleDirReader,
-        )
-
         pcols, pairs = part
         pconj = [c3 for c3 in conjuncts if c3[0] in pcols]
         dconj = [c3 for c3 in conjuncts if c3[0] not in pcols]
@@ -1478,16 +1523,16 @@ def delete_fledir(
     # could refute wrongly) — otherwise rewrite everything
     if all(r._literal_pushable(c, o, v) for c, o, v in conjuncts):
         r.pushed = list(conjuncts)
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        bloom_eq_in_conjuncts,
+    )
+
     all_names = {n for n, _ in _manifest_entries(path)}
     candidates = [n for n, _ in r._manifest_files(path)]
+    bf_conj = bloom_eq_in_conjuncts(conjuncts)  # built ONCE (review)
     affected = []
     for name in candidates:
         bf = os.path.join(path, name + ".bf")
-        bf_conj = [
-            (c, [v] if o == "eq" else [x for x in v if x is not None])
-            for c, o, v in conjuncts
-            if o == "eq" or (o == "in" and v)
-        ]
         if (
             bf_conj
             and os.path.exists(bf)

@@ -275,3 +275,27 @@ def test_append_name_reuse_evicts_stale_sidecar(spark, tmp_path):
         .filter(F.col("rid") == 9001).select("rid").collect()
     )
     assert [tuple(r) for r in got] == [(9001,)]
+
+
+def test_probe_fails_open_on_truncated_and_null_field_sidecars(
+    tmp_path,
+):
+    """Review finding: every malformed-sidecar shape must DECLINE, not
+    crash — short files (struct.error) and null header fields
+    (TypeError) included."""
+    import json
+    import struct as _struct
+
+    short = str(tmp_path / "short.bf")
+    with open(short, "wb") as fh:
+        fh.write(b"FBF1\x04")  # magic + truncated length word
+    assert not bloom_sidecar_refutes(short, [("rid", [1])])
+    nullf = str(tmp_path / "nullf.bf")
+    hdr = json.dumps(
+        {"cols": {"rid": {"ht": "i64", "m": 64, "k": 4,
+                          "off": None, "len": 8}}}
+    ).encode()
+    with open(nullf, "wb") as fh:
+        fh.write(b"FBF1" + _struct.pack("<I", len(hdr)) + hdr
+                 + b"\x00" * 8)
+    assert not bloom_sidecar_refutes(nullf, [("rid", [1])])

@@ -229,3 +229,14 @@ def test_delete_unpushable_literal_still_exact(spark, tmp_path):
     assert rep["segments_untouched"] == 0  # pruning declined
     assert rep["rows_deleted"] == 29  # 121..149
     assert max(r[0] for r in _rows(spark, path)) == 120
+
+
+def test_delete_in_fractional_literal_never_truncates(spark, tmp_path):
+    """Review finding: IN with a fractional literal over an int column
+    must match NOTHING (SQL 1 = 1.5 is false) — casting the literal to
+    the column dtype would truncate 1.5 → 1 and silently over-delete."""
+    path = str(tmp_path / "din")
+    _write(spark, path, [[("k", np.arange(5, dtype=np.int64))]])
+    rep = delete_fledir(spark, path, [("k", "in", [1.5, 3])])
+    assert rep["rows_deleted"] == 1  # only k=3; k=1 survives
+    assert [r[0] for r in _rows(spark, path)] == [0, 1, 2, 4]

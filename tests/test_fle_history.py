@@ -189,3 +189,26 @@ def test_stats_pruning_applies_to_snapshot_reads(spark, tmp_path):
     assert sorted(v[0] for v in df.select("q").collect()) == list(
         range(100_000, 100_040)
     )
+
+
+def test_name_reuse_append_expires_snapshots_referencing_it(
+    spark, tmp_path
+):
+    """Review finding: an append that REUSES a committed segment name
+    replaces its bytes in place — snapshots referencing the old bytes
+    must expire at commit, or a generation read would silently return
+    the NEW rows under the OLD manifest."""
+    path = str(tmp_path / "nr")
+    _write(spark, path, [_seg(0)])            # gen 1: seg_0
+    _write(spark, path, [_seg(100)], mode="append", seg_base=50)
+    assert _history_generations(path) == [1, 2]
+    # reuse seg_0's NAME with different rows
+    _write(spark, path, [_seg(9000)], mode="append", seg_base=0)
+    # gens 1 and 2 referenced seg_0's old bytes: both expired;
+    # the reuse commit minted generation 3 (numbers stay monotonic
+    # even when expiry empties the timeline)
+    gens = _history_generations(path)
+    assert gens == [3]
+    with pytest.raises(Exception, match="generations"):
+        _read(spark, path, generation=1)
+    assert _read(spark, path, generation=gens[0]) == _read(spark, path)

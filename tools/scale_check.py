@@ -127,7 +127,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_sum_meta", "lineitem"),
     ("scan_fle_bloom_lookup", "lineitem"),
     ("scan_fle_time_travel", "lineitem"),
-    ("scan_fle_merge_upsert", "orders"),
+    ("scan_fle_merge_upsert", "lineitem+orders"),
     ("scan_fle_delete_where", "lineitem"),
     ("scan_fle_stream_sink", "lineitem"),
 ]

@@ -995,14 +995,23 @@ def merge_fledir(
     rows_per_segment: int = 1 << 20,
     bloomcols: "str | None" = None,
 ) -> dict:
-    """MERGE (upsert) a batch of keyed full rows into a FLAT fledir —
-    Delta's ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
-    INSERT`` for the container, at segment-rewrite granularity.
+    """MERGE (upsert) a batch of keyed full rows into a fledir (flat
+    or hive-partitioned) — Delta's ``MERGE INTO ... WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT`` for the container, at
+    segment-rewrite granularity.
 
     ``updates`` is a DataFrame carrying exactly the stored columns
     (full replacement rows) with a non-NULL, duplicate-free ``key``
     column; every stored row whose key appears in ``updates`` is
-    replaced, every other update row is inserted.
+    replaced, every other update row is inserted.  On a PARTITIONED
+    root the updates must ALSO carry the partition-key columns: rows
+    route to their leaf (per-leaf atomic merges, the retention
+    contract), a partition value no existing leaf has CREATES that
+    leaf (dynamic-partition insert), and — because rows never move
+    across partition directories — a "matched" key in a DIFFERENT
+    partition is an insert there, exactly the semantics of a
+    partition-keyed table.  The per-leaf key sets stay inside the
+    global ``max_update_rows`` budget.
 
     Scale shape: only the KEY SET is ever materialized on the driver
     (bounded by ``max_update_rows`` — the same bounded-collect contract
@@ -1037,11 +1046,13 @@ def merge_fledir(
         probe_first_segment,
     )
 
-    if discover_fledir_partitions(path) is not None:
-        raise ValueError(
-            "fledir: merge_fledir addresses ONE directory — merge each "
-            "leaf of a partitioned root separately (rows never move "
-            "across partition directories)"
+    part = discover_fledir_partitions(path)
+    if part is not None:
+        return _merge_partitioned_root(
+            spark, path, part, updates, key,
+            max_update_rows=max_update_rows,
+            rows_per_segment=rows_per_segment,
+            bloomcols=bloomcols,
         )
     first = probe_first_segment(path)
     if first is None:
@@ -1683,3 +1694,162 @@ def materialize_fle_delete_dir(spark, sf_dir: str) -> str:
     with open(marker, "w") as fh:
         fh.write("deleted\n")
     return out
+
+
+def _encode_hints_from_segment(first) -> dict:
+    """Probe segment → the encode-hint map the insert path pins kinds
+    with (decimal (p,s) and the f64 NULL convention cannot be inferred
+    from arrow-decoded pandas values)."""
+    hints: dict = {}
+    for c in first.columns:
+        if c.kind == _KIND_DEC:
+            hints[c.name] = ("dec", c.precision, c.scale)
+        elif c.kind == _KIND_F64:
+            hints[c.name] = "f64_nan_null"
+        else:
+            hints[c.name] = None
+    return hints
+
+
+def _append_leaf_rows(
+    spark, leaf: str, df, template_leaf: str,
+    rows_per_segment: int, bloomcols: "str | None",
+) -> int:
+    """Dynamic-partition insert: encode `df`'s rows as fresh segments
+    of a (possibly not-yet-existing) leaf, kinds pinned from a sibling
+    leaf's first segment so the new leaf's schema matches the table's.
+    One atomic append commit; → rows written."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        probe_first_segment,
+    )
+
+    first = probe_first_segment(template_leaf)
+    if first is None:
+        raise ValueError(
+            f"fledir: template leaf {template_leaf} has no committed "
+            "segment to pin the new partition's schema from"
+        )
+    stored_cols = [c.name for c in first.columns]
+    if sorted(df.columns) != sorted(stored_cols):
+        raise ValueError(
+            f"fledir: new-partition rows must carry exactly the "
+            f"stored columns {sorted(stored_cols)}; got "
+            f"{sorted(df.columns)}"
+        )
+    n = df.count()
+    if n == 0:
+        return 0
+    hints = _encode_hints_from_segment(first)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            cols = []
+            for n2 in stored_cols:
+                v = pdf[n2].to_numpy()
+                h = hints[n2]
+                cols.append((n2, v, h) if h is not None else (n2, v))
+            yield _pd.DataFrame(
+                {
+                    "seg_id": [pid * 100_000 + i],
+                    "payload": [encode_segment_columns(cols)],
+                }
+            )
+
+    w = (
+        df.select(*stored_cols)
+        .repartition(max(1, -(-n // rows_per_segment)))
+        .mapInPandas(encode, schema="seg_id long, payload binary")
+        .write.format("fledir")
+        .mode("append")
+        .option("path", leaf)
+    )
+    if bloomcols:
+        w = w.option("bloomcols", bloomcols)
+    w.save()
+    return n
+
+
+def _merge_partitioned_root(
+    spark, root: str, part, updates, key: str, *,
+    max_update_rows: int, rows_per_segment: int,
+    bloomcols: "str | None",
+) -> dict:
+    """Route a partitioned-root merge: per-leaf atomic merges for
+    existing partitions, dynamic leaf creation for new partition
+    values (matched by DIRECTORY-NAME form, so an int-typed layout and
+    an int update value land in the same leaf).  Rows never move
+    across partition directories — a key matched in another partition
+    is, by partition-table semantics, a different row."""
+    from pyspark.sql import functions as F
+
+    pcols, pairs = part
+    missing = [c for c in pcols if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"fledir: partitioned merge needs the partition key "
+            f"columns {pcols} in the updates frame (missing "
+            f"{missing}) — rows route to their leaf by them"
+        )
+    n_up = updates.count()
+    if n_up > max_update_rows:
+        raise ValueError(
+            f"fledir: {n_up} update rows exceed the merge budget "
+            f"({max_update_rows})"
+        )
+    tuples = [
+        tuple(r) for r in updates.select(*pcols).distinct().collect()
+    ]
+    if any(v is None for t in tuples for v in t):
+        raise ValueError(
+            "fledir: partition-key values in a merge must be non-NULL"
+        )
+    by_dir = {
+        tuple(str(v) for v in vals): leaf for vals, leaf in pairs
+    }
+    total = {
+        "path": root, "segments_rewritten": 0,
+        "segments_untouched": 0, "rows_matched": 0,
+        "rows_inserted": 0, "leaves_created": 0,
+    }
+    touched: set = set()
+    template = pairs[0][1]
+    for tup in sorted(tuples, key=str):
+        skey = tuple(str(v) for v in tup)
+        cond = None
+        for c, v in zip(pcols, tup):
+            e = F.col(c) == F.lit(v)
+            cond = e if cond is None else (cond & e)
+        leaf_updates = updates.filter(cond).drop(*pcols)
+        leaf = by_dir.get(skey)
+        if leaf is None:
+            leaf = os.path.join(
+                root, *[f"{c}={s}" for c, s in zip(pcols, skey)]
+            )
+            n_new = _append_leaf_rows(
+                spark, leaf, leaf_updates, template,
+                rows_per_segment, bloomcols,
+            )
+            total["rows_inserted"] += n_new
+            total["leaves_created"] += 1
+        else:
+            rep = merge_fledir(
+                spark, leaf, leaf_updates, key,
+                max_update_rows=max_update_rows,
+                rows_per_segment=rows_per_segment,
+                bloomcols=bloomcols,
+            )
+            for k2 in (
+                "segments_rewritten", "segments_untouched",
+                "rows_matched", "rows_inserted",
+            ):
+                total[k2] += rep[k2]
+        touched.add(skey)
+    total["leaves_untouched"] = len(by_dir) - len(
+        touched & set(by_dir)
+    )
+    return total

@@ -209,8 +209,78 @@ def test_merge_loud_failures(spark, tmp_path):
         merge_fledir(spark, path, withnull, key="k")
     with pytest.raises(ValueError, match="merge budget"):
         merge_fledir(spark, path, ok, key="k", max_update_rows=0)
-    # partitioned root refuses
+    # partitioned root: updates without the partition keys refuse
     root = str(tmp_path / "proot")
     _write(spark, os.path.join(root, "p=A"), [_seg([1])])
-    with pytest.raises(ValueError, match="ONE directory"):
+    with pytest.raises(ValueError, match="partition key"):
         merge_fledir(spark, root, ok, key="k")
+
+
+def test_partitioned_merge_routes_creates_and_spares_leaves(
+    spark, tmp_path
+):
+    """Partitioned-root merge: updates route by partition key to
+    per-leaf atomic merges, an unseen partition value CREATES its
+    leaf with the table's schema, and untouched leaves' bytes
+    survive byte-identically."""
+    root = str(tmp_path / "pm")
+    for key_, lo in (("A", 0), ("B", 100), ("C", 200)):
+        _write(spark, os.path.join(root, f"p={key_}"),
+               [_seg([lo, lo + 1, lo + 2])])
+    import hashlib
+
+    def leaf_digest(name):
+        h = hashlib.md5()
+        leaf = os.path.join(root, name)
+        for f in sorted(os.listdir(leaf)):
+            if f.endswith(".fle"):
+                with open(os.path.join(leaf, f), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    c_before = leaf_digest("p=C")
+    updates = spark.createDataFrame(
+        [
+            ("A", 1, "UPD", 999),     # matched in p=A
+            ("B", 500, "NEW", 5),     # new key in existing p=B
+            ("D", 7, "DNEW", 70),     # whole new partition p=D
+        ],
+        "p string, k long, tag string, val long",
+    )
+    rep = merge_fledir(spark, root, updates, key="k")
+    assert rep["leaves_created"] == 1
+    assert rep["leaves_untouched"] == 1      # p=C never visited
+    assert rep["rows_matched"] == 1
+    assert leaf_digest("p=C") == c_before    # bytes untouched
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("fledir").option("path", root)
+        .load().select("p", "k", "tag", "val").collect()
+    )
+    assert ("A", 1, "UPD", 999) in got
+    assert ("B", 500, "NEW", 5) in got
+    assert ("D", 7, "DNEW", 70) in got
+    assert len(got) == 11  # 9 original - 0 removed + 2 new, 1 replaced
+    # the created leaf is a first-class fledir
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        fledir_row_count,
+    )
+
+    assert fledir_row_count(os.path.join(root, "p=D")) == 1
+
+
+def test_partitioned_merge_missing_keys_and_null_partition(
+    spark, tmp_path
+):
+    root = str(tmp_path / "pm2")
+    _write(spark, os.path.join(root, "p=A"), [_seg([1])])
+    nokeys = spark.createDataFrame(
+        [(1, "A", 0)], "k long, tag string, val long"
+    )
+    with pytest.raises(ValueError, match="partition key"):
+        merge_fledir(spark, root, nokeys, key="k")
+    withnull = spark.createDataFrame(
+        [(None, 1, "A", 0)], "p string, k long, tag string, val long"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        merge_fledir(spark, root, withnull, key="k")

@@ -1719,6 +1719,74 @@ def scan_fle_minmax_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLE_CHANGES_ORACLE = """
+SELECT 'insert' AS change_type, l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'delete' AS change_type, l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE CAST(l_quantity AS BIGINT) >= 45 AND l_returnflag = 'R'
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "scan_fle_changes",
+    oracle=_FLE_CHANGES_ORACLE,
+    tags=("scan", "encoding", "fle", "maintenance", "cdc"),
+)
+def scan_fle_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between generations (round 10): Delta's
+    ``table_changes`` for the container, riding the snapshot timeline
+    the commits already record.  `fledir_changes(from, to)` diffs the
+    two snapshot manifests at FILE granularity first — compaction
+    re-shuffles absorb through the lineage sidecar exactly as the
+    stream reader absorbs them, so a compaction-only span reads zero
+    bytes — then takes the EXACT multiset row difference (exceptAll)
+    over only the genuinely-changed segments: added-rows minus
+    removed-rows are the inserts, the reverse the deletes (an update
+    is its delete+insert pair, retire-based DML's native
+    decomposition).  At 100 TB the shuffle is sized by the CHANGED
+    files, never the table.  The query reads two feeds: the history
+    fixture's append span (pure inserts — the 1997+ rows) and the
+    delete fixture's delete span (pure deletes — the qty≥45 'R'
+    rows); DuckDB recomputes both change sets relationally from raw
+    parquet, so a leaked carried-over row or a missed change flips
+    group counts.  Snapshot segments resolve through `.retired` files;
+    a vacuumed span fails loudly — an expired feed is not a feed."""
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        materialize_fle_history_dir,
+        register_fledir,
+    )
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        fledir_changes,
+        materialize_fle_delete_dir,
+    )
+
+    path_h = materialize_fle_history_dir(spark, sf_dir)
+    path_d = materialize_fle_delete_dir(spark, sf_dir)
+    register_fledir(spark)
+
+    def agg(df):
+        return df.groupBy("_change_type", "l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        ).select(
+            F.col("_change_type").alias("change_type"),
+            "l_returnflag", "n_rows", "sum_qty",
+        )
+
+    ins = agg(fledir_changes(spark, path_h, 1, 2))
+    dels = agg(fledir_changes(spark, path_d, 1, 2))
+    return ins.unionByName(dels)
+
+
 _FLE_STREAM_SINK_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1853,3 +1853,162 @@ def _merge_partitioned_root(
         touched & set(by_dir)
     )
     return total
+
+
+def _resolve_segment_path(path: str, name: str) -> str:
+    """Snapshot name → surviving bytes (live file or `.retired` twin),
+    loudly when vacuum already reclaimed it."""
+    live = os.path.join(path, name)
+    if os.path.exists(live):
+        return live
+    if os.path.exists(live + ".retired"):
+        return live + ".retired"
+    raise ValueError(
+        f"fledir: segment {name} of the requested generation was "
+        "vacuumed — the change feed for that span has expired"
+    )
+
+
+def _segments_df(spark, path: str, names: "list[str]"):
+    """Explicit segment set → DataFrame through the container's own
+    decode (distributed, one task group over the files; every kind's
+    NULL convention mapped to real Spark NULLs)."""
+    import pandas as _pd
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _column_ddl,
+        probe_first_segment,
+    )
+
+    first = probe_first_segment(path)
+    if first is None:
+        raise ValueError(f"fledir: {path} has no committed segments")
+    ddl = ", ".join(
+        f"{c.name} {_column_ddl(c)}" for c in first.columns
+    )
+    if not names:
+        return spark.createDataFrame([], ddl)
+    paths = [_resolve_segment_path(path, n) for n in sorted(names)]
+
+    def decode(batches):
+        for pdf in batches:
+            for p in pdf["p"]:
+                with open(p, "rb") as fh:
+                    seg = parse_segment(fh.read())
+                cols = segment_reencode_columns(seg)
+                data = {}
+                for nm, vals, hint in cols:
+                    arr = np.asarray(vals)
+                    if hint in ("f64", "f64_nan_null"):
+                        o = arr.astype(object)
+                        o[_pd.isna(arr)] = None
+                        data[nm] = o
+                    elif hint == "date":
+                        data[nm] = arr.astype(object)
+                    else:
+                        data[nm] = arr
+                yield _pd.DataFrame(data)
+
+    return (
+        spark.createDataFrame([(p,) for p in paths], "p string")
+        .repartition(min(len(paths), 32))
+        .mapInPandas(decode, schema=ddl)
+    )
+
+
+def fledir_changes(
+    spark, path: str, from_gen: int, to_gen: int
+):
+    """CHANGE DATA FEED between two committed generations of one
+    fledir directory — Delta's ``table_changes`` for the container.
+    Returns a DataFrame of the table's columns plus ``_change_type``
+    ('insert' / 'delete'; an update surfaces as its delete+insert
+    pair, the retire-based DML's native decomposition).
+
+    Two-tier computation, both exact:
+
+    1. FILE tier — diff the two snapshot manifests, then ABSORB pure
+       re-shuffles through the compaction lineage sidecar: a segment
+       added between the generations whose sources are transitively
+       covered by the from-generation's name set moved rows without
+       changing them (the stream reader's own absorb rule), so neither
+       it nor its source closure enters the row diff.  A compaction-
+       only span therefore reads ZERO segment bytes and returns an
+       empty feed.
+    2. ROW tier — exact multiset difference (``exceptAll``) over only
+       the genuinely-changed segments' rows: added-file rows minus
+       removed-file rows are the inserts, the reverse are the deletes.
+       Rows a rewrite carried over unchanged cancel; at 100 TB the
+       shuffle is sized by the CHANGED files, not the table.
+
+    Snapshot segments resolve through `.retired` files like generation
+    reads; a vacuumed span fails loudly — an expired feed is not a
+    feed."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_datasource import (
+        _HISTORY_DIR,
+        _history_generations,
+        _lineage_covered,
+        _read_lineage,
+    )
+
+    if discover_fledir_partitions(path) is not None:
+        raise ValueError(
+            "fledir: fledir_changes addresses ONE directory's "
+            "timeline — point the path at a leaf"
+        )
+
+    def snap_names(gen: int) -> set:
+        gp = os.path.join(path, _HISTORY_DIR, f"{gen}.manifest")
+        if not os.path.exists(gp):
+            raise ValueError(
+                f"fledir: generation {gen} has no snapshot in {path} "
+                f"— committed generations: "
+                f"{_history_generations(path) or 'none'}"
+            )
+        with open(gp) as fh:
+            return {
+                ln.partition("\t")[0]
+                for ln in fh.read().splitlines()
+                if ln
+            }
+
+    if from_gen >= to_gen:
+        raise ValueError(
+            "fledir: change feeds run forward (from_gen < to_gen)"
+        )
+    from_names = snap_names(from_gen)
+    to_names = snap_names(to_gen)
+    added = to_names - from_names
+    removed = from_names - to_names
+    lineage = _read_lineage(path)
+    memo: dict = {}
+    absorbed_sources: set = set()
+    genuine_added: list = []
+    for n in sorted(added):
+        if n in lineage and _lineage_covered(
+            n, from_names, lineage, memo
+        ):
+            # pure re-shuffle: collect its source closure down to
+            # from-generation names — those are not deletes
+            stack = list(lineage.get(n) or ())
+            while stack:
+                s = stack.pop()
+                if s in from_names:
+                    absorbed_sources.add(s)
+                else:
+                    stack.extend(lineage.get(s) or ())
+        else:
+            genuine_added.append(n)
+    genuine_removed = sorted(removed - absorbed_sources)
+
+    added_df = _segments_df(spark, path, genuine_added)
+    removed_df = _segments_df(spark, path, genuine_removed)
+    inserts = added_df.exceptAll(removed_df).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = removed_df.exceptAll(added_df).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)

@@ -212,3 +212,75 @@ def test_name_reuse_append_expires_snapshots_referencing_it(
     with pytest.raises(Exception, match="generations"):
         _read(spark, path, generation=1)
     assert _read(spark, path, generation=gens[0]) == _read(spark, path)
+
+
+def test_change_feed_inserts_deletes_and_compaction_absorption(
+    spark, tmp_path
+):
+    """CDF semantics: an append span is pure inserts, a merge span is
+    the update's delete+insert pair, and a compaction-only span is
+    EMPTY — the lineage absorption means zero segment bytes read."""
+    from pyspark.sql import functions as F
+
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        compact_fledir,
+        fledir_changes,
+        merge_fledir,
+    )
+
+    path = str(tmp_path / "cdf")
+    _write(spark, path, [_seg(0, 5)])                      # gen 1
+    _write(spark, path, [_seg(100, 3)], mode="append",
+           seg_base=50)                                    # gen 2
+    ch = fledir_changes(spark, path, 1, 2)
+    got = sorted(
+        (r["q"], r["_change_type"]) for r in ch.collect()
+    )
+    assert got == [(v, "insert") for v in range(100, 103)]
+    # merge: update q=101's row (full-row replace in a 1-col table
+    # means replacing it with a new value)
+    # a 1-col table: key IS the row; replace 101 with itself and add 999
+    updates = spark.createDataFrame([(101,), (999,)], "q long")
+    merge_fledir(spark, path, updates, key="q")            # gen 3
+    ch23 = fledir_changes(spark, path, 2, 3)
+    got23 = sorted(
+        (r["q"], r["_change_type"]) for r in ch23.collect()
+    )
+    # 101 replaced by identical value cancels in the multiset diff;
+    # only the genuinely new row surfaces
+    assert got23 == [(999, "insert")]
+    compact_fledir(spark, path, target_rows=10_000)        # gen 4
+    ch34 = fledir_changes(spark, path, 3, 4)
+    assert ch34.count() == 0  # pure re-shuffle: absorbed at file tier
+    # end-to-end span: gen 1 → current
+    ch14 = sorted(
+        (r["q"], r["_change_type"])
+        for r in fledir_changes(spark, path, 1, 4).collect()
+    )
+    assert ch14 == sorted(
+        [(v, "insert") for v in range(100, 103)] + [(999, "insert")]
+    )
+
+
+def test_change_feed_delete_span_and_loud_edges(spark, tmp_path):
+    from impala_avx2_parquet_scanner_spark.sources.fle_maintenance import (
+        delete_fledir,
+        fledir_changes,
+        vacuum_fledir,
+    )
+
+    path = str(tmp_path / "cdfd")
+    _write(spark, path, [_seg(0, 10)])                     # gen 1
+    delete_fledir(spark, path, [("q", "ge", 7)])           # gen 2
+    got = sorted(
+        (r["q"], r["_change_type"])
+        for r in fledir_changes(spark, path, 1, 2).collect()
+    )
+    assert got == [(v, "delete") for v in (7, 8, 9)]
+    with pytest.raises(ValueError, match="forward"):
+        fledir_changes(spark, path, 2, 1)
+    with pytest.raises(ValueError, match="generations"):
+        fledir_changes(spark, path, 1, 9)
+    vacuum_fledir(path)  # reclaims gen-1's retired segment
+    with pytest.raises(ValueError, match="generations|expired"):
+        fledir_changes(spark, path, 1, 2).collect()

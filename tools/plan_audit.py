@@ -91,7 +91,7 @@ AUDITED = [
     # round-10 session-2 additions
     "scan_fle_sum_meta", "scan_fle_bloom_lookup", "scan_fle_time_travel",
     "scan_fle_merge_upsert", "scan_fle_delete_where",
-    "scan_fle_stream_sink",
+    "scan_fle_stream_sink", "scan_fle_changes",
 ]
 
 

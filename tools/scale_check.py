@@ -130,6 +130,7 @@ CHECKED: list[tuple[str, str]] = [
     ("scan_fle_merge_upsert", "lineitem+orders"),
     ("scan_fle_delete_where", "lineitem"),
     ("scan_fle_stream_sink", "lineitem"),
+    ("scan_fle_changes", "lineitem"),
 ]
 
 #: Queries whose sf0.01→sf0.1 ratio sits closest to input growth — these

@@ -85,6 +85,9 @@ __all__ = [
     "compact_fledir",
     "vacuum_fledir",
     "expire_fledir_partitions",
+    "merge_fledir",
+    "delete_fledir",
+    "fledir_changes",
     "materialize_fle_compact_dir",
 ]
 
@@ -1889,6 +1892,7 @@ def _segments_df(spark, path: str, names: "list[str]"):
     if not names:
         return spark.createDataFrame([], ddl)
     paths = [_resolve_segment_path(path, n) for n in sorted(names)]
+    ordered = [c.name for c in first.columns]
 
     def decode(batches):
         for pdf in batches:
@@ -1907,7 +1911,12 @@ def _segments_df(spark, path: str, names: "list[str]"):
                         data[nm] = arr.astype(object)
                     else:
                         data[nm] = arr
-                yield _pd.DataFrame(data)
+                # emit in the PROBE's column order: Spark maps Arrow
+                # batch columns positionally, so a segment whose own
+                # order differs would silently transpose; a missing
+                # column fails loudly (heterogeneous segments are
+                # outside the contract)
+                yield _pd.DataFrame({nm: data[nm] for nm in ordered})
 
     return (
         spark.createDataFrame([(p,) for p in paths], "p string")

@@ -15,6 +15,7 @@ oracle comparisons agree either way.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,9 +38,36 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Per-session memo of base-table DataFrames.  A DataFrame is an immutable
+#: logical plan, so reusing one across queries is exactly what a catalog
+#: table does — but `spark.read.parquet` re-lists the directory and
+#: re-reads footers for schema on EVERY call, and the engine's queries
+#: reference up to 6 tables each, re-built on every execution.  Memoizing
+#: removes that per-query planning tax (guide §1.2 step 2 / §6 file
+#: listing).  No data is cached or persisted: every action still scans
+#: the parquet files.  Weak keys so a stopped session's plans are
+#: releasable; keyed by (realpath, name) within a session.  Escape hatch
+#: for callers that overwrite a table path mid-session (none in-tree do —
+#: fixture writers write once, then read): SPARK_GRAFT_NO_TABLE_CACHE=1.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-required confs applied."""
     ensure_runtime_confs(spark)
+    if os.environ.get("SPARK_GRAFT_NO_TABLE_CACHE"):
+        return _load(spark, sf_dir, name)
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.realpath(sf_dir), name)
+    df = memo.get(key)
+    if df is None:
+        df = memo[key] = _load(spark, sf_dir, name)
+    return df
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)

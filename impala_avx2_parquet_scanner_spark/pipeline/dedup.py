@@ -600,6 +600,50 @@ HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
 """
 
 
+def _winnow_fingerprints(batches):
+    """mapInPandas kernel: (doc_id, t) → per-doc DISTINCT winnowing
+    fingerprints (doc_id, fp).
+
+    Bit-identical to the previous in-plan expression chain
+    (test_winnow_vectorized pins it): the sequential gram fold
+    ``acc = (acc*31 + c) % (2^31-1)`` equals the dot product
+    ``(codes·31^(K-1-i) + 7·31^K) mod M`` because mod is
+    congruence-preserving, and intermediate dot products stay < 2^43,
+    well inside int64.  The w-window MIN and the p ≥ w positional cut
+    are numpy sliding windows over the same 1-based gram positions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    MOD = 2147483647
+    weights = np.array(
+        [pow(31, WINNOW_K - 1 - i, MOD) for i in range(WINNOW_K)], dtype=np.int64
+    )
+    seed_term = (7 * pow(31, WINNOW_K, MOD)) % MOD
+    sw = np.lib.stride_tricks.sliding_window_view
+    for pdf in batches:
+        ids, fps = [], []
+        for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+            codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+            if codes.size - (WINNOW_K - 1) < WINNOW_W:
+                continue
+            h = (sw(codes, WINNOW_K) @ weights + seed_term) % MOD
+            u = np.unique(sw(h, WINNOW_W).min(axis=1))
+            ids.append(np.full(u.size, doc_id, dtype=np.int64))
+            fps.append(u)
+        if ids:
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "fp": pd.Series([], dtype="int64"),
+                }
+            )
+
+
 @query("dedup_winnowing", oracle=_WINNOW_ORACLE, tags=("dedup", "pipeline", "fingerprint"))
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup detection (MOSS fingerprinting, Schleimer et al.
@@ -610,47 +654,26 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     with *contiguous-match* detection at ~2/(w+1) of the rolling-hash
     footprint.
 
-    Scale design: hashing is embarrassingly parallel (per-doc arrays, one
-    pass, all JVM-side integer lambdas); the per-doc window MIN partitions
-    by doc_id (frames bounded by the 192-char prefix — full-doc
-    form strides the same plan over chunks); the corpus-level work is one
+    Scale design (round-10 rewrite, guide §4.2): normalization stays a
+    JVM expression at the scan; gram hashing, the w-window MIN, and the
+    per-doc fingerprint dedup all run VECTORIZED inside one Arrow batch
+    per scan task (`_winnow_fingerprints` — numpy sliding windows), so
+    the per-gram rows, the interpreted array-HOF hash fold, and the
+    doc_id window exchange of the old plan no longer exist.  Only the
+    (doc_id, fp) pairs leave the task.  The corpus-level work is one
     fp-keyed shuffle building per-fingerprint doc lists (bounded: groups
     above the 20-doc frequency cap are dropped like LSH mega-buckets, so
     lists hold ≤20 ids and pair fan-out is ≤ cap²/2) plus the pair-count
     aggregation.  Documents are scanned exactly once — no self-join, no
     broadcast of corpus-sized state.  Same base-31 mod-2^31-1 integer
-    hash as `text_rolling_hash`, replayed term-for-term by the oracle."""
+    hash as `text_rolling_hash`, replayed term-for-term by the oracle
+    (and pinned bit-for-bit against the old expression chain by
+    test_winnow_vectorized)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring(normalize_text(F.col("text")), 1, WINNOW_PREFIX).alias("t"),
     ).filter(F.length("t") >= WINNOW_K)
-    chars = F.filter(F.split(F.col("t"), ""), lambda c: c != F.lit(""))
-    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
-    # All gram hashes are computed inside ONE row per document (transform
-    # over positions against the in-place codes array), then posexplode
-    # emits only (doc_id, p, h) — exploding positions BEFORE hashing would
-    # copy the 192-element array into every position row and runs ~10x
-    # slower through the interpreted higher-order-function path.
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.size("codes") - (WINNOW_K - 1)),
-        lambda p: F.aggregate(
-            F.slice(F.col("codes"), p, WINNOW_K),
-            F.lit(7).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
-        ),
-    )
-    g = (
-        d.select("doc_id", codes.alias("codes"))
-        .select("doc_id", F.posexplode(hashes).alias("p0", "h"))
-        .select("doc_id", (F.col("p0") + 1).alias("p"), "h")
-    )
-    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(-(WINNOW_W - 1), 0)
-    fps = (
-        g.select("doc_id", "p", F.min("h").over(win).alias("fp"))
-        .filter(F.col("p") >= WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = d.mapInPandas(_winnow_fingerprints, "doc_id bigint, fp bigint")
     # One fp-keyed shuffle replaces the rare-filter join + self-join: the
     # per-fingerprint doc list is capped at WINNOW_DOC_CAP elements, so
     # collect_list is bounded and pair fan-out is ≤ cap²/2 per fingerprint.
@@ -812,26 +835,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles in more than {CONTAIN_DF_CAP} docs are boilerplate and are
     dropped from both the index and the score, which (a) makes the
     measure deliberately boilerplate-insensitive and (b) caps the
-    per-shingle join fan-out at df^2 <= {CONTAIN_DF_CAP}^2 — candidate
+    per-shingle pair fan-out at df^2 <= {CONTAIN_DF_CAP}^2 — candidate
     work is O(sum_over_rare_shingles df^2), linear-ish in the corpus,
     never all-pairs.  The same cap discipline as winnowing's
     WINNOW_DOC_CAP.  Division is int/int -> binary64, identical in both
     engines; DuckDB replays tokenize -> trigram shingles -> df cap ->
-    inverted-index pair counts -> containment verbatim."""
+    inverted-index pair counts -> containment verbatim.
+
+    Round-10 rewrite (guide §2.4): the inverted index IS the pair
+    generator — one s-keyed shuffle builds the capped per-shingle doc
+    list, pairs explode from each list in place (winnowing's own
+    bounded-fan-out trick), and per-doc rare-shingle sizes fold from
+    the same lists.  The old plan re-shuffled the persisted rare index
+    on s for BOTH legs of a self-join and once more on doc_id for
+    sizes; this one exchanges the corpus-sized data once."""
     d = table(spark, sf_dir, "documents")
-    # persist: sh feeds the df histogram AND the rare-index build; rare
-    # feeds sizes and both self-join legs — one tokenize/explode pass
-    # each instead of re-deriving the scan+shingle lineage per consumer.
-    #
     # Shingles come from the codegen path (posexplode + lead window, the
     # minhash_signatures trick), NOT the array-HOF `shingles()` helper:
     # `transform(sequence, lambda)` re-evaluates the embedded tokenize
     # subtree per element interpreted, which made THIS query the one
     # super-linear row in SCALING.md (40.9 s in the shingle stage alone
-    # at sf0.1; 0.9 s on this path).  The window's doc_id shuffle also
-    # spreads the regex+hash CPU across the cluster regardless of input
-    # file count.  `.distinct()` replaces array_distinct — containment
-    # counts each shared shingle once per doc pair.
+    # at sf0.1; 0.9 s on this path).  `.distinct()` replaces
+    # array_distinct — containment counts each shared shingle once per
+    # doc pair.
     toks = F.filter(
         F.split(F.trim(normalize_text(F.col("text"))), " "),
         lambda t: t != F.lit(""),
@@ -848,26 +874,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "s")
         .distinct()
+    )
+    # ONE s-keyed exchange: per-shingle doc lists, boilerplate (df > cap)
+    # dropped.  Lists are ≤ CONTAIN_DF_CAP elements, so the in-place pair
+    # explosion below is bounded at cap²/2 rows per shingle.  persist:
+    # lists feed both the pair counts and the per-doc sizes.
+    lists = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= CONTAIN_DF_CAP)
+        .select("docs")
         .persist()
     )
-    df_cap = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= CONTAIN_DF_CAP)
-        .select("s")
+    sizes = (
+        lists.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
     )
-    rare = sh.join(df_cap, "s").persist()
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
-    a, b = rare.alias("a"), rare.alias("b")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("docs"), i + F.lit(2), F.size("docs") - i - 1),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        lists.filter(F.size("docs") >= 2)
+        .select(pair.alias("pair"))
+        .select("pair.doc_a", "pair.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("n_a"))
@@ -881,7 +920,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_MIN)
     )
-    return tie_unpersist(out, sh, rare)
+    return tie_unpersist(out, lists)
 
 
 EDIT_PREFIX = 48

@@ -23,6 +23,7 @@ predicate evaluation (simple-predicates.h:30-205) and metadata-only count(*)
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -62,21 +63,48 @@ RUNTIME_CONFS: dict[str, str] = {
     # Predicate pushdown into registered Python DataSources (the custom
     # ppmdir scanner's pushFilters — §2A #5 in a user-defined source).
     "spark.sql.python.filterPushdown.enabled": "true",
-    # Dynamic perf knob: the 200-partition default over-parallelizes the
-    # fixture scales (and stateful streaming, where AQE can't coalesce).
-    # On a real cluster the deploy env overrides this to ~2-3× cores.
-    "spark.sql.shuffle.partitions": "32",
 }
+
+#: Sessions that already passed through :func:`ensure_runtime_confs`.
+#: Weak keys: the guard must not keep a stopped session's JVM refs alive.
+_CONF_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply RUNTIME_CONFS to an existing session, ignoring any conf the
-    running Spark build rejects (forward/backward compatibility)."""
+    running Spark build rejects (forward/backward compatibility).
+
+    Applied ONCE per session: callers (every `catalog.table()` call, i.e.
+    several times per query) used to re-issue ~9 `spark.conf.set` py4j
+    round-trips per table reference — pure per-query planning overhead
+    (guide §1.2 step 2), and the re-applied constant also silently
+    overrode any conf a test or caller had deliberately changed
+    mid-session.  The conf VALUES are static, so once is enough.
+
+    Shuffle partitioning is scale-adaptive, not a constant: a session
+    still carrying Spark's stock 200 default (e.g. the verification
+    driver's vanilla session) gets `defaultParallelism` — the actual
+    core count of whatever master it was built with — with AQE
+    coalescing (enabled above) sizing partitions downward at runtime.
+    Sessions that already chose a value (our own get_spark, the test
+    session's 8, a cluster deploy's 2-3x cores) are left alone.
+    """
+    if spark in _CONF_APPLIED:
+        return spark
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
+    _CONF_APPLIED.add(spark)
     return spark
 
 

@@ -46,9 +46,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: removes that per-query planning tax (guide §1.2 step 2 / §6 file
 #: listing).  No data is cached or persisted: every action still scans
 #: the parquet files.  Weak keys so a stopped session's plans are
-#: releasable; keyed by (realpath, name) within a session.  Escape hatch
-#: for callers that overwrite a table path mid-session (none in-tree do —
-#: fixture writers write once, then read): SPARK_GRAFT_NO_TABLE_CACHE=1.
+#: releasable; keyed by (realpath, name, V1/V2 source list) within a
+#: session — the source-list conf is resolved when the relation is
+#: CREATED, so a memo hit across a mid-session V1↔V2 flip (the metadata
+#: count(*) pushdown tests do this) would replay the stale source
+#: version.  Escape hatch for callers that overwrite a table path
+#: mid-session (none in-tree do — fixture writers write once, then
+#: read): SPARK_GRAFT_NO_TABLE_CACHE=1.
 _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
@@ -60,7 +64,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_NO_TABLE_CACHE"):
         return _load(spark, sf_dir, name)
     memo = _TABLE_MEMO.setdefault(spark, {})
-    key = (os.path.realpath(sf_dir), name)
+    try:
+        v1_list = spark.conf.get("spark.sql.sources.useV1SourceList")
+    except Exception:
+        v1_list = None
+    key = (os.path.realpath(sf_dir), name, v1_list)
     df = memo.get(key)
     if df is None:
         df = memo[key] = _load(spark, sf_dir, name)

@@ -98,6 +98,37 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def spread_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """`table`, hash-repartitioned to the session's parallelism when the
+    scan would otherwise under-parallelize — guide §2.5 input skew: the
+    text/curate family fuses tokenize/regex/hash CPU into the scan stage,
+    so a table that arrives as one small file (every local fixture) runs
+    that CPU in ONE task.  The probe is the scan's own split count: on a
+    real-scale table (splits ≥ cores) this returns the base plan
+    unchanged — no added exchange at 100 TB — while locally one small
+    hash shuffle of the raw rows buys every-core parallelism for the
+    expensive projections downstream.  Hash (not round-robin) keyed so no
+    sort-before-repartition cost and a deterministic row→partition map.
+    Memoized beside the base table so the split probe runs once per
+    session."""
+    base = table(spark, sf_dir, name)
+    if os.environ.get("SPARK_GRAFT_NO_TABLE_CACHE"):
+        return _spread(spark, base, key)
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    mkey = ("__spread__", os.path.realpath(sf_dir), name, key)
+    df = memo.get(mkey)
+    if df is None:
+        df = memo[mkey] = _spread(spark, base, key)
+    return df
+
+
+def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

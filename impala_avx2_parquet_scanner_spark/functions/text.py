@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
-from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.catalog import spread_table, table
 from impala_avx2_parquet_scanner_spark.registry import query
 
 #: Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -316,8 +316,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.regexp_replace(t, r"[^A-Za-z0-9]+", " ")), " "),
         lambda x: x != F.lit(""),
     )
+    # spread_table (guide §2.5): tokenize+explode+partial-agg fuse into
+    # the scan stage; a one-file table runs that CPU in one task.  The
+    # corpus count keeps the plain scan (no exchange for a count).
     tf = (
-        docs.select("doc_id", F.explode(tokens).alias("token"))
+        spread_table(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", F.explode(tokens).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -456,7 +460,9 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda t: t != F.lit(""),
     )
-    d = table(spark, sf_dir, "documents").select(toks.alias("toks"))
+    # spread_table (guide §2.5): both explodes' tokenize CPU fuses into
+    # the scan stage — spread it; no-op once splits ≥ cores.
+    d = spread_table(spark, sf_dir, "documents", "doc_id").select(toks.alias("toks"))
     uni = d.select(F.explode("toks").alias("w"))
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     bi = d.filter(F.size("toks") >= 2).select(
@@ -593,8 +599,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda t: t != F.lit(""),
     )
+    # spread_table (guide §2.5): scan-fused tokenize CPU; no-op at scale.
     u = (
-        table(spark, sf_dir, "documents")
+        spread_table(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode("toks").alias("w"))
     )
@@ -738,8 +745,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda t: t != F.lit(""),
     )
+    # spread_table (guide §2.5): scan-fused tokenize CPU; no-op at scale.
     u = (
-        table(spark, sf_dir, "documents")
+        spread_table(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode("toks").alias("w"))
     )
@@ -830,8 +838,9 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda t: t != F.lit(""),
     )
+    # spread_table (guide §2.5): scan-fused tokenize CPU; no-op at scale.
     u = (
-        table(spark, sf_dir, "documents")
+        spread_table(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode("toks").alias("w"))
     )
@@ -896,19 +905,21 @@ UNION ALL SELECT 3, x, y, x || y, pair_count FROM m3
 def _bpe_pair_argmax(vocab: DataFrame) -> DataFrame:
     """Most frequent adjacent symbol pair in a `(wcount, seq)` vocabulary
     (ties broken lexicographically) — one shuffle + TakeOrdered(1)."""
+    # Adjacent pairs via zip_with over two slices of a MATERIALIZED syms
+    # column: the previous transform(sequence, element_at(syms, i)) form
+    # re-evaluated the split+filter subtree per element, interpreted —
+    # O(len²) per word (the repo-wide array-HOF trap; cf.
+    # exploded_shingles).  zip_with's lambda runs once per element over
+    # bound attributes, so the pair build is O(len).
     syms = F.filter(F.split(F.col("seq"), r"\|\|"), lambda s: s != F.lit(""))
-    pairs = F.when(
-        F.size(syms) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(syms) - 1),
-            lambda i: F.struct(
-                F.element_at(syms, i).alias("x"),
-                F.element_at(syms, i + 1).alias("y"),
-            ),
-        ),
+    sdf = vocab.select("wcount", syms.alias("syms")).filter(F.size("syms") >= 2)
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+        F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
     )
     return (
-        vocab.select("wcount", F.explode(pairs).alias("p"))
+        sdf.select("wcount", F.explode(pairs).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.sum("wcount").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "x", "y")
@@ -992,7 +1003,7 @@ def _bpe_learn_merges(
             lambda t: t != F.lit(""),
         )
         words = (
-            table(spark, sf_dir, "documents")
+            spread_table(spark, sf_dir, "documents", "doc_id")
             .select(F.explode(toks).alias("word"))
             .filter(F.length("word") <= BPE_TRAIN_MAX_WORD)
             .groupBy("word")
@@ -1058,8 +1069,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda t: t != F.lit(""),
     )
+    # spread_table (guide §2.5): scan-fused tokenize CPU; no-op at scale.
     dw = (
-        table(spark, sf_dir, "documents")
+        spread_table(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", F.explode(toks).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))

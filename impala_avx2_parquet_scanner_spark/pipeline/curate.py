@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
-from impala_avx2_parquet_scanner_spark.catalog import table
+from impala_avx2_parquet_scanner_spark.catalog import spread_table, table
 from impala_avx2_parquet_scanner_spark.functions.text import (
     _lang_sql_score,
     lang_id,
@@ -58,8 +58,12 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions fused into the scan stage; the only shuffle is the
     window-min over the normalized-text fingerprint (dedup keep-first)."""
     t = F.col("text")
+    # spread_table: guide §2.5 — the gate/lang-ID/md5 regex CPU is fused
+    # into the scan stage, so a one-small-file table runs it all in ONE
+    # task (measured 3.4 s single-task at sf0.1).  No-op once splits ≥
+    # cores, i.e. at any real scale.
     gated = (
-        table(spark, sf_dir, "documents")
+        spread_table(spark, sf_dir, "documents", "doc_id")
         .filter(F.length(t).between(100, 20000) & (token_count(t) >= 20))
         .filter(lang_id(t) == "en")
         .select(

@@ -105,6 +105,45 @@ def _vec_udf(fn):
     return u
 
 
+def _fold_cross(A, B):
+    """(n, m) matrix whose (i, j) entry is the strict left-to-right fold
+    of ``A[i] * B[j]`` in dimension order — the cross-product counterpart
+    of `_fold_rows`, bit-identical per pair to the expression chain."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _cos_cross(A, B):
+    """(n, m) cosine matrix with every fold (dot, |a|², |b|²) in the exact
+    sequential order of the `cosine` expression form."""
+    import numpy as np
+
+    na = np.sqrt(_fold_rows(A * A))
+    nb = np.sqrt(_fold_rows(B * B))
+    return _fold_cross(A, B) / (na[:, None] * nb[None, :])
+
+
+def _gt_total(x, y):
+    """Spark/DuckDB double ``>``: total order with NaN greater than every
+    value (both engines diverge from IEEE here, in the same direction)."""
+    import numpy as np
+
+    return (x > y) | (np.isnan(x) & ~np.isnan(y))
+
+
+def _argmax_total(C):
+    """Row-wise argmax under the engines' double total order (NaN
+    greatest); ties resolve to the FIRST (= lowest-id when columns are
+    id-sorted) — matching ``max(struct(sim, -id))``."""
+    import numpy as np
+
+    return np.argmax(np.where(np.isnan(C), np.inf, C), axis=1)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double dot product — vectorized in one
     Arrow batch (guide §4.2); bit-identical to the previous interpreted
@@ -664,13 +703,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-3 exhaustive broadcast-argmax against all k=N/64 centroids was
     itself O(N·k)=O(N²/64) with a corpus-sized/64 broadcast — the
     quadratic had moved, not vanished).  A set of
-    S = min(k, max(64, ceil(sqrt(k)))) super-centroids broadcasts —
-    constant 64 until k=4096, then the sqrt(k) IVF coarse-quantizer
-    shape, which keeps the broadcast a few MB even at a trillion vectors;
-    points and centroids each route to their nearest super-centroid in
-    O(N·S) work, then the point↔centroid argmax happens inside each
-    super-cell via a keyed join (centroids co-partitioned by super_id,
-    no broadcast).  Every cell is non-empty (super-centroid s is also
+    S = min(k, max(64, ceil(sqrt(k)))) super-centroids is materialized
+    driver-side (round-10: the same bounded rows the previous plan's
+    BroadcastExchange collected — constant 64 until k=4096, then the
+    sqrt(k) IVF coarse-quantizer shape, a few MB even at a trillion
+    vectors) and shipped into a mapInPandas routing kernel; points and
+    centroids each route to their nearest super-centroid in O(N·S)
+    numpy work crossing the Python boundary once per ROW (not per
+    row×super — guide §4.2/§8), then the point↔centroid argmax happens
+    inside each super-cell via a cogrouped applyInPandas kernel
+    (centroids co-partitioned by super_id, no broadcast).  Every cell is non-empty (super-centroid s is also
     centroid s, and routes to itself at cosine 1).  S=sqrt(k) balances
     the two per-point terms (routing O(S) + in-cell argmax O(k/S)), so
     total assignment work is O(N·sqrt(k)) at depth 2 — exact
@@ -712,83 +754,119 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("super_id"), F.col("emb").alias("semb"))
     )
 
-    def route(df, id_col: str, emb_col: str):
-        """Nearest super-centroid (ties → lower super_id) via broadcast
-        of the constant-size super set + map-side argmax."""
-        scored = df.crossJoin(F.broadcast(sup)).select(
-            id_col,
-            emb_col,
-            "super_id",
-            cosine(F.col(emb_col), F.col("semb")).alias("ssim"),
-        )
-        best = F.max(
-            F.struct(
-                F.col("ssim").alias("ssim"), (-F.col("super_id")).alias("neg_sid")
+    # Routing/assignment/pair scoring run as numpy kernels that cross the
+    # Python boundary ONCE PER ROW (guide §4.2/§8: decide with small
+    # crossings).  The previous shape — crossJoin(sup) + per-pair cosine —
+    # blew each vector up S× before the similarity expression ever ran:
+    # interpreted JVM folds cost 334 CPU-s in the pair stage alone, and a
+    # pandas_udf over the blown-up rows shipped ~2 GB of arrays per stage
+    # (paired A/B: 9.3 s vs 4.1 s — the boundary cost exceeded the compute
+    # saved).  Every fold below is the exact sequential order of the
+    # `cosine` expression (`_cos_cross`), every argmax/comparison the
+    # engines' NaN-greatest total order, so the result is bit-identical
+    # and the DuckDB oracle still replays it term-for-term.
+    import numpy as np
+
+    # Bounded driver materialization of the super set — the same S rows
+    # the previous plan collected into a BroadcastExchange (S stays
+    # min(k, max(64, ceil(sqrt(k)))): ~64 KB here, a few MB at 1T rows).
+    sup_rows = sorted(sup.collect(), key=lambda r: r.super_id)
+    sup_ids = np.array([r.super_id for r in sup_rows], dtype=np.int64)
+    sup_mat = np.array([list(r.semb) for r in sup_rows], dtype=np.float64)
+
+    def route_kernel(id_name: str, emb_name: str):
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.vstack(pdf[emb_name].to_numpy()).astype(
+                    "float64", copy=False
+                )
+                best = _argmax_total(_cos_cross(A, sup_mat))
+                out = pdf[[id_name, emb_name]].copy()
+                out["super_id"] = sup_ids[best]
+                yield out
+
+        return fn
+
+    c_routed = c.mapInPandas(
+        route_kernel("centroid_id", "cemb"),
+        "centroid_id long, cemb array<double>, super_id long",
+    )
+    p_routed = e.mapInPandas(
+        route_kernel("vec_id", "emb"),
+        "vec_id long, emb array<double>, super_id long",
+    )
+
+    def assign_cell(points, cents):
+        """Exact nearest centroid within one super cell (ties → lower
+        centroid_id).  Every populated cell holds ≥1 centroid: super-
+        centroid s is also centroid s and routes to itself at cosine 1."""
+        if len(points) == 0 or len(cents) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "emb": pd.Series(dtype="object"),
+                    "centroid_id": pd.Series(dtype="int64"),
+                    "centroid_sim": pd.Series(dtype="float64"),
+                }
             )
-        ).alias("m")
-        return (
-            scored.groupBy(id_col)
-            .agg(best, F.first(emb_col).alias(emb_col))
-            .select(
-                id_col, emb_col, (-F.col("m.neg_sid")).cast("long").alias("super_id")
-            )
+        cents = cents.sort_values("centroid_id")
+        P = np.vstack(points["emb"].to_numpy()).astype("float64", copy=False)
+        Cm = np.vstack(cents["cemb"].to_numpy()).astype("float64", copy=False)
+        C = _cos_cross(P, Cm)
+        best = _argmax_total(C)
+        return pd.DataFrame(
+            {
+                "vec_id": points["vec_id"].to_numpy(),
+                "emb": points["emb"].to_numpy(),
+                "centroid_id": cents["centroid_id"].to_numpy()[best],
+                "centroid_sim": C[np.arange(len(points)), best],
+            }
         )
 
-    c_routed = route(c, "centroid_id", "cemb")
-    p_routed = route(e, "vec_id", "emb")
-    scored = p_routed.join(c_routed, "super_id").select(
-        "vec_id",
-        "emb",
-        "centroid_id",
-        cosine(F.col("emb"), F.col("cemb")).alias("sim"),
-    )
-    best = F.max(
-        F.struct(
-            F.col("sim").alias("sim"),
-            (-F.col("centroid_id")).alias("neg_cid"),
-        )
-    ).alias("m")
     assigned = (
-        scored.groupBy("vec_id")
-        .agg(best, F.first("emb").alias("emb"))
-        .select(
-            "vec_id",
-            "emb",
-            (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
-            F.col("m.sim").alias("centroid_sim"),
+        p_routed.groupBy("super_id")
+        .cogroup(c_routed.groupBy("super_id"))
+        .applyInPandas(
+            assign_cell,
+            "vec_id long, emb array<double>, centroid_id long, centroid_sim double",
         )
-        # The assignment feeds three consumers (both sides of the pair
-        # self-join + the final verdict join); without a materialization
-        # point Catalyst re-derives the whole routing subtree per consumer
-        # (measured 27 shuffles vs ~11).  Persisting here is the SemDeDup
-        # paper's own structure — cluster assignments are materialized
-        # before pair scoring — and at 100 TB this is a checkpoint table.
+        # The assignment feeds the pair kernel + the final verdict join;
+        # without a materialization point Catalyst re-derives the whole
+        # routing subtree per consumer (measured 27 shuffles vs ~11).
+        # Persisting here is the SemDeDup paper's own structure — cluster
+        # assignments are materialized before pair scoring — and at
+        # 100 TB this is a checkpoint table.
         .persist()
     )
-    a = assigned.select(
-        "centroid_id",
-        F.col("vec_id").alias("a_id"),
-        F.col("emb").alias("a_emb"),
-        F.col("centroid_sim").alias("a_cs"),
-    )
-    b = assigned.select(
-        "centroid_id",
-        F.col("vec_id").alias("b_id"),
-        F.col("emb").alias("b_emb"),
-        F.col("centroid_sim").alias("b_cs"),
-    )
-    pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("a_emb"), F.col("b_emb")) > SEMDEDUP_TAU)
-    )
-    loser = F.when(
-        (F.col("a_cs") > F.col("b_cs"))
-        | ((F.col("a_cs") == F.col("b_cs")) & (F.col("a_id") > F.col("b_id"))),
-        F.col("a_id"),
-    ).otherwise(F.col("b_id"))
-    losers = pairs.select(loser.alias("vec_id")).distinct().withColumn(
-        "pruned", F.lit(True)
+
+    def pair_losers(pdf):
+        """Within-cluster near-duplicate pairs (cos > τ, Spark's
+        NaN-greatest `>`): of each pair prune the member closer to the
+        centroid (ties → the higher vec_id), exactly the previous
+        self-join's loser rule with a_id < b_id."""
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        g = pdf.sort_values("vec_id")
+        E = np.vstack(g["emb"].to_numpy()).astype("float64", copy=False)
+        C = _cos_cross(E, E)
+        i, j = np.triu_indices(len(g), k=1)
+        c_ij = C[i, j]
+        hit = (c_ij > SEMDEDUP_TAU) | np.isnan(c_ij)
+        if not hit.any():
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        ids = g["vec_id"].to_numpy()
+        cs = g["centroid_sim"].to_numpy()
+        ih, jh = i[hit], j[hit]
+        losers = np.where(_gt_total(cs[ih], cs[jh]), ids[ih], ids[jh])
+        return pd.DataFrame({"vec_id": np.unique(losers)})
+
+    losers = (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(pair_losers, "vec_id long")
+        .distinct()
+        .withColumn("pruned", F.lit(True))
     )
     out = (
         assigned.join(losers, "vec_id", "left")

@@ -48,7 +48,10 @@ BUDGETS = {
     # pipeline scale paths
     "dedup_exact": 1,
     "dedup_minhash_lsh": 4,
-    "pipeline_curate": 1,
+    "pipeline_curate": 2,  # +1 round-10: spread_table's conditional hash
+    # repartition of the one-file local fixture (guide §2.5); at real
+    # scale (scan splits >= cores) the spread is a no-op and the plan is
+    # the original single exchange.
     "ann_ivf_topk": 3,
     "dedup_incremental": 4,
     # unrolled-iteration training loops (persisted invariant input)
@@ -58,7 +61,9 @@ BUDGETS = {
     "scan_avro_roundtrip": 1,
     "multimodal_phash_neardup": 2,
     "events_interpolate": 3,
-    "graph_triangles": 15,
+    "graph_triangles": 13,  # round-10 adjacency-intersection form: the
+    # wedge self-join pair is gone; counts come from one collect_list agg
+    # + two attach joins over the oriented edges.
     "window_ewma": 1,
     "dedup_containment": 7,  # codegen shingle path: window + distinct + df/agg
     # joins; 5 when stats let the df-cap join broadcast, 7 when it shuffles

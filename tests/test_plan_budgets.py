@@ -61,9 +61,10 @@ BUDGETS = {
     "scan_avro_roundtrip": 1,
     "multimodal_phash_neardup": 2,
     "events_interpolate": 3,
-    "graph_triangles": 13,  # round-10 adjacency-intersection form: the
+    "graph_triangles": 15,  # round-10 adjacency-intersection form: the
     # wedge self-join pair is gone; counts come from one collect_list agg
-    # + two attach joins over the oriented edges.
+    # + two keyed attach joins over the oriented edges (static plan; AQE
+    # converts the attach sides to broadcast at runtime when they fit).
     "window_ewma": 1,
     "dedup_containment": 7,  # codegen shingle path: window + distinct + df/agg
     # joins; 5 when stats let the df-cap join broadcast, 7 when it shuffles

@@ -123,6 +123,11 @@ def spread_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataF
 
 
 def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    # SPARK_GRAFT_NO_SPREAD disables the local-parallelism repartition
+    # outright (A/B harness + production opt-out; at real scale the
+    # split-count probe below already makes it a no-op).
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

@@ -1322,7 +1322,7 @@ _register_inventory_query()
 def _register_gif_roundtrip_query() -> None:
     from pyspark.sql import SparkSession
 
-    from impala_avx2_parquet_scanner_spark.catalog import table
+    from impala_avx2_parquet_scanner_spark.catalog import spread_table, table
     from impala_avx2_parquet_scanner_spark.registry import query
 
     W = 16
@@ -1395,7 +1395,13 @@ FROM b GROUP BY doc_id, h
                     rows, columns=["doc_id", "width", "height", "pixel_sum"]
                 )
 
-        d = table(spark, sf_dir, "documents").select(
+        # spread_table (guide §2.5): the LZW encode+decode is seconds of
+        # CPU fused into a one-file scan → one task locally (paired A/B
+        # min 1.65 s spread vs 3.79 s plain).  The other multimodal
+        # queries stay un-spread: their per-doc CPU is sub-second total,
+        # so 32 extra Python-worker spin-ups cost more than they save
+        # (features 0.37→0.66, phash 1.53→3.57 in the same A/B).
+        d = spread_table(spark, sf_dir, "documents", "doc_id").select(
             "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
         )
         return d.mapInPandas(run, schema=schema)

@@ -102,6 +102,36 @@ SCALE10_QUERIES = [
 EXTRA_REPS = {"tpch_q2": 4}
 
 
+def _steal_sample() -> tuple[int, int] | None:
+    """(steal_jiffies, busy_jiffies) from the aggregate /proc/stat line,
+    where busy = everything except idle+iowait.  Linux-only, best-effort.
+
+    Round-10 finding: this VM's "machine weather" is hypervisor CPU
+    steal that is TRIGGERED BY OUR OWN LOAD — /proc/stat steal sits at
+    ~0.3% while the box idles and jumps to 60-380 jiffies per 2 s the
+    moment a Spark job runs, so a floor probe can read 4-10x loud with
+    zero local load and no external noise to "wait out".  Recording
+    steal/busy over the timed region makes the artifact carry direct
+    evidence of how much of the run the hypervisor confiscated, instead
+    of inferring it from the floor/DuckDB yardsticks alone."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        v = [int(x) for x in fields[1:]]
+        idle = v[3] + (v[4] if len(v) > 4 else 0)
+        steal = v[7] if len(v) > 7 else 0
+        return steal, sum(v) - idle
+    except Exception:  # noqa: BLE001  (non-Linux / locked-down /proc)
+        return None
+
+
+def _steal_pct(a, b) -> float | None:
+    """Percent of busy CPU time stolen between two _steal_sample()s."""
+    if not a or not b or b[1] <= a[1]:
+        return None
+    return round(100.0 * (b[0] - a[0]) / (b[1] - a[1]), 2)
+
+
 def synth_scale10_dir(spark, base_sf: str) -> str:
     """Write-once 10x replication of lineitem+orders under /tmp and
     return a dir usable as an sf_dir (other tables symlink to the base).
@@ -211,6 +241,7 @@ def main() -> None:
     # rule already rejects.  All probes land in the artifact so it
     # self-reports its weather.
     weather_probes: list[float] = []
+    weather_probe_steal: list[float | None] = []
     retries = int(os.environ.get("SPARK_GRAFT_WEATHER_RETRIES", "3"))
     wait_s = float(os.environ.get("SPARK_GRAFT_WEATHER_WAIT", "45"))
 
@@ -224,12 +255,14 @@ def main() -> None:
         _gc.collect()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        s0 = _steal_sample()
         fb, _ = timed_best(
             lambda: spark.read.parquet(
                 os.path.join(sf_dir, "region.parquet")
             ).count(),
             base_floor=3,
         )
+        weather_probe_steal.append(_steal_pct(s0, _steal_sample()))
         return round(fb, 4)
 
     weather_probes.append(floor_probe())
@@ -239,6 +272,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     rep_stats: dict[str, dict] = {}
+    steal_headline0 = _steal_sample()
     for name in names:
         best, stats = timed_best(
             lambda: REGISTRY[name].fn(spark, sf_dir).collect(),
@@ -246,6 +280,7 @@ def main() -> None:
         )
         times[name] = round(best, 4)
         rep_stats[name] = stats
+    steal_headline = _steal_pct(steal_headline0, _steal_sample())
 
     out = {
         "metric": "headline_total_sec",
@@ -268,6 +303,8 @@ def main() -> None:
     out["spark_floor_sec"] = round(floor_best, 4)
     out["spark_floor_stats"] = floor_stats
     out["weather_probes"] = weather_probes
+    out["weather_probe_steal_pct"] = weather_probe_steal
+    out["cpu_steal_pct_headline"] = steal_headline
     out["weather"] = (
         "quiet" if floor_best <= 0.105 else "loud"
     )

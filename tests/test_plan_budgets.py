@@ -61,10 +61,15 @@ BUDGETS = {
     "scan_avro_roundtrip": 1,
     "multimodal_phash_neardup": 2,
     "events_interpolate": 3,
-    "graph_triangles": 15,  # round-10 adjacency-intersection form: the
+    "graph_triangles": 16,  # round-10 adjacency-intersection form: the
     # wedge self-join pair is gone; counts come from one collect_list agg
     # + two keyed attach joins over the oriented edges (static plan; AQE
     # converts the attach sides to broadcast at runtime when they fit).
+    # 15 -> 16 when adj gained a persist: the cached collect_list subtree
+    # prints its own exchange AND each attach leg still plans a repartition
+    # of the cache read — one more STATIC exchange, but the build itself
+    # now runs once instead of twice (stage profile showed twin ~90 CPU-s
+    # stages; interleaved A/B min 5.27 -> 3.79 s at sf0.1).
     "window_ewma": 1,
     "dedup_containment": 7,  # codegen shingle path: window + distinct + df/agg
     # joins; 5 when stats let the df-cap join broadcast, 7 when it shuffles

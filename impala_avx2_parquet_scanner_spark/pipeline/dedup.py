@@ -886,10 +886,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("docs")
         .persist()
     )
+    # sizes feeds BOTH the sa and sb attach legs; unpersisted, each leg
+    # replans the explode+groupBy over the lists cache and the build runs
+    # twice (stage profile: twin 32-task stages, 2.6 MB cache in → 1.1 MB
+    # shuffle out each).  One row per doc — dimension-sized at any scale.
+    # Interleaved A/B at sf0.1: min 2.71 → 2.47 s, new wins 4/4 pairs.
     sizes = (
         lists.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_rare"))
+        .persist()
     )
     pair = F.explode(
         F.flatten(
@@ -920,7 +926,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_MIN)
     )
-    return tie_unpersist(out, lists)
+    return tie_unpersist(out, lists, sizes)
 
 
 EDIT_PREFIX = 48

@@ -98,6 +98,28 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def pin_above_spread(col):
+    """Identity on every row, but nondeterministic to the optimizer:
+    ``when(spark_partition_id() >= 0, col)`` — partition ids are always
+    non-negative, so the branch always takes ``col``.
+
+    Why: Catalyst pushes deterministic filters AND pruning projections
+    straight through ``spread_table``'s repartition back into the
+    single-split scan task, re-serializing exactly the CPU the spread
+    exists to parallelize (round-10 stage profiles: pipeline_curate's
+    whole 12-regex lang-ID gate and the text family's tokenize
+    projections all ran below the exchange).  Wrapping the expensive
+    expression in this tautology makes its parent operator
+    nondeterministic, which blocks the push, so the work lands after the
+    exchange on every core.  A standalone nondeterministic conjunct does
+    NOT suffice (the push splits conjunctions and takes the
+    deterministic parts), and ``rand(seed) > -1`` specifically is
+    constant-folded away by Spark 4.1's Rand range analysis.  When
+    spread is a no-op (splits ≥ cores — any real scale) there is no
+    exchange and the pin is inert."""
+    return F.when(F.spark_partition_id() >= F.lit(0), col)
+
+
 def spread_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """`table`, hash-repartitioned to the session's parallelism when the
     scan would otherwise under-parallelize — guide §2.5 input skew: the

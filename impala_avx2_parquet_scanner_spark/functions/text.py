@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
-from impala_avx2_parquet_scanner_spark.catalog import spread_table, table
+from impala_avx2_parquet_scanner_spark.catalog import (
+    pin_above_spread,
+    spread_table,
+    table,
+)
 from impala_avx2_parquet_scanner_spark.registry import query
 
 #: Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -462,7 +466,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread_table (guide §2.5): both explodes' tokenize CPU fuses into
     # the scan stage — spread it; no-op once splits ≥ cores.
-    d = spread_table(spark, sf_dir, "documents", "doc_id").select(toks.alias("toks"))
+    # pin_above_spread: without it Catalyst pushes this projection below
+    # the spread exchange and the tokenize runs single-task again.
+    d = spread_table(spark, sf_dir, "documents", "doc_id").select(
+        pin_above_spread(toks).alias("toks")
+    )
     uni = d.select(F.explode("toks").alias("w"))
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     bi = d.filter(F.size("toks") >= 2).select(
@@ -600,9 +608,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t != F.lit(""),
     )
     # spread_table (guide §2.5): scan-fused tokenize CPU; no-op at scale.
+    # pin_above_spread: without it Catalyst pushes the tokenize
+    # projection below the spread exchange — single-task again.
     u = (
         spread_table(spark, sf_dir, "documents", "doc_id")
-        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", pin_above_spread(toks).alias("toks"))
         .select("doc_id", F.explode("toks").alias("w"))
     )
     uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -839,9 +849,11 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t != F.lit(""),
     )
     # spread_table (guide §2.5): scan-fused tokenize CPU; no-op at scale.
+    # pin_above_spread: without it Catalyst pushes the tokenize
+    # projection below the spread exchange — single-task again.
     u = (
         spread_table(spark, sf_dir, "documents", "doc_id")
-        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", pin_above_spread(toks).alias("toks"))
         .select("doc_id", F.explode("toks").alias("w"))
     )
     tf = u.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from impala_avx2_parquet_scanner_spark.cache import tie_unpersist
-from impala_avx2_parquet_scanner_spark.catalog import spread_table, table
+from impala_avx2_parquet_scanner_spark.catalog import (
+    pin_above_spread,
+    spread_table,
+    table,
+)
 from impala_avx2_parquet_scanner_spark.functions.text import (
     _lang_sql_score,
     lang_id,
@@ -62,10 +66,26 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the scan stage, so a one-small-file table runs it all in ONE
     # task (measured 3.4 s single-task at sf0.1).  No-op once splits ≥
     # cores, i.e. at any real scale.
+    #
+    # Gate placement: Catalyst pushes every DETERMINISTIC conjunct
+    # through the spread repartition back into the single-split scan task
+    # (stage profile: the whole 12-regex lang-ID tree ran below the
+    # exchange, serialized on one core; conjunct order does not matter —
+    # the push splits conjunctions).  The cheap length/token gates are
+    # LEFT pushable (they shrink the exchange), while the lang-ID gate is
+    # entangled with a nondeterministic tautology — when(partition_id >=
+    # 0, lang) is lang on every row but unsplittable and unpushable — so
+    # the regex CPU lands after the spread, on every core.  (A standalone
+    # `rand(s) > -1` conjunct does NOT work: Spark 4.1 constant-folds
+    # Rand range comparisons, and a separate nondeterministic conjunct
+    # leaves the deterministic ones pushable.)  When spread is a no-op
+    # (splits ≥ cores) there is no exchange and the pin is inert.
     gated = (
         spread_table(spark, sf_dir, "documents", "doc_id")
         .filter(F.length(t).between(100, 20000) & (token_count(t) >= 20))
-        .filter(lang_id(t) == "en")
+        .filter(
+            pin_above_spread(lang_id(t)) == "en"
+        )
         .select(
             "doc_id",
             F.md5(normalize_text(t)).alias("text_key"),

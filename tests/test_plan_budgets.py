@@ -109,3 +109,43 @@ def test_exchange_budget(spark, sf_dir, name):
         f"{name}: {got} exchanges > budget {BUDGETS[name]} — a broadcast, "
         "stage reuse, or pushdown was probably lost; compare PLANS.md"
     )
+
+
+#: Round-10 spread-pin tripwire: spread_table exists to move expensive
+#: per-row CPU behind a local repartition, but Catalyst pushes
+#: deterministic filters AND pruning projections straight through
+#: RepartitionByExpression back into the single-split scan task, silently
+#: re-serializing that CPU (stage profiles: curate's 12-regex lang-ID gate
+#: and the tokenize projections of pmi/logprob/entropy all ran below the
+#: exchange).  pin_above_spread (catalog.py) blocks the push with a
+#: nondeterministic tautology; this test asserts the marker expression of
+#: each pinned query stays OUT of every repartition's subtree so a future
+#: refactor (or optimizer-rule change) that re-sinks the work fails here.
+SPREAD_PINNED = {
+    "pipeline_curate": ("regexp_extract_all",),  # lang-ID marker regexes
+    "text_bigram_pmi": ("regexp_replace",),      # tokenize projection
+    "text_unigram_logprob": ("regexp_replace",),
+    "text_entropy": ("regexp_replace",),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPREAD_PINNED))
+def test_heavy_work_stays_above_spread(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    offenders: list[str] = []
+
+    def walk(node):
+        if "Repartition" in node.getClass().getSimpleName():
+            child = "\n".join(node.toString().splitlines()[1:])
+            offenders.extend(h for h in SPREAD_PINNED[name] if h in child)
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(plan)
+    assert not offenders, (
+        f"{name}: {sorted(set(offenders))} found below a repartition — "
+        "the expensive expression was pushed back into the scan task; "
+        "check pin_above_spread usage (catalog.py)"
+    )

@@ -120,7 +120,11 @@ def _steal_sample() -> tuple[int, int] | None:
         v = [int(x) for x in fields[1:]]
         idle = v[3] + (v[4] if len(v) > 4 else 0)
         steal = v[7] if len(v) > 7 else 0
-        return steal, sum(v) - idle
+        # busy from the first 8 fields only (user nice system idle iowait
+        # irq softirq steal): guest/guest_nice (v[8:]) are already counted
+        # inside user/nice on Linux, so summing them would double-count
+        # and understate the steal percentage (ADVICE r10).
+        return steal, sum(v[:8]) - idle
     except Exception:  # noqa: BLE001  (non-Linux / locked-down /proc)
         return None
 

@@ -116,7 +116,20 @@ def pin_above_spread(col):
     deterministic parts), and ``rand(seed) > -1`` specifically is
     constant-folded away by Spark 4.1's Rand range analysis.  When
     spread is a no-op (splits ≥ cores — any real scale) there is no
-    exchange and the pin is inert."""
+    exchange and the pin is inert stage-wise; under SPARK_GRAFT_NO_SPREAD
+    the pin returns ``col`` unchanged so the A/B opt-out path reproduces
+    the exact pre-pin plan (ADVICE r10: the wrapper would otherwise still
+    block scan-level pushdown of the wrapped predicate, making opt-out
+    runs an impure baseline).
+
+    Schema note (ADVICE r10): ``when()`` without ``otherwise()`` makes
+    the wrapped column nullable in the output schema.  Values are
+    unchanged (the condition is always true), and the driver's
+    canonicalizer compares column NAMES + values, never nullability —
+    but a downstream consumer adding a not-null assumption on a pinned
+    column should read this first."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return col
     return F.when(F.spark_partition_id() >= F.lit(0), col)
 
 

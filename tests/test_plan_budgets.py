@@ -134,9 +134,12 @@ def test_heavy_work_stays_above_spread(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan()
     offenders: list[str] = []
+    n_repart = 0
 
     def walk(node):
+        nonlocal n_repart
         if "Repartition" in node.getClass().getSimpleName():
+            n_repart += 1
             child = "\n".join(node.toString().splitlines()[1:])
             offenders.extend(h for h in SPREAD_PINNED[name] if h in child)
         it = node.children().iterator()
@@ -144,6 +147,22 @@ def test_heavy_work_stays_above_spread(spark, sf_dir, name):
             walk(it.next())
 
     walk(plan)
+    # Vacuous-pass guards (ADVICE r10): the tripwire only means anything
+    # if (a) the marker expression still exists in the plan at all (a
+    # tokenize/lang-ID rename must fail loudly, not silently disarm the
+    # test) and (b) the spread actually produced a Repartition on this
+    # fixture (single-file fixtures < test parallelism, so it must).
+    full = plan.toString()
+    missing = [h for h in SPREAD_PINNED[name] if h not in full]
+    assert not missing, (
+        f"{name}: marker(s) {missing} absent from the optimized plan — "
+        "the expression was renamed/removed; update SPREAD_PINNED so the "
+        "tripwire keeps guarding the real expensive work"
+    )
+    assert n_repart >= 1, (
+        f"{name}: no Repartition node in the plan — spread_table became "
+        "a no-op on this fixture and the tripwire is vacuous"
+    )
     assert not offenders, (
         f"{name}: {sorted(set(offenders))} found below a repartition — "
         "the expensive expression was pushed back into the scan task; "

@@ -90,13 +90,17 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part window MIN + equality filter — ONE pass over the regional
     slice, no self-join-back, no reliance on AQE exchange reuse (the
     window repartitions on ps_partkey, whose groups are per-part supplier
-    lists — tiny at any scale); supplier×nation×region prune lineitem
-    BEFORE the pair aggregation, so the big shuffle only carries the
-    region's lines.  The pruned supplier set scales with SF, so it is
-    not pinned broadcast — AQE broadcasts it while small (same plan at
-    fixture scale) and degrades to a shuffle join at cluster scale;
-    only the fixed-size nation/region keep hints.  Final
-    TakeOrderedAndProject, never a global sort."""
+    lists — tiny at any scale); supplier×nation×region AND the part
+    predicate's key set both prune lineitem BEFORE the pair aggregation
+    (round-11, guide §3.2 semi-join reduction: the per-part MIN groups
+    are whole partkey groups, so dropping non-qualifying partkeys below
+    the window cannot change any surviving min — measured 3.7 % part
+    selectivity cuts the pair shuffle ~27x).  The pruned supplier and
+    part-key sets scale with SF, so they are not pinned broadcast — AQE
+    broadcasts them while small (same plan at fixture scale) and
+    degrades to shuffle joins at cluster scale; only the fixed-size
+    nation/region keep hints.  Final TakeOrderedAndProject, never a
+    global sort."""
     sup = (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(table(spark, sf_dir, "nation")),
@@ -106,15 +110,20 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    li = table(spark, sf_dir, "lineitem").join(
-        sup.select("s_suppkey"),
-        F.col("l_suppkey") == F.col("s_suppkey"),
-    ).drop("s_suppkey")
-    rs = _partsupp(spark, sf_dir, li).join(
-        sup, F.col("ps_suppkey") == F.col("s_suppkey")
-    )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(sup.select("s_suppkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .drop("s_suppkey")
+        .join(p.select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    rs = _partsupp(spark, sf_dir, li).join(
+        sup, F.col("ps_suppkey") == F.col("s_suppkey")
     )
     min_cost = F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
     return (

@@ -260,22 +260,50 @@ def _minhash_oracle() -> str:
 @query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "pipeline"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs: shingle → K min-hashes →
-    band buckets → bucket self-join.  Docs sharing any band's full
-    signature slice become candidates (doc_a < doc_b)."""
+    band buckets → per-bucket pair explosion.  Docs sharing any band's
+    full signature slice become candidates (doc_a < doc_b).
+
+    Round-11 rewrite (guide §2.4, the containment/winnowing trick): the
+    bucket IS the pair generator — one (band, band_key)-keyed exchange
+    builds each bucket's sorted doc list and pairs explode from the list
+    in place, replacing the round-9 bucket SELF-JOIN (which exchanged
+    and sorted the bands table twice and shuffled the joined pairs a
+    third time).  A pair can share at most one bucket per band (a doc
+    has exactly one band_key per band), so `count(1)` over exploded
+    pairs equals the old `countDistinct(band)` exactly — and the count
+    is map-side combinable where the self-join's distinct was not.
+
+    Scale note: bucket sizes are data-dependent (no df-cap in these
+    semantics, unlike containment/winnowing); candidate output is
+    Θ(Σ bucket²) under EITHER plan, but a boilerplate mega-bucket runs
+    single-task here where the old sort-merge join could be AQE
+    skew-split.  Measured at sf0.1 the buckets are tiny (max 4 docs,
+    avg 1.05, 19k buckets) and production LSH caps buckets upstream;
+    if this operator ever feeds uncapped web-scale data, cap or chunk
+    the lists the way dedup_containment does."""
     bands = minhash_bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    lists = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select("docs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("docs"), i + F.lit(2), F.size("docs") - i - 1),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+        lists.select(pair.alias("pair"))
+        .select("pair.doc_a", "pair.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
 
@@ -968,14 +996,33 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, where the two definitions provably coincide — the oracle
     match certifies exactly that.  The distance itself is the O(len^2)
     dynamic program on a BOUNDED prefix, so per-pair cost is a constant,
-    JVM-side (no Python).  Reference parity: string-functions scope
-    (SURVEY §2A #21); blocking policy mirrors `dedup_ngram_jaccard`'s
-    bounded verify stage."""
+    JVM-side (no Python).
+
+    Round-11 (guide §2.5 + §4.4-adjacent codegen trap): two fixes, both
+    measured.  (1) The probe side spreads — the block join broadcasts
+    the dimension-sized build side, so on a one-small-file corpus the
+    whole pair stage ran in the single scan task (8.3 s, 1 task); the
+    spread is a no-op once splits ≥ cores.  (2) The normalize+prefix
+    projection is computed BELOW the spread exchange: `t` is not a join
+    key, so whole-stage codegen DEFERS the projection into the
+    broadcast join's match loop and re-evaluates it once per MATCHED
+    PAIR — 159 k regex evaluations instead of 5 k (isolated: join
+    carrying a regex-derived `t` 6.9 s vs 0.4 s with a cheap `t`; one
+    full regex pass over the corpus is 0.3 s).  Materializing `t` in
+    the exchange makes the stream-side variable a plain column read,
+    and shrinks the shuffle (48-char prefix instead of full text).  At
+    real scale (no spread exchange) the blocked join is a sort-merge
+    whose sort buffer materializes `t` the same way.  Reference parity:
+    string-functions scope (SURVEY §2A #21); blocking policy mirrors
+    `dedup_ngram_jaccard`'s bounded verify stage."""
+    from impala_avx2_parquet_scanner_spark.catalog import _spread  # df-level spread
+
     t = F.substring(F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]+", " ")), 1, EDIT_PREFIX)
-    d = table(spark, sf_dir, "documents").select(
+    base = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", t.alias("t")
     )
-    a, b = d.alias("a"), d.alias("b")
+    a = _spread(spark, base, "doc_id").alias("a")
+    b = base.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))

@@ -710,9 +710,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors) and shipped into a mapInPandas routing kernel; points and
     centroids each route to their nearest super-centroid in O(N·S)
     numpy work crossing the Python boundary once per ROW (not per
-    row×super — guide §4.2/§8), then the point↔centroid argmax happens
-    inside each super-cell via a cogrouped applyInPandas kernel
-    (centroids co-partitioned by super_id, no broadcast).  Every cell is non-empty (super-centroid s is also
+    row×super — guide §4.2/§8), then the point↔centroid argmax, the
+    within-cluster pair scan AND the keep verdict all happen inside one
+    cogrouped applyInPandas kernel per super-cell (round-11 fusion:
+    every point assigned to centroid c routed to c's own cell, so each
+    centroid's point group is complete there — see `assign_cell`; the
+    round-10 shape paid the Python-worker/Arrow boundary three times
+    and re-shuffled the assignment by centroid_id for the pair kernel
+    plus a verdict join).  Centroids co-partition by super_id, no
+    broadcast.  Every cell is non-empty (super-centroid s is also
     centroid s, and routes to itself at cosine 1).  S=sqrt(k) balances
     the two per-point terms (routing O(S) + in-cell argmax O(k/S)), so
     total assignment work is O(N·sqrt(k)) at depth 2 — exact
@@ -722,8 +728,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     The routed assignment is deterministic (cosine ties →
     lower id at both levels), so the DuckDB oracle replays routing,
     assignment, pair scoring, the keep-rule, and the final verdict
-    term-for-term.  The loser set is distinct vec_ids → one keyed left
-    join back onto the assignment marks survivors.  Reference parity:
+    term-for-term.  Reference parity:
     the reference has no ANN/dedup surface — north-star pipeline scope
     (SURVEY §2).
     """
@@ -800,15 +805,30 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign_cell(points, cents):
         """Exact nearest centroid within one super cell (ties → lower
-        centroid_id).  Every populated cell holds ≥1 centroid: super-
-        centroid s is also centroid s and routes to itself at cosine 1."""
+        centroid_id), FUSED with the within-cluster pair scan and keep
+        verdict (round-11, guide §4: the round-10 shape paid the
+        Python-worker/Arrow-stream setup three times — assign kernel,
+        pair kernel, verdict join — 14.7 s runT vs 1.8 s cpuT in the
+        stage profile).  The fusion is sound because every point
+        assigned to centroid c routed to the SAME super cell c did:
+        assignment picks c from the point's own cell, so S(c) = S(p)
+        and each centroid's point group is COMPLETE inside this kernel
+        — the per-centroid pair scan sees exactly the rows the old
+        groupBy(centroid_id) shuffle delivered, and `_cos_cross`
+        entries depend only on their own row pair, so every cosine is
+        bit-identical.  Every populated cell holds ≥1 centroid: super-
+        centroid s is also centroid s and routes to itself at cosine 1.
+
+        Keep rule per pair (cos > τ under the engines' NaN-greatest
+        `>`): prune the member CLOSER to its centroid (ties → higher
+        vec_id) — the SemDeDup keep-the-outlier rule, unchanged."""
         if len(points) == 0 or len(cents) == 0:
             return pd.DataFrame(
                 {
                     "vec_id": pd.Series(dtype="int64"),
-                    "emb": pd.Series(dtype="object"),
                     "centroid_id": pd.Series(dtype="int64"),
                     "centroid_sim": pd.Series(dtype="float64"),
+                    "keep": pd.Series(dtype="bool"),
                 }
             )
         cents = cents.sort_values("centroid_id")
@@ -816,68 +836,45 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         Cm = np.vstack(cents["cemb"].to_numpy()).astype("float64", copy=False)
         C = _cos_cross(P, Cm)
         best = _argmax_total(C)
+        vec_ids = points["vec_id"].to_numpy()
+        cids = cents["centroid_id"].to_numpy()[best]
+        sims = C[np.arange(len(points)), best]
+        keep = np.ones(len(points), dtype=bool)
+        for c in np.unique(cids):
+            idx = np.flatnonzero(cids == c)
+            if idx.size < 2:
+                continue
+            sub = idx[np.argsort(vec_ids[idx])]  # pair scan in vec_id order
+            Cp = _cos_cross(P[sub], P[sub])
+            i, j = np.triu_indices(sub.size, k=1)
+            c_ij = Cp[i, j]
+            hit = (c_ij > SEMDEDUP_TAU) | np.isnan(c_ij)
+            if not hit.any():
+                continue
+            ids = vec_ids[sub]
+            cs = sims[sub]
+            ih, jh = i[hit], j[hit]
+            losers = np.unique(
+                np.where(_gt_total(cs[ih], cs[jh]), ids[ih], ids[jh])
+            )
+            keep[sub[np.isin(ids, losers)]] = False
         return pd.DataFrame(
             {
-                "vec_id": points["vec_id"].to_numpy(),
-                "emb": points["emb"].to_numpy(),
-                "centroid_id": cents["centroid_id"].to_numpy()[best],
-                "centroid_sim": C[np.arange(len(points)), best],
+                "vec_id": vec_ids,
+                "centroid_id": cids,
+                "centroid_sim": sims,
+                "keep": keep,
             }
         )
 
-    assigned = (
+    return (
         p_routed.groupBy("super_id")
         .cogroup(c_routed.groupBy("super_id"))
         .applyInPandas(
             assign_cell,
-            "vec_id long, emb array<double>, centroid_id long, centroid_sim double",
-        )
-        # The assignment feeds the pair kernel + the final verdict join;
-        # without a materialization point Catalyst re-derives the whole
-        # routing subtree per consumer (measured 27 shuffles vs ~11).
-        # Persisting here is the SemDeDup paper's own structure — cluster
-        # assignments are materialized before pair scoring — and at
-        # 100 TB this is a checkpoint table.
-        .persist()
-    )
-
-    def pair_losers(pdf):
-        """Within-cluster near-duplicate pairs (cos > τ, Spark's
-        NaN-greatest `>`): of each pair prune the member closer to the
-        centroid (ties → the higher vec_id), exactly the previous
-        self-join's loser rule with a_id < b_id."""
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
-        g = pdf.sort_values("vec_id")
-        E = np.vstack(g["emb"].to_numpy()).astype("float64", copy=False)
-        C = _cos_cross(E, E)
-        i, j = np.triu_indices(len(g), k=1)
-        c_ij = C[i, j]
-        hit = (c_ij > SEMDEDUP_TAU) | np.isnan(c_ij)
-        if not hit.any():
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
-        ids = g["vec_id"].to_numpy()
-        cs = g["centroid_sim"].to_numpy()
-        ih, jh = i[hit], j[hit]
-        losers = np.where(_gt_total(cs[ih], cs[jh]), ids[ih], ids[jh])
-        return pd.DataFrame({"vec_id": np.unique(losers)})
-
-    losers = (
-        assigned.groupBy("centroid_id")
-        .applyInPandas(pair_losers, "vec_id long")
-        .distinct()
-        .withColumn("pruned", F.lit(True))
-    )
-    out = (
-        assigned.join(losers, "vec_id", "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            "centroid_sim",
-            F.coalesce(~F.col("pruned"), F.lit(True)).alias("keep"),
+            "vec_id long, centroid_id long, centroid_sim double, keep boolean",
         )
     )
-    return tie_unpersist(out, assigned)
 
 
 _KNN_GRAPH_ORACLE = """

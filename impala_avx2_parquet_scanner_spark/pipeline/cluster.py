@@ -63,6 +63,12 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("n_min"))
         )
+        # `prev` (the pre-round label) rides along the whole round
+        # (round-11): the convergence probe used to JOIN the new and old
+        # checkpointed label tables — a per-iteration shuffle join whose
+        # only output was "did anything change"; with `prev` in the same
+        # frame, the probe is a filter over the frame the loop
+        # materializes anyway.
         cand = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -70,6 +76,7 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
         )
         # pointer jump: a component id is itself a node id — chase one
@@ -84,17 +91,16 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
+                "prev",
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break

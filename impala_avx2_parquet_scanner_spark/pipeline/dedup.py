@@ -442,8 +442,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote in SQL: per-token h64 hashes cross-joined with a 0..59 bit
     series, votes summed per (doc, bit), then the fingerprint rebuilt as
     a sum of set-bit powers — so the 60-bit fingerprints (not just row
-    counts) are verified."""
-    return simhash_fingerprints(table(spark, sf_dir, "documents"))
+    counts) are verified.
+
+    Round-11 (§2.5): the corpus spreads before the tokenize+explode —
+    the regex/split/distinct CPU was fused into the one-small-file scan
+    task; no-op once splits ≥ cores.  The per-bit vote sums are
+    map-side combinable, so the spread adds no post-explode bytes."""
+    from impala_avx2_parquet_scanner_spark.catalog import spread_table
+
+    return simhash_fingerprints(
+        spread_table(spark, sf_dir, "documents", "doc_id")
+    )
 
 
 _FUZZY_ORACLE = """

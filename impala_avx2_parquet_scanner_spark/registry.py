@@ -43,19 +43,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: prefix so they sort into the driver's window.  Every other query keeps
 #: its plain name and remains covered by tools/parity.py + pytest.
 #:
-#: ROUND-10 ROTATION: keeps the same 15 sentinels as rounds 4-9 (one per
-#: §2 family, including every query that was ever driver-red), takes ALL
-#: 9 remaining never-driver-hashed names — the round-9 fledir maintenance
-#: and layout family (dictionary-cap fallback, schema evolution,
-#: multi-level partitions, compaction, runtime filter, metadata MIN/MAX,
-#: grouped metadata count, Z-order, retention) — and fills the remaining
-#: 26 slots with re-hashes, oldest-hash-first: the round-4 first-hash
-#: block remainder (15) then the round-5 block (11), family-balanced.
-#: When this round's driver run lands, every name ever registered has
-#: driver-grade hash evidence; ROTATION.md is the ledger and stages the
-#: round-11 queue (the six round-5 names deferred from this window).
+#: ROUND-11 ROTATION: keeps the same 15 sentinels as rounds 4-10 (one
+#: per §2 family, including every query that was ever driver-red),
+#: first-hashes the EIGHT round-10 DML/streaming registrations (new
+#: operators must not age unhashed), re-hashes every query whose PLAN
+#: changed in the round-10 or round-11 optimization sessions (VERDICT
+#: r10 "What's wrong" #2: driver-grade evidence must cover the
+#: optimized plans — dedup_semantic, graph_triangles, pipeline_curate,
+#: the text family, gif_roundtrip, ann_knn_graph from round 10;
+#: tpch_q2, dedup_edit_distance, dedup_clusters, dedup_canonical_keep
+#: from round 11; dedup_semantic/dedup_edit_distance changed AGAIN in
+#: round 11 and are covered by the same slots; dedup_minhash_lsh is a
+#: standing sentinel), then fills the remaining 12 slots
+#: oldest-evidence-first: the six round-5 names deferred since round
+#: 10, plus six of the round-6 first-hash block, family-balanced.
+#: ROTATION.md is the ledger and stages the round-12 queue.
 CORE_WINDOW: tuple[str, ...] = (
-    # ---- 15 sentinels retained from the round-4..9 windows ----
+    # ---- 15 sentinels retained from the round-4..10 windows ----
     "tpch_q1",
     "tpch_q6",
     "pred_eq",
@@ -71,45 +75,46 @@ CORE_WINDOW: tuple[str, ...] = (
     "ann_ivf_topk",
     "multimodal_features",
     "udf_pandas_scalar",
-    # ---- 9 first-hash: the complete never-hashed pool (round-9 fledir) ----
-    "scan_fle_dict_fallback",
-    "scan_fle_schema_evolution",
-    "scan_fle_partitioned_multi",
-    "scan_fle_compacted",
-    "scan_fle_runtime_filter",
-    "scan_fle_minmax_meta",
-    "scan_fle_count_by_partition",
-    "scan_fle_zorder",
-    "scan_fle_retention",
-    # ---- 26 re-hash, oldest-evidence-first ----
-    # round-4 first-hash block remainder (15)
-    "sample_weighted",
-    "fn_try",
-    "events_ohlc",
-    "tpch_q16",
-    "tpch_q21",
-    "agg_kmv_merge",
-    "dedup_winnowing",
-    "agg_ols_regression",
-    "ann_pq_adc_topk",
-    "events_path_transitions",
-    "subq_not_in",
-    "text_bm25_topk",
-    "window_ignore_nulls",
-    "window_lag_lead",
-    "window_trailing_features",
-    # round-5 block (11, family-balanced; 6 deferred to round 11)
-    "agg_corr_matrix",
-    "agg_hll_native",
-    "agg_kmv_intersect",
-    "agg_weighted_median",
-    "dedup_containment",
+    # ---- 8 first-hash: the round-10 DML/streaming registrations ----
+    "scan_fle_retention_multi",
+    "scan_fle_sum_meta",
+    "scan_fle_bloom_lookup",
+    "scan_fle_time_travel",
+    "scan_fle_merge_upsert",
+    "scan_fle_delete_where",
+    "scan_fle_stream_sink",
+    "scan_fle_changes",
+    # ---- 15 re-hash: plan-changed in the r10/r11 optimization sessions ----
+    "dedup_semantic",
+    "graph_triangles",
+    "pipeline_curate",
+    "text_bpe_encode",
+    "text_bpe_train",
+    "text_bigram_pmi",
+    "text_entropy",
+    "text_unigram_logprob",
+    "text_tfidf_topk",
+    "multimodal_gif_roundtrip",
+    "ann_knn_graph",
+    "tpch_q2",
     "dedup_edit_distance",
-    "events_interval_union",
-    "fn_nested_array",
-    "fn_regex",
-    "fn_url_parse",
-    "join_asof_nearest",
+    "dedup_clusters",
+    "dedup_canonical_keep",
+    # ---- 12 re-hash, oldest-evidence-first ----
+    # round-5 block remainder (deferred since round 10)
+    "events_rfm",
+    "fn_variant_path",
+    "join_bucketed_colocated",
+    "join_skew_salted",
+    "multimodal_inventory",
+    "sample_stratified",
+    # round-6 first-hash block (6 of 32, family-balanced)
+    "scan_zorder_pruned",
+    "selectivity_sorted_002",
+    "agg_count_min",
+    "events_funnel_windowed",
+    "fn_ieee_specials",
+    "window_topk_per_group",
 )
 
 _EXPORT_PREFIX = "a0_"

@@ -293,6 +293,10 @@ def main() -> None:
         "queries": times,
         "rep_stats": rep_stats,
         "sf": sf_dir,
+        # self-document the core count: a BENCH_FULL.json from a
+        # low-core companion run must never be mistaken for the 32-core
+        # pin again (it happened in rounds 10 AND 11)
+        "cpus": spark.sparkContext.defaultParallelism,
     }
 
     # Spark's fixed per-job cost on this setup: a 1-row parquet count.

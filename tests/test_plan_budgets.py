@@ -47,7 +47,9 @@ BUDGETS = {
     "selectivity_050": 1,
     # pipeline scale paths
     "dedup_exact": 1,
-    "dedup_minhash_lsh": 4,
+    "dedup_minhash_lsh": 3,  # round-11: the bucket self-join is gone —
+    # signature window + doc groupBy share one exchange, then the
+    # (band, band_key) bucket groupBy and the pair rollup (PLANS.md)
     "pipeline_curate": 2,  # +1 round-10: spread_table's conditional hash
     # repartition of the one-file local fixture (guide §2.5); at real
     # scale (scan splits >= cores) the spread is a no-op and the plan is

@@ -51,10 +51,16 @@ def connected_components(
         .distinct()
     )
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    # sym is a narrow, zero-shuffle union over the checkpointed edges —
+    # re-deriving it per round costs two cached-block scans, while
+    # eagerly checkpointing it cost a third serial pre-loop job AND a
+    # second materialized copy at 2x the edge bytes (round-11 paired
+    # A/B: dropping the checkpoint wins 3/4 pairs, min 3.10 -> 2.96 s;
+    # dropping the LABELS checkpoint as well loses — the nodes distinct
+    # re-runs per consumer — so that one stays).
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=True)
 
     converged = False
     for _ in range(max_iter):
